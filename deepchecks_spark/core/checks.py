@@ -1,0 +1,124 @@
+"""Base check classes (reference deepchecks/core/checks.py:59,268,279,293
+and deepchecks/tabular/base_checks.py:44-165) — same API shape, Spark
+execution.
+
+A check contributes work to the shared Context (one fused stats pass
+where possible) and finalizes a small ``value`` on the driver; its
+conditions are pure-python over that value.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from typing import Any
+
+from deepchecks_spark.core.result import (
+    CheckResult,
+    Condition,
+    ConditionCategory,
+    ConditionResult,
+)
+
+
+class BaseCheck:
+    """Parameterized computation over 1 or 2 datasets → CheckResult."""
+
+    def __init__(self, n_samples: int | None = None, random_state: int = 42, **params):
+        self.n_samples = n_samples
+        self.random_state = random_state
+        self.params = params
+        self.conditions: list[Condition] = []
+
+    # -- reference core/checks.py:93-109 -----------------------------------
+    def add_condition(self, name: str, condition_func, **params) -> "BaseCheck":
+        self.conditions.append(Condition(name, condition_func, params))
+        return self
+
+    def clean_conditions(self) -> "BaseCheck":
+        self.conditions = []
+        return self
+
+    def name(self) -> str:
+        return type(self).__name__
+
+    def header(self) -> str:
+        # CamelCase → spaced title, reference Check naming convention
+        return re.sub(r"(?<!^)(?=[A-Z])", " ", type(self).__name__)
+
+    def config(self) -> dict:
+        return {
+            "check": type(self).__name__,
+            "params": {"n_samples": self.n_samples, "random_state": self.random_state, **self.params},
+            "conditions": [c.name for c in self.conditions],
+        }
+
+    def _finalize(self, ctx, value, violations=None, t0: float | None = None) -> CheckResult:
+        result = CheckResult(value=value, header=self.header(), check=self, violations=violations)
+        result.process_conditions()
+        if t0 is not None:
+            result.run_time = time.time() - t0
+        return result
+
+
+class SingleDatasetCheck(BaseCheck):
+    """Runs on one dataset (reference tabular/base_checks.py:44-104)."""
+
+    def run(self, dataset, context=None) -> CheckResult:
+        from deepchecks_spark.core.context import Context
+
+        t0 = time.time()
+        ctx = context if context is not None else Context(train=dataset)
+        value, violations = self.compute(ctx, "train")
+        res = self._finalize(ctx, value, violations, t0)
+        return res
+
+    def compute(self, context, kind: str):
+        """Return (value, violations_df_or_None). kind ∈ {train, test}."""
+        raise NotImplementedError
+
+
+class TrainTestCheck(BaseCheck):
+    """Runs on a (train, test) pair (reference tabular/base_checks.py:121-165)."""
+
+    def run(self, train, test, context=None) -> CheckResult:
+        from deepchecks_spark.core.context import Context
+
+        t0 = time.time()
+        ctx = context if context is not None else Context(train=train, test=test)
+        value, violations = self.compute(ctx)
+        return self._finalize(ctx, value, violations, t0)
+
+    def compute(self, context):
+        raise NotImplementedError
+
+
+# -- shared condition helpers ---------------------------------------------
+
+def pass_fail(ok: bool, details_pass: str, details_fail: str) -> ConditionResult:
+    if ok:
+        return ConditionResult(ConditionCategory.PASS, details_pass)
+    return ConditionResult(ConditionCategory.FAIL, details_fail)
+
+
+def format_percent(ratio: float, floating_point: int = 2) -> str:
+    """Reference utils/strings.py:461+ format_percent — used inside
+    condition details strings so messages match the reference style."""
+    if ratio < 0:
+        return "-" + format_percent(-ratio, floating_point)
+    if int(ratio) == ratio:
+        return f"{int(ratio):,}00%"
+    if ratio > 1:
+        return f"{ratio:,.{floating_point}f}".rstrip("0").rstrip(".") + "00%"
+    pct = ratio * 100
+    if pct < 10 ** (-floating_point) and pct > 0:
+        return f"{10 ** (-floating_point):.{floating_point}f}%"[0:] if pct else "0%"
+    out = f"{pct:.{floating_point}f}".rstrip("0").rstrip(".")
+    return f"{out}%"
+
+
+def format_number(x, floating_point: int = 5) -> str:
+    """Reference utils/strings.py format_number."""
+    if isinstance(x, (int,)) or (isinstance(x, float) and x == int(x)):
+        return f"{int(x):,}"
+    return f"{x:,.{floating_point}f}".rstrip("0").rstrip(".")

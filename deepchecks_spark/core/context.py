@@ -1,0 +1,82 @@
+"""Context — holder of train/test Datasets + shared precomputed stats
+(reference deepchecks/tabular/context.py:161).
+
+The expensive artifacts (the fused column-stats pass, the melted string
+value counts) are computed once per dataset and shared by every check
+in a suite — the engine-level replacement for the reference's "one
+in-memory Context reused across checks" (tabular/suite.py:76), but with
+actual scan sharing instead of repeated pandas traversals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from deepchecks_spark.dataset import Dataset
+from deepchecks_spark.stats import ColumnStats, compute_column_stats
+
+
+class Context:
+    def __init__(self, train, test=None, feature_importance: dict | None = None,
+                 with_display: bool = False):
+        self.train = self._cast(train, "Train")
+        self.test = self._cast(test, "Test") if test is not None else None
+        self.feature_importance = feature_importance
+        self.with_display = with_display
+        self._stats_cache: dict = {}
+        self._cached_dfs: list = []
+        if self.test is not None:
+            self._validate_compat()
+
+    @staticmethod
+    def _cast(ds, default_name: str) -> Dataset:
+        """reference dataset.py:871-901 cast_to_dataset: accept a bare
+        DataFrame and wrap it (all columns become features)."""
+        if isinstance(ds, Dataset):
+            return ds
+        if isinstance(ds, DataFrame):
+            return Dataset(ds, name=default_name)
+        raise TypeError(f"expected Dataset or DataFrame, got {type(ds).__name__}")
+
+    def _validate_compat(self) -> None:
+        """reference tabular/context.py:202-217: train/test must share
+        schema + label + role columns."""
+        tr, te = self.train, self.test
+        if set(tr.columns) != set(te.columns):
+            raise ValueError(
+                "train and test must share columns; "
+                f"difference: {sorted(set(tr.columns) ^ set(te.columns))}"
+            )
+        if tr.label_name != te.label_name:
+            raise ValueError("train and test label column must match")
+
+    # -- dataset access ------------------------------------------------------
+    def data(self, kind: str) -> Dataset:
+        if kind == "train":
+            return self.train
+        if kind == "test":
+            if self.test is None:
+                raise ValueError("no test dataset in context")
+            return self.test
+        raise ValueError(f"unknown dataset kind {kind!r}")
+
+    # -- shared passes ---------------------------------------------------------
+    def stats(self, kind: str, columns: tuple | None = None) -> ColumnStats:
+        """Fused column stats, computed once per (dataset, column-set)."""
+        key = (kind, columns)
+        if key not in self._stats_cache:
+            ds = self.data(kind)
+            cols = list(columns) if columns is not None else ds.columns
+            self._stats_cache[key] = compute_column_stats(ds.df, cols)
+        return self._stats_cache[key]
+
+    def persist(self, kind: str) -> None:
+        """Cache the dataset across the suite's multiple passes."""
+        df = self.data(kind).df
+        df.persist()
+        self._cached_dfs.append(df)
+
+    def unpersist_all(self) -> None:
+        for df in self._cached_dfs:
+            df.unpersist()
+        self._cached_dfs = []

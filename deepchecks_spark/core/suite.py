@@ -1,0 +1,143 @@
+"""Suite runner (reference deepchecks/core/suite.py:52,529 +
+deepchecks/tabular/suite.py:32-153).
+
+Semantics preserved from the reference:
+  * one Context shared by all checks (tabular/suite.py:76-89)
+  * checks run in insertion order (BaseSuite holds an OrderedDict)
+  * TrainTest checks run once; SingleDataset checks run twice — train
+    then test, headers suffixed " - Train Dataset"/" - Test Dataset"
+    (tabular/suite.py:104-137)
+  * every exception → CheckFailure, the suite never aborts
+    (tabular/suite.py:122-123,148-149)
+  * per-check run_time recorded (tabular/suite.py:151)
+
+Spark-side difference: the Context persists the input once and shares
+the fused stats pass, so N stats-driven checks cost one scan, not N.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from deepchecks_spark.core.checks import SingleDatasetCheck, TrainTestCheck
+from deepchecks_spark.core.context import Context
+from deepchecks_spark.core.result import CheckFailure, CheckResult
+
+
+@dataclass
+class SuiteResult:
+    name: str
+    results: list = field(default_factory=list)
+
+    def passed(self, fail_if_warning: bool = True, fail_if_check_not_run: bool = False) -> bool:
+        """reference core/suite.py:444-506."""
+        for r in self.results:
+            if isinstance(r, CheckFailure):
+                if fail_if_check_not_run:
+                    return False
+                continue
+            if r.have_conditions() and not r.passed_conditions(fail_if_warning):
+                return False
+        return True
+
+    def get_not_passed_checks(self, fail_if_warning: bool = True) -> list:
+        return [
+            r
+            for r in self.results
+            if isinstance(r, CheckResult)
+            and r.have_conditions()
+            and not r.passed_conditions(fail_if_warning)
+        ]
+
+    def get_failures(self) -> list:
+        return [r for r in self.results if isinstance(r, CheckFailure)]
+
+    def to_json(self) -> dict:
+        """Headless verdict dump (replaces the reference's HTML display)."""
+        out = []
+        for r in self.results:
+            if isinstance(r, CheckFailure):
+                out.append({"header": r.header, "failure": repr(r.exception)})
+            else:
+                out.append(
+                    {
+                        "header": r.header,
+                        "value": _jsonable(r.value),
+                        "run_time": r.run_time,
+                        "conditions": [
+                            {"name": c.name, "category": c.category.value, "details": c.details}
+                            for c in r.conditions_results
+                        ],
+                    }
+                )
+        return {"name": self.name, "results": out}
+
+
+def _jsonable(v):
+    import numpy as np
+
+    if isinstance(v, dict):
+        return {str(k): _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, np.ndarray):
+        return [_jsonable(x) for x in v.tolist()]
+    return v
+
+
+class Suite:
+    def __init__(self, name: str, *checks):
+        self.name = name
+        self.checks = list(checks)
+
+    def add(self, check) -> "Suite":
+        self.checks.append(check)
+        return self
+
+    def run(self, train, test=None, feature_importance=None) -> SuiteResult:
+        ctx = Context(train=train, test=test, feature_importance=feature_importance)
+        ctx.persist("train")
+        if ctx.test is not None:
+            ctx.persist("test")
+        results: list = []
+        try:
+            for check in self.checks:
+                if isinstance(check, TrainTestCheck):
+                    if ctx.test is None:
+                        results.append(
+                            CheckFailure(check, ValueError("check requires a test dataset"), check.header())
+                        )
+                        continue
+                    results.append(self._run_one(check, ctx, None))
+                elif isinstance(check, SingleDatasetCheck):
+                    kinds = ["train"] + (["test"] if ctx.test is not None else [])
+                    suffix = ctx.test is not None
+                    for kind in kinds:
+                        r = self._run_one(check, ctx, kind)
+                        if suffix and isinstance(r, CheckResult):
+                            r.header = f"{r.header} - {kind.title()} Dataset"
+                        results.append(r)
+                else:
+                    results.append(
+                        CheckFailure(check, TypeError(f"unknown check type {type(check).__name__}"), str(check))
+                    )
+        finally:
+            ctx.unpersist_all()
+        return SuiteResult(self.name, results)
+
+    @staticmethod
+    def _run_one(check, ctx: Context, kind: str | None):
+        t0 = time.time()
+        try:
+            if kind is None:
+                value, violations = check.compute(ctx)
+            else:
+                value, violations = check.compute(ctx, kind)
+            return check._finalize(ctx, value, violations, t0)
+        except Exception as exc:  # noqa: BLE001 — isolation per reference
+            return CheckFailure(check, exc, check.header())

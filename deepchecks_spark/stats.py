@@ -1,0 +1,113 @@
+"""The fused column-stats pass — stage S2 of the suite DAG (SURVEY.md §3.3).
+
+The reference walks columns one-by-one in python loops, re-touching the
+frame per check. Here ALL per-column statistics that every stats-driven
+check needs are computed in ONE wide ``df.agg(...)`` (Catalyst emits a
+single scan + partial/final hash aggregation; every statistic is
+algebraic or sketch-mergeable, so no raw-data shuffle ever happens —
+only the tiny partial-state merge). Optionally grouped by
+``spark_partition_id()`` for the per-partition verdict parity required
+by the north rule.
+
+Served checks: IsSingleValue, PercentOfNulls, MixedDataTypes,
+SpecialCharacters, DatasetsSizeComparison, plus min/max/avg/stddev and
+numeric-parse ratios reused by drift preprocessing and
+StringLengthOutOfBounds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deepchecks_spark.dataset import is_numeric_type
+from deepchecks_spark.functions.strings import baseform_expr
+
+
+@dataclass
+class ColumnStats:
+    n_rows: int
+    per_column: dict  # col -> dict of statistics
+
+
+def _agg_exprs(df: DataFrame, columns: list) -> list:
+    exprs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in columns:
+        dt = df.schema[c].dataType
+        col = F.col(f"`{c}`")
+        exprs.append(F.count(col).alias(f"n::{c}"))
+        exprs.append(F.countDistinct(col).alias(f"distinct::{c}"))
+        exprs.append(F.approx_count_distinct(col).alias(f"approx_distinct::{c}"))
+        if is_numeric_type(dt):
+            exprs += [
+                F.min(col).alias(f"min::{c}"),
+                F.max(col).alias(f"max::{c}"),
+                F.avg(col).alias(f"avg::{c}"),
+                F.stddev(col).alias(f"stddev::{c}"),
+            ]
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                exprs.append(F.sum(F.isnan(col).cast("long")).alias(f"nan_count::{c}"))
+        elif isinstance(dt, T.StringType):
+            exprs += [
+                # fraction of values parseable as a number (MixedDataTypes,
+                # reference mixed_data_types.py:105-136)
+                F.sum(col.try_cast("double").isNotNull().cast("long")).alias(f"numeric_like::{c}"),
+                # non-empty strings made entirely of special characters
+                # (SpecialCharacters, reference special_chars.py:131-139)
+                F.sum(
+                    (
+                        (F.length(col) > 0)
+                        & (F.length(baseform_expr(col, allow_empty_result=True)) == 0)
+                    ).cast("long")
+                ).alias(f"special_only::{c}"),
+                F.min(F.length(col)).alias(f"min_len::{c}"),
+                F.max(F.length(col)).alias(f"max_len::{c}"),
+                F.avg(F.length(col)).alias(f"avg_len::{c}"),
+            ]
+        elif isinstance(dt, (T.TimestampType, T.DateType)):
+            exprs += [F.min(col).alias(f"min::{c}"), F.max(col).alias(f"max::{c}")]
+    return exprs
+
+
+def _rows_to_stats(row_dict: dict, columns: list) -> ColumnStats:
+    n_rows = row_dict.pop("__n_rows")
+    per_col: dict = {c: {} for c in columns}
+    for k, v in row_dict.items():
+        stat, _, col = k.partition("::")
+        if col in per_col:
+            per_col[col][stat] = v
+    for c in columns:
+        st = per_col[c]
+        st["null_count"] = n_rows - (st.get("n") or 0)
+        st["percent_null"] = (st["null_count"] / n_rows) if n_rows else 0.0
+    return ColumnStats(n_rows=n_rows, per_column=per_col)
+
+
+def compute_column_stats(df: DataFrame, columns: list | None = None) -> ColumnStats:
+    """Global fused stats pass: one scan, one aggregation."""
+    columns = columns if columns is not None else df.columns
+    row = df.agg(*_agg_exprs(df, columns)).first()
+    return _rows_to_stats(row.asDict(), columns)
+
+
+def compute_column_stats_by_partition(df: DataFrame, columns: list | None = None) -> dict:
+    """Per-partition variant: groupBy(spark_partition_id()) — the lineage/
+    parity surface of the north rule. Returns {partition_id: ColumnStats}.
+    Same single scan; the group count equals the partition count, so the
+    aggregation state is tiny regardless of data volume."""
+    columns = columns if columns is not None else df.columns
+    rows = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(*_agg_exprs(df, columns))
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        d = r.asDict()
+        pid = d.pop("__pid")
+        out[pid] = _rows_to_stats(d, columns)
+    return out

@@ -1,0 +1,233 @@
+"""Integrity checks on micro-fixtures lifted from the reference unit
+tests (FIXTURES.md §F2); expected values match the reference's own
+assertions (e.g. mixed_nulls_test.py:33-40, data_duplicate_test.py:22-50)."""
+
+import pytest
+
+from deepchecks_spark import Dataset
+from deepchecks_spark.checks.integrity import (
+    ClassImbalance,
+    ConflictingLabels,
+    DataDuplicates,
+    IsSingleValue,
+    MixedDataTypes,
+    MixedNulls,
+    PercentOfNulls,
+    SpecialCharacters,
+    StringLengthOutOfBounds,
+    StringMismatch,
+)
+from deepchecks_spark.core.result import ConditionCategory
+
+
+def _ds(spark, data, schema, **kw):
+    return Dataset(spark.createDataFrame(data, schema=schema), infer_categorical=False, **kw)
+
+
+# -- MixedNulls (reference tests/tabular/checks/integrity/mixed_nulls_test.py) --
+
+def test_mixed_nulls_single_string_null(spark):
+    ds = _ds(spark, [("foo",), ("bar",), ("null",), ("null",)], "col1 string")
+    result = MixedNulls().run(ds)
+    cols = result.value["columns"]
+    assert cols["col1"] == {'"null"': {"count": 2, "percent": 0.5}}
+
+
+def test_mixed_nulls_case_distinct(spark):
+    # 'Nan', 'nan', 'NaN' are distinct representations (mixed_nulls_test.py:102-109)
+    ds = _ds(spark, [("foo",), ("bar",), ("Nan",), ("nan",), ("NaN",)], "col1 string")
+    result = MixedNulls().run(ds)
+    cols = result.value["columns"]["col1"]
+    assert set(cols) == {'"Nan"', '"nan"', '"NaN"'}
+    assert all(v["count"] == 1 for v in cols.values())
+
+
+def test_mixed_nulls_real_null_and_string(spark):
+    ds = _ds(spark, [(None,), (None,), ("value",), ("NULL",)], "col1 string")
+    result = MixedNulls().run(ds)
+    cols = result.value["columns"]["col1"]
+    assert cols["null"]["count"] == 2
+    assert cols['"NULL"']["count"] == 1
+
+
+def test_mixed_nulls_condition(spark):
+    ds = _ds(spark, [(None,), ("nan",), ("value",), ("NULL",)], "col1 string")
+    check = MixedNulls().add_condition_different_nulls_less_equal_to(1)
+    result = check.run(ds)
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
+
+
+# -- DataDuplicates (reference data_duplicate_test.py:22-50) --
+
+@pytest.fixture()
+def dup_ds(spark):
+    rows = [
+        (1, 2, 3), (1, 2, 3), (1, 2, 3),
+        (4, 5, 6), (4, 5, 6),
+        (7, 8, 9), (10, 11, 12), (13, 14, 15), (16, 17, 18), (19, 20, 21),
+    ]
+    return _ds(spark, rows, "col1 int, col2 int, col3 int")
+
+
+def test_data_duplicates_value(spark, dup_ds):
+    result = DataDuplicates().run(dup_ds)
+    assert result.value == pytest.approx(0.30, abs=0.01)  # 10 rows, 7 unique
+
+
+def test_data_duplicates_single_column(spark, dup_ds):
+    result = DataDuplicates(columns=["col1"]).run(dup_ds)
+    assert result.value == pytest.approx(0.30, abs=0.01)
+
+
+def test_data_duplicates_condition_pass_fail(spark, dup_ds):
+    check = DataDuplicates().add_condition_ratio_less_or_equal(0.0)
+    assert check.run(dup_ds).conditions_results[0].category == ConditionCategory.FAIL
+    check2 = DataDuplicates().add_condition_ratio_less_or_equal(0.5)
+    assert check2.run(dup_ds).conditions_results[0].category == ConditionCategory.PASS
+
+
+def test_data_duplicates_violations(spark, dup_ds):
+    result = DataDuplicates().run(dup_ds)
+    rows = result.violations.collect()
+    assert rows[0]["count"] == 3 and rows[0]["col1"] == 1
+    assert rows[1]["count"] == 2 and rows[1]["col1"] == 4
+
+
+# -- IsSingleValue --
+
+def test_is_single_value(spark):
+    ds = _ds(spark, [(1, "a", 7), (1, "b", 7), (1, "c", 8)], "x int, y string, z int")
+    check = IsSingleValue().add_condition_not_single_value()
+    result = check.run(ds)
+    assert result.value == {"x": 1, "y": 3, "z": 2}
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
+
+
+def test_is_single_value_ignore_nan(spark):
+    ds = _ds(spark, [(1.0,), (None,), (None,)], "x double")
+    assert IsSingleValue().run(ds).value == {"x": 1}
+    assert IsSingleValue(ignore_nan=False).run(ds).value == {"x": 2}
+
+
+# -- PercentOfNulls --
+
+def test_percent_of_nulls(spark):
+    ds = _ds(spark, [(1, None), (2, "a"), (None, "b"), (4, "c")], "x int, y string")
+    result = PercentOfNulls().run(ds)
+    assert result.value == {"x": 0.25, "y": 0.25}
+
+
+def test_percent_of_nulls_condition(spark):
+    ds = _ds(spark, [(1,), (None,), (None,), (None,)], "x int")
+    check = PercentOfNulls().add_condition_percent_of_nulls_not_greater_than(0.5)
+    assert check.run(ds).conditions_results[0].category == ConditionCategory.FAIL
+
+
+# -- MixedDataTypes (reference mixed_data_types_test.py style) --
+
+def test_mixed_data_types(spark):
+    rows = [("1",), ("2",), ("3",), ("4",), ("5",), ("6",), ("7",), ("8",), ("9",), ("word",)]
+    ds = _ds(spark, rows, "col1 string")
+    result = MixedDataTypes().run(ds)
+    mix = result.value["col1"]
+    assert mix["numbers"] == pytest.approx(0.9)
+    assert mix["strings"] == pytest.approx(0.1)
+    assert "word" in mix["strings_examples"]
+
+
+def test_mixed_data_types_no_mix(spark):
+    ds = _ds(spark, [("a",), ("b",)], "col1 string")
+    assert MixedDataTypes().run(ds).value == {"col1": {}}
+
+
+def test_mixed_data_types_danger_zone_condition(spark):
+    rows = [(str(i),) for i in range(19)] + [("word",)]  # 5% strings → in (1%, 10%)
+    ds = _ds(spark, rows, "col1 string")
+    check = MixedDataTypes().add_condition_rare_type_ratio_not_in_range((0.01, 0.1))
+    assert check.run(ds).conditions_results[0].category == ConditionCategory.WARN
+
+
+# -- SpecialCharacters --
+
+def test_special_characters(spark):
+    rows = [("foo!",), ("bar",), ("!!!",), ("???",)]
+    ds = _ds(spark, rows, "col1 string")
+    result = SpecialCharacters().run(ds)
+    assert result.value["col1"] == pytest.approx(0.5)
+
+
+def test_special_characters_samples(spark):
+    rows = [("ok",), ("!!!",), ("!!!",), ("#@$",)]
+    ds = _ds(spark, rows, "col1 string")
+    check = SpecialCharacters()
+    samples = check.most_common_special_samples(ds, "col1")
+    assert samples[0] == ("!!!", 2)
+
+
+# -- ClassImbalance --
+
+def test_class_imbalance(spark):
+    rows = [("a",)] * 9 + [("b",)] * 1
+    ds = _ds(spark, rows, "label string", label="label")
+    result = ClassImbalance().run(ds)
+    assert result.value == {"a": 0.9, "b": 0.1}
+
+
+def test_class_imbalance_condition(spark):
+    rows = [("a",)] * 9 + [("b",)] * 1
+    ds = _ds(spark, rows, "label string", label="label")
+    check = ClassImbalance().add_condition_class_ratio_less_than(0.1)
+    assert check.run(ds).conditions_results[0].category == ConditionCategory.WARN
+
+
+# -- ConflictingLabels --
+
+def test_conflicting_labels(spark):
+    rows = [
+        (1, 2, "a"), (1, 2, "b"),     # conflict: 2 rows
+        (3, 4, "a"), (3, 4, "a"),     # no conflict
+        (5, 6, "c"),
+    ]
+    ds = _ds(spark, rows, "f1 int, f2 int, label string", label="label")
+    result = ConflictingLabels().run(ds)
+    assert result.value["percent"] == pytest.approx(0.4)
+    v = result.violations.collect()
+    assert len(v) == 1 and v[0]["labels"] == ["a", "b"]
+
+
+# -- StringMismatch (reference string_mismatch_test.py style) --
+
+def test_string_mismatch(spark):
+    rows = [("OK",), ("ok",), ("OK.",), ("ok!",), ("other",)]
+    ds = _ds(spark, rows, "col1 string")
+    result = StringMismatch().run(ds)
+    variants = result.value["col1"]["ok"]
+    assert set(variants) == {"OK", "ok", "OK.", "ok!"}
+    assert variants["OK"]["count"] == 1
+    assert variants["OK"]["percent"] == pytest.approx(0.2)
+
+
+def test_string_mismatch_condition(spark):
+    rows = [("OK",), ("ok",)]
+    ds = _ds(spark, rows, "col1 string")
+    check = StringMismatch().add_condition_no_variants()
+    assert check.run(ds).conditions_results[0].category == ConditionCategory.WARN
+
+
+# -- StringLengthOutOfBounds --
+
+def test_string_length_out_of_bounds(spark):
+    rows = [("x" * 10,)] * 200 + [("x" * 12,)] * 200 + [("x" * 500,)] * 3
+    ds = _ds(spark, rows, "col1 string")
+    result = StringLengthOutOfBounds().run(ds)
+    info = result.value["col1"]
+    assert len(info["outliers"]) == 1
+    assert info["outliers"][0]["n_samples"] == 3
+    assert info["outliers"][0]["range"]["min"] <= 500 <= info["outliers"][0]["range"]["max"]
+
+
+def test_string_length_no_outliers(spark):
+    rows = [("x" * (10 + i % 3),) for i in range(100)]
+    ds = _ds(spark, rows, "col1 string")
+    result = StringLengthOutOfBounds().run(ds)
+    assert result.value["col1"]["outliers"] == []
