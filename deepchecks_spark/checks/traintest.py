@@ -1,0 +1,554 @@
+"""Train/test-validation checks
+(reference deepchecks/tabular/checks/train_test_validation/).
+
+The reference does set ops with python ``set``; here they are Spark
+semi/anti joins with the small distinct side broadcast, and the drift
+checks share fused histogram passes (see drift/spark.py). Reference
+file:line citations per check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deepchecks_spark.core.checks import TrainTestCheck, format_number, format_percent
+from deepchecks_spark.core.result import ConditionCategory, ConditionResult
+from deepchecks_spark.drift.spark import (
+    calc_drift_score,
+    categorical_histograms,
+    numeric_histograms,
+)
+from deepchecks_spark.functions.strings import baseform_expr
+
+SUPPORTED_CATEGORICAL_METHODS = ("Cramer's V", "PSI")
+SUPPORTED_NUMERIC_METHODS = ("Earth Mover's Distance", "Kolmogorov-Smirnov")
+
+
+def drift_condition(max_cat: float, max_num: float, unit: str, unit_plural: str,
+                    allowed_exceeding: int = 0):
+    """reference utils/distribution/drift.py drift_condition."""
+
+    def condition(result):
+        scores = {
+            col: info
+            for col, info in result.items()
+            if isinstance(info, dict) and "Drift score" in info and info["Drift score"] is not None
+        }
+        failing = {}
+        for col, info in scores.items():
+            threshold = max_cat if info["Method"] in SUPPORTED_CATEGORICAL_METHODS else max_num
+            if info["Drift score"] >= threshold:
+                failing[col] = format_number(info["Drift score"])
+        if len(failing) > allowed_exceeding:
+            return ConditionResult(
+                ConditionCategory.FAIL,
+                f"Found {len(failing)} out of {len(scores)} {unit_plural} with drift score above threshold: "
+                f"{failing}",
+            )
+        return ConditionResult(ConditionCategory.PASS, f"Passed for {len(scores)} {unit_plural}")
+
+    return condition
+
+
+class FeatureDrift(TrainTestCheck):
+    """Per-feature distribution drift between train and test.
+
+    Reference: tabular/checks/train_test_validation/feature_drift.py:104-221
+    + utils/abstracts/feature_drift.py:42-163. Dispatch: numeric → KS
+    (default) / EMD; categorical → Cramér's V (default) / PSI; min 10
+    samples per side; value = {col: {'Drift score', 'Method',
+    'Importance'}}.
+
+    Spark: one melted categorical-histogram pass per dataset + one
+    numeric-histogram pass per dataset — 4 aggregation jobs total,
+    independent of the number of features.
+    """
+
+    def __init__(self, columns=None, ignore_columns=None, sort_feature_by: str = "drift + importance",
+                 margin_quantile_filter: float = 0.025, max_num_categories_for_drift: int | None = None,
+                 min_category_size_ratio: float = 0.01, show_categories_by: str = "largest_difference",
+                 numerical_drift_method: str = "KS", categorical_drift_method: str = "cramers_v",
+                 ignore_na: bool = True, min_samples: int = 10, n_samples: int | None = 100_000,
+                 numeric_hist_mode: str = "auto", **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        self.columns = columns
+        self.ignore_columns = ignore_columns
+        self.sort_feature_by = sort_feature_by
+        self.margin_quantile_filter = margin_quantile_filter
+        self.max_num_categories_for_drift = max_num_categories_for_drift
+        self.min_category_size_ratio = min_category_size_ratio
+        self.show_categories_by = show_categories_by
+        self.numerical_drift_method = numerical_drift_method
+        self.categorical_drift_method = categorical_drift_method
+        self.ignore_na = ignore_na
+        self.min_samples = min_samples
+        self.numeric_hist_mode = numeric_hist_mode
+
+    def _common_columns(self, ctx):
+        train = ctx.train
+        cats = [c for c in train.cat_features]
+        nums = [
+            c
+            for c in train.numerical_features
+            if isinstance(train.schema_of(c), (T.ByteType, T.ShortType, T.IntegerType,
+                                               T.LongType, T.FloatType, T.DoubleType, T.DecimalType))
+        ]
+        if self.columns is not None:
+            cats = [c for c in cats if c in set(self.columns)]
+            nums = [c for c in nums if c in set(self.columns)]
+        if self.ignore_columns is not None:
+            cats = [c for c in cats if c not in set(self.ignore_columns)]
+            nums = [c for c in nums if c not in set(self.ignore_columns)]
+        return cats, nums
+
+    def compute(self, ctx):
+        cats, nums = self._common_columns(ctx)
+        train_df, test_df = ctx.train.df, ctx.test.df
+        cat_train = categorical_histograms(train_df, cats, self.ignore_na)
+        cat_test = categorical_histograms(test_df, cats, self.ignore_na)
+        num_train = numeric_histograms(train_df, nums, self.numeric_hist_mode)
+        num_test = numeric_histograms(test_df, nums, self.numeric_hist_mode)
+        fi = ctx.feature_importance or {}
+        value = {}
+        kw = dict(
+            margin_quantile_filter=self.margin_quantile_filter,
+            max_num_categories_for_drift=self.max_num_categories_for_drift,
+            min_category_size_ratio=self.min_category_size_ratio,
+            numerical_drift_method=self.numerical_drift_method,
+            categorical_drift_method=self.categorical_drift_method,
+            show_categories_by=self.show_categories_by,
+            min_samples=self.min_samples,
+        )
+        for c in cats:
+            score, method = calc_drift_score("categorical", cat_train[c], cat_test[c], **kw)
+            value[c] = {"Drift score": None if score == "not_enough_samples" else score,
+                        "Method": method, "Importance": fi.get(c)}
+        for c in nums:
+            score, method = calc_drift_score("numerical", num_train[c], num_test[c], **kw)
+            value[c] = {"Drift score": None if score == "not_enough_samples" else score,
+                        "Method": method, "Importance": fi.get(c)}
+        return value, None
+
+    def add_condition_drift_score_less_than(self, max_allowed_categorical_score: float = 0.2,
+                                            max_allowed_numeric_score: float = 0.2,
+                                            allowed_num_features_exceeding_threshold: int = 0):
+        return self.add_condition(
+            f"categorical drift score < {max_allowed_categorical_score} and numerical drift score < "
+            f"{max_allowed_numeric_score}",
+            drift_condition(max_allowed_categorical_score, max_allowed_numeric_score, "column", "columns",
+                            allowed_num_features_exceeding_threshold),
+        )
+
+
+class LabelDrift(TrainTestCheck):
+    """Drift of the label column (reference utils/abstracts/label_drift.py:25-105,
+    tabular/.../label_drift.py). Condition default 0.15."""
+
+    def __init__(self, margin_quantile_filter: float = 0.025, max_num_categories_for_drift: int | None = None,
+                 min_category_size_ratio: float = 0.01, numerical_drift_method: str = "KS",
+                 categorical_drift_method: str = "cramers_v", balance_classes: bool = False,
+                 ignore_na: bool = True, min_samples: int = 10, n_samples: int | None = 100_000,
+                 numeric_hist_mode: str = "auto", **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        self.margin_quantile_filter = margin_quantile_filter
+        self.max_num_categories_for_drift = max_num_categories_for_drift
+        self.min_category_size_ratio = min_category_size_ratio
+        self.numerical_drift_method = numerical_drift_method
+        self.categorical_drift_method = categorical_drift_method
+        self.balance_classes = balance_classes
+        self.ignore_na = ignore_na
+        self.min_samples = min_samples
+        self.numeric_hist_mode = numeric_hist_mode
+
+    def compute(self, ctx):
+        label = ctx.train.label_name
+        if label is None:
+            raise ValueError("LabelDrift requires a label column")
+        dt = ctx.train.schema_of(label)
+        is_numeric = isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                                     T.FloatType, T.DoubleType, T.DecimalType)) and \
+            label not in set(ctx.train.cat_features)
+        kw = dict(
+            margin_quantile_filter=self.margin_quantile_filter,
+            max_num_categories_for_drift=self.max_num_categories_for_drift,
+            min_category_size_ratio=self.min_category_size_ratio,
+            numerical_drift_method=self.numerical_drift_method,
+            categorical_drift_method=self.categorical_drift_method,
+            balance_classes=self.balance_classes,
+            min_samples=self.min_samples,
+        )
+        if is_numeric:
+            h1 = numeric_histograms(ctx.train.df, [label], self.numeric_hist_mode)[label]
+            h2 = numeric_histograms(ctx.test.df, [label], self.numeric_hist_mode)[label]
+            score, method = calc_drift_score("numerical", h1, h2, **kw)
+        else:
+            h1 = categorical_histograms(ctx.train.df, [label], self.ignore_na)[label]
+            h2 = categorical_histograms(ctx.test.df, [label], self.ignore_na)[label]
+            score, method = calc_drift_score("categorical", h1, h2, **kw)
+        value = {"Drift score": None if score == "not_enough_samples" else score, "Method": method}
+        return value, None
+
+    def add_condition_drift_score_less_than(self, max_allowed_drift_score: float = 0.15):
+        def condition(result):
+            score = result["Drift score"]
+            details = f"Label's drift score {result['Method']} is {format_number(score)}"
+            if score is not None and score >= max_allowed_drift_score:
+                return ConditionResult(ConditionCategory.FAIL, details)
+            return ConditionResult(ConditionCategory.PASS, details)
+
+        return self.add_condition(f"Label drift score < {max_allowed_drift_score}", condition)
+
+
+class DatasetsSizeComparison(TrainTestCheck):
+    """len(train) / len(test) (reference train_test_validation/
+    datasets_size_comparison.py). Counts come from the shared stats pass."""
+
+    def compute(self, ctx):
+        value = {
+            "Train": ctx.stats("train", tuple(ctx.train.columns)).n_rows,
+            "Test": ctx.stats("test", tuple(ctx.test.columns)).n_rows,
+        }
+        return value, None
+
+    def add_condition_test_train_size_ratio_greater_than(self, ratio: float = 0.01):
+        def condition(result):
+            r = result["Test"] / result["Train"] if result["Train"] else 0
+            details = f"Test-Train size ratio is {format_number(r)}"
+            if r <= ratio:
+                return ConditionResult(ConditionCategory.FAIL, details)
+            return ConditionResult(ConditionCategory.PASS, details)
+
+        return self.add_condition(f"Test-Train size ratio is greater than {ratio}", condition)
+
+
+class NewLabelTrainTest(TrainTestCheck):
+    """Labels in test absent from train (reference train_test_validation/
+    new_label_train_test.py).
+
+    value = {'n_new_labels_samples', 'n_samples', 'new_labels': {label:
+    count}}. Spark: the distinct label sets are tiny → left_anti join
+    with the train side broadcast; counts from the test label histogram
+    (no second scan).
+    """
+
+    def compute(self, ctx):
+        label = ctx.train.label_name
+        if label is None:
+            raise ValueError("NewLabelTrainTest requires a label column")
+        test_counts = (
+            ctx.test.df.filter(F.col(label).isNotNull()).groupBy(label).count()
+        )
+        train_distinct = ctx.train.df.select(label).filter(F.col(label).isNotNull()).distinct()
+        new_rows = test_counts.join(F.broadcast(train_distinct), on=label, how="left_anti").collect()
+        n_test = ctx.stats("test", tuple(ctx.test.columns)).n_rows
+        new_labels = {r[label]: r["count"] for r in sorted(new_rows, key=lambda r: str(r[label]))}
+        value = {
+            "n_new_labels_samples": sum(new_labels.values()),
+            "n_samples": n_test,
+            "new_labels": new_labels,
+        }
+        return value, None
+
+    def add_condition_new_labels_number_less_or_equal(self, max_new: int = 0):
+        def condition(result):
+            n = len(result["new_labels"])
+            details = (
+                f"Found {n} new labels in test data: {sorted(result['new_labels'], key=str)}"
+                if n
+                else "No new labels found"
+            )
+            if n > max_new:
+                return ConditionResult(ConditionCategory.FAIL, details)
+            return ConditionResult(ConditionCategory.PASS, details)
+
+        return self.add_condition(f"Number of new label values is less or equal to {max_new}", condition)
+
+    def add_condition_new_label_ratio_less_or_equal(self, max_ratio: float = 0.0):
+        def condition(result):
+            ratio = result["n_new_labels_samples"] / result["n_samples"] if result["n_samples"] else 0
+            details = f"{format_percent(ratio)} of samples with new labels in test data"
+            if ratio > max_ratio:
+                return ConditionResult(ConditionCategory.FAIL, details)
+            return ConditionResult(ConditionCategory.PASS, details)
+
+        return self.add_condition(
+            f"Ratio of samples with new label is less or equal to {format_percent(max_ratio)}", condition
+        )
+
+
+class NewCategoryTrainTest(TrainTestCheck):
+    """Per categorical feature: test categories absent from train.
+
+    Reference: train_test_validation/new_category_train_test.py. value =
+    {col: {'n_new_categories', 'ratio_of_new_categories', 'new_categories'}}.
+    Spark: reuses the fused categorical-histogram pass (one melted agg
+    per dataset for ALL cat features); the set difference runs on the
+    tiny collected histograms.
+    """
+
+    def __init__(self, columns=None, ignore_columns=None, n_samples: int | None = 10_000_000, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        self.columns = columns
+        self.ignore_columns = ignore_columns
+
+    def compute(self, ctx):
+        cats = list(ctx.train.cat_features)
+        if self.columns is not None:
+            cats = [c for c in cats if c in set(self.columns)]
+        if self.ignore_columns is not None:
+            cats = [c for c in cats if c not in set(self.ignore_columns)]
+        train_h = categorical_histograms(ctx.train.df, cats, ignore_na=True)
+        test_h = categorical_histograms(ctx.test.df, cats, ignore_na=True)
+        value = {}
+        for c in cats:
+            train_cats = set(train_h.get(c, {}))
+            test_counts = test_h.get(c, {})
+            new = {k: v for k, v in test_counts.items() if k not in train_cats}
+            n_test = sum(test_counts.values())
+            value[c] = {
+                "n_new_categories": len(new),
+                "ratio_of_new_categories": (sum(new.values()) / n_test) if n_test else 0.0,
+                "new_categories": sorted(new, key=str),
+            }
+        return value, None
+
+    def add_condition_new_categories_less_or_equal(self, max_new: int = 0):
+        def condition(result):
+            failing = {
+                c: info["n_new_categories"] for c, info in result.items() if info["n_new_categories"] > max_new
+            }
+            if failing:
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"Found {len(failing)} out of {len(result)} columns with number of new categories above "
+                    f"threshold: {failing}",
+                )
+            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+
+        return self.add_condition(f"Number of new category values is less or equal to {max_new}", condition)
+
+    def add_condition_new_category_ratio_less_or_equal(self, max_ratio: float = 0.0):
+        def condition(result):
+            failing = {
+                c: format_percent(info["ratio_of_new_categories"])
+                for c, info in result.items()
+                if info["ratio_of_new_categories"] > max_ratio
+            }
+            if failing:
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"Found {len(failing)} out of {len(result)} columns with ratio of new category samples "
+                    f"above threshold: {failing}",
+                )
+            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+
+        return self.add_condition(
+            f"Ratio of samples with a new category is less or equal to {format_percent(max_ratio)}", condition
+        )
+
+
+class StringMismatchComparison(TrainTestCheck):
+    """Baseforms shared by train & test where test has variant strings
+    train lacks (reference train_test_validation/string_mismatch_comparison.py).
+
+    Spark: per-dataset melted ``groupBy(column, baseform) →
+    collect_set(value)`` over distinct values, inner join on
+    (column, baseform), ``array_except`` for the test-only variants —
+    only distinct-value-level data shuffles.
+    """
+
+    def __init__(self, columns=None, ignore_columns=None, n_samples: int | None = 1_000_000, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        self.columns = columns
+        self.ignore_columns = ignore_columns
+
+    def compute(self, ctx):
+        from deepchecks_spark.checks.integrity import _string_columns, melt_strings
+
+        cols = _string_columns(ctx.train, self.columns, self.ignore_columns)
+        value = {c: {} for c in cols}
+        if not cols:
+            return value, None
+
+        def baseform_variants(df):
+            melted = melt_strings(df, cols).filter(F.col("value").isNotNull())
+            return (
+                melted.withColumn("base", baseform_expr(F.col("value"), allow_empty_result=False))
+                .groupBy("column", "base")
+                .agg(F.sort_array(F.collect_set("value")).alias("variants"))
+            )
+
+        train_v = baseform_variants(ctx.train.df).withColumnRenamed("variants", "train_variants")
+        test_v = baseform_variants(ctx.test.df).withColumnRenamed("variants", "test_variants")
+        joined = (
+            test_v.join(train_v, on=["column", "base"], how="inner")
+            .withColumn("only_in_test", F.array_except("test_variants", "train_variants"))
+            .filter(F.size("only_in_test") > 0)
+            .collect()
+        )
+        for r in joined:
+            value[r["column"]][r["base"]] = {
+                "train_variants": list(r["train_variants"]),
+                "variants_only_in_test": list(r["only_in_test"]),
+            }
+        return value, None
+
+    def add_condition_no_new_variants(self):
+        def condition(result):
+            failing = {c: sorted(bases) for c, bases in result.items() if bases}
+            if failing:
+                return ConditionResult(
+                    ConditionCategory.WARN,
+                    f"Found {len(failing)} out of {len(result)} columns with new variants in test data: {failing}",
+                )
+            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+
+        return self.add_condition("No new variants allowed in test data", condition)
+
+
+class IndexTrainTestLeakage(TrainTestCheck):
+    """|test index ∩ train index| / |test| (reference train_test_validation/
+    index_leakage.py). Spark: left_semi join on the index column — Catalyst
+    picks broadcast vs sort-merge by the (distinct) train-side size."""
+
+    def __init__(self, n_index_to_show: int = 5, n_samples: int | None = 10_000_000, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        self.n_index_to_show = n_index_to_show
+
+    def compute(self, ctx):
+        index = ctx.train.spec.index_name
+        if index is None:
+            raise ValueError("IndexTrainTestLeakage requires an index column (DatasetSpec.index_name)")
+        test_df = ctx.test.df.filter(F.col(index).isNotNull())
+        leaked = test_df.join(ctx.train.df.select(index).distinct(), on=index, how="left_semi")
+        n_leaked = leaked.count()
+        n_test = ctx.stats("test", tuple(ctx.test.columns)).n_rows
+        ratio = n_leaked / n_test if n_test else 0.0
+        violations = (
+            leaked.select(index).distinct().orderBy(F.asc(index)).limit(self.n_index_to_show)
+        )
+        return ratio, violations
+
+    def add_condition_ratio_less_or_equal(self, max_ratio: float = 0.0):
+        def condition(result):
+            details = f"Found {format_percent(result)} of index leakage" if result else "No index leakage found"
+            if result > max_ratio:
+                return ConditionResult(ConditionCategory.FAIL, details)
+            return ConditionResult(ConditionCategory.PASS, details)
+
+        return self.add_condition(
+            f"Ratio of leaking indices is less or equal to {format_percent(max_ratio)}", condition
+        )
+
+
+class DateTrainTestLeakageDuplicates(TrainTestCheck):
+    """Test datetimes that exactly appear in train / |test| (reference
+    train_test_validation/date_train_test_leakage_duplicates.py).
+    Spark: semi join on the datetime column (distinct train side)."""
+
+    def __init__(self, n_to_show: int = 5, n_samples: int | None = 10_000_000, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        self.n_to_show = n_to_show
+
+    def compute(self, ctx):
+        dt_col = ctx.train.spec.datetime_name
+        if dt_col is None:
+            raise ValueError("DateTrainTestLeakageDuplicates requires datetime_name on the dataset")
+        test_df = ctx.test.df.filter(F.col(dt_col).isNotNull())
+        leaked = test_df.join(ctx.train.df.select(dt_col).distinct(), on=dt_col, how="left_semi")
+        n_leaked = leaked.count()
+        n_test = test_df.count()
+        ratio = n_leaked / n_test if n_test else 0.0
+        violations = leaked.select(dt_col).distinct().orderBy(F.asc(dt_col)).limit(self.n_to_show)
+        return ratio, violations
+
+    def add_condition_leakage_ratio_less_or_equal(self, max_ratio: float = 0.0):
+        def condition(result):
+            details = f"Found {format_percent(result)} leaked dates" if result else "No leaked dates found"
+            if result > max_ratio:
+                return ConditionResult(ConditionCategory.FAIL, details)
+            return ConditionResult(ConditionCategory.PASS, details)
+
+        return self.add_condition(
+            f"Date leakage ratio is less or equal to {format_percent(max_ratio)}", condition
+        )
+
+
+class DateTrainTestLeakageOverlap(TrainTestCheck):
+    """Fraction of test rows dated before max(train date) — scalar theta
+    predicate (reference train_test_validation/date_train_test_leakage_overlap.py).
+    Spark: one max() scalar, broadcast into one avg(test.date < lit)."""
+
+    def compute(self, ctx):
+        dt_col = ctx.train.spec.datetime_name
+        if dt_col is None:
+            raise ValueError("DateTrainTestLeakageOverlap requires datetime_name on the dataset")
+        max_train = ctx.train.df.agg(F.max(dt_col).alias("m")).first()["m"]
+        if max_train is None:
+            return 0.0, None
+        ratio_row = (
+            ctx.test.df.filter(F.col(dt_col).isNotNull())
+            .agg(F.avg((F.col(dt_col) < F.lit(max_train)).cast("double")).alias("r"))
+            .first()
+        )
+        return float(ratio_row["r"] or 0.0), None
+
+    def add_condition_leakage_ratio_less_or_equal(self, max_ratio: float = 0.0):
+        def condition(result):
+            details = (
+                f"Found {format_percent(result)} of test data dates before last training data date"
+                if result
+                else "No overlap found"
+            )
+            if result > max_ratio:
+                return ConditionResult(ConditionCategory.FAIL, details)
+            return ConditionResult(ConditionCategory.PASS, details)
+
+        return self.add_condition(
+            f"Date leakage ratio is less or equal to {format_percent(max_ratio)}", condition
+        )
+
+
+class TrainTestSamplesMix(TrainTestCheck):
+    """Exact duplicate rows (features + label) across train and test,
+    as a ratio over test (reference train_test_validation/
+    train_test_samples_mix.py).
+
+    Spark: null-safe left_semi join of test against
+    train.dropDuplicates(cols) — two-stage agg on the train side then a
+    semi join; AQE skew-join handles hot keys (web duplicates are
+    Zipf-skewed).
+    """
+
+    def __init__(self, n_to_show: int = 5, n_samples: int | None = 10_000_000, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        self.n_to_show = n_to_show
+
+    def compute(self, ctx):
+        cols = list(ctx.train.features)
+        if ctx.train.label_name:
+            cols.append(ctx.train.label_name)
+        train_dedup = ctx.train.df.select(*cols).dropDuplicates(cols)
+        cond = [ctx.test.df[c].eqNullSafe(train_dedup[c]) for c in cols]
+        mixed = ctx.test.df.join(train_dedup, on=cond, how="left_semi")
+        n_mixed = mixed.count()
+        n_test = ctx.stats("test", tuple(ctx.test.columns)).n_rows
+        ratio = n_mixed / n_test if n_test else 0.0
+        value = {"ratio": ratio}
+        violations = mixed.limit(self.n_to_show)
+        return value, violations
+
+    def add_condition_duplicates_ratio_less_or_equal(self, max_ratio: float = 0.1):
+        def condition(result):
+            ratio = result["ratio"]
+            details = f"Percent of test data samples that appear in train data: {format_percent(ratio)}"
+            if ratio > max_ratio:
+                return ConditionResult(ConditionCategory.FAIL, details)
+            return ConditionResult(ConditionCategory.PASS, details)
+
+        return self.add_condition(
+            f"Percentage of test data samples that appear in train data is less or equal to "
+            f"{format_percent(max_ratio)}",
+            condition,
+        )

@@ -1,0 +1,191 @@
+"""Spark-side histogram collection for the drift kernels.
+
+ALL categorical columns share one melted ``groupBy(column, value)``
+pass per dataset, and ALL numeric columns share one melted pass (exact
+distinct-value histogram) or one fused ``percentile_approx`` agg (GK
+sketch, the 10^12-row path) — so FeatureDrift over k columns costs a
+constant number of scans, not k (SURVEY.md §2.5 "fused" rows).
+
+Both shapes reduce to mergeable per-partition state (hash-agg partials
+/ GK sketches) → tree aggregation, no raw-data shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepchecks_spark.drift.kernels import (
+    cramers_v_from_counts,
+    emd_from_hist,
+    ks_from_hist,
+    psi_from_counts,
+)
+
+# Above this many distinct values per numeric column the exact
+# distinct-value histogram stops being "small state" and we switch to
+# the GK quantile sketch (documented approximation; exact on fixtures).
+EXACT_HIST_MAX_DISTINCT = 100_000
+SKETCH_POINTS = 1000
+
+
+def _melt(df: DataFrame, cols: list, cast: str | None = None) -> DataFrame:
+    expr = f"`{{c}}`" if cast is None else f"cast(`{{c}}` as {cast})"
+    pairs = ", ".join(f"'{c}', " + expr.format(c=c) for c in cols)
+    return df.selectExpr(f"stack({len(cols)}, {pairs}) as (column, value)")
+
+
+def categorical_histograms(df: DataFrame, cols: list, ignore_na: bool = True) -> dict:
+    """{col: {category(str): count}} in ONE melted aggregation pass.
+    Output size is bounded by total category cardinality (small by the
+    definition of categorical)."""
+    if not cols:
+        return {}
+    melted = _melt(df, cols, cast="string")
+    if ignore_na:
+        melted = melted.filter(F.col("value").isNotNull())
+    rows = melted.groupBy("column", "value").count().collect()
+    out: dict = {c: {} for c in cols}
+    for r in rows:
+        key = r["value"] if r["value"] is not None else None
+        out[r["column"]][key] = r["count"]
+    return out
+
+
+def numeric_histograms(
+    df: DataFrame,
+    cols: list,
+    mode: str = "auto",
+    distinct_counts: dict | None = None,
+) -> dict:
+    """{col: (values ndarray, counts ndarray)}.
+
+    mode='exact': melted groupBy(column, value).count() — exact ECDF.
+    mode='sketch': fused percentile_approx (GK, mergeable) — 1001
+    equal-weight quantile samples per column.
+    mode='auto': exact when the approx distinct count is small enough.
+    """
+    if not cols:
+        return {}
+    if mode == "auto":
+        if distinct_counts is None:
+            row = df.agg(
+                *[F.approx_count_distinct(f"`{c}`").alias(c) for c in cols]
+            ).first()
+            distinct_counts = row.asDict()
+        exact_cols = [c for c in cols if (distinct_counts.get(c) or 0) <= EXACT_HIST_MAX_DISTINCT]
+        sketch_cols = [c for c in cols if c not in set(exact_cols)]
+        out = numeric_histograms(df, exact_cols, "exact") if exact_cols else {}
+        if sketch_cols:
+            out.update(numeric_histograms(df, sketch_cols, "sketch"))
+        return out
+    if mode == "exact":
+        melted = _melt(df, cols, cast="double").filter(
+            F.col("value").isNotNull() & ~F.isnan("value")
+        )
+        rows = melted.groupBy("column", "value").count().collect()
+        by_col: dict = {c: [] for c in cols}
+        for r in rows:
+            by_col[r["column"]].append((r["value"], r["count"]))
+        out = {}
+        for c in cols:
+            pairs = sorted(by_col[c])
+            out[c] = (
+                np.array([p[0] for p in pairs], dtype=float),
+                np.array([p[1] for p in pairs], dtype=np.int64),
+            )
+        return out
+    if mode == "sketch":
+        qs = [i / SKETCH_POINTS for i in range(SKETCH_POINTS + 1)]
+        aggs = []
+        for c in cols:
+            col = F.col(f"`{c}`").cast("double")
+            clean = F.when(~F.isnan(col), col)
+            aggs.append(F.percentile_approx(clean, qs, 10_000).alias(f"q::{c}"))
+            aggs.append(F.count(clean).alias(f"n::{c}"))
+        row = df.agg(*aggs).first().asDict()
+        out = {}
+        for c in cols:
+            quantiles = row[f"q::{c}"]
+            n = row[f"n::{c}"]
+            if not quantiles or not n:
+                out[c] = (np.array([]), np.array([], dtype=np.int64))
+                continue
+            vals, counts = np.unique(np.array(quantiles, dtype=float), return_counts=True)
+            # equal-weight quantile samples, scaled to the true row count so
+            # min_samples guards behave like the reference
+            weights = np.maximum(
+                np.round(counts / counts.sum() * n).astype(np.int64), 1
+            )
+            out[c] = (vals, weights)
+        return out
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def calc_drift_score(
+    kind: str,
+    train_hist,
+    test_hist,
+    margin_quantile_filter: float = 0.025,
+    max_num_categories_for_drift: int | None = None,
+    min_category_size_ratio: float = 0.01,
+    numerical_drift_method: str = "KS",
+    categorical_drift_method: str = "cramers_v",
+    balance_classes: bool = False,
+    show_categories_by: str = "largest_difference",
+    min_samples: int = 10,
+):
+    """Dispatcher mirroring reference calc_drift_and_plot
+    (drift.py:373-556), minus plotting. Returns (score, method_name) or
+    ('not_enough_samples', None)."""
+    if kind == "numerical":
+        v1, c1 = train_hist
+        v2, c2 = test_hist
+        n1 = int(c1.sum()) if len(c1) else 0
+        n2 = int(c2.sum()) if len(c2) else 0
+        if n1 < min_samples or n2 < min_samples:
+            return "not_enough_samples", None
+        if numerical_drift_method.lower() == "emd":
+            return (
+                emd_from_hist(v1, c1, v2, c2, margin_quantile_filter),
+                "Earth Mover's Distance",
+            )
+        if numerical_drift_method.lower() in ("ks", "kolmogorov-smirnov"):
+            return ks_from_hist(v1, c1, v2, c2), "Kolmogorov-Smirnov"
+        raise ValueError(f"unknown numerical_drift_method {numerical_drift_method!r}")
+    if kind == "categorical":
+        n1 = sum(train_hist.values())
+        n2 = sum(test_hist.values())
+        if n1 < min_samples or n2 < min_samples:
+            return "not_enough_samples", None
+        sort_by = (
+            "difference"
+            if show_categories_by == "largest_difference"
+            else ("dist1" if show_categories_by == "train_largest" else "dist2")
+        )
+        if categorical_drift_method.lower() in ("cramer_v", "cramers_v"):
+            return (
+                cramers_v_from_counts(
+                    train_hist,
+                    test_hist,
+                    balance_classes=balance_classes,
+                    min_category_size_ratio=min_category_size_ratio,
+                    max_num_categories=max_num_categories_for_drift,
+                    sort_by=sort_by,
+                ),
+                "Cramer's V",
+            )
+        if categorical_drift_method.lower() == "psi":
+            return (
+                psi_from_counts(
+                    train_hist,
+                    test_hist,
+                    min_category_size_ratio=min_category_size_ratio,
+                    max_num_categories=max_num_categories_for_drift,
+                    sort_by=sort_by,
+                ),
+                "PSI",
+            )
+        raise ValueError(f"unknown categorical_drift_method {categorical_drift_method!r}")
+    raise ValueError(f"unsupported column type for drift: {kind}")

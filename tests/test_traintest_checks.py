@@ -1,0 +1,117 @@
+"""Train/test validation checks on micro-fixtures (FIXTURES.md §F2)."""
+
+from datetime import datetime
+
+import pytest
+
+from deepchecks_spark import Dataset
+from deepchecks_spark.checks.traintest import (
+    DatasetsSizeComparison,
+    DateTrainTestLeakageDuplicates,
+    DateTrainTestLeakageOverlap,
+    IndexTrainTestLeakage,
+    NewCategoryTrainTest,
+    NewLabelTrainTest,
+    StringMismatchComparison,
+    TrainTestSamplesMix,
+)
+from deepchecks_spark.core.result import ConditionCategory
+
+
+def _ds(spark, rows, schema, **kw):
+    kw.setdefault("infer_categorical", False)
+    return Dataset(spark.createDataFrame(rows, schema=schema), **kw)
+
+
+def test_datasets_size_comparison(spark):
+    train = _ds(spark, [(i,) for i in range(100)], "x int")
+    test = _ds(spark, [(i,) for i in range(25)], "x int")
+    check = DatasetsSizeComparison().add_condition_test_train_size_ratio_greater_than(0.1)
+    result = check.run(train, test)
+    assert result.value == {"Train": 100, "Test": 25}
+    assert result.conditions_results[0].category == ConditionCategory.PASS
+
+
+def test_new_label_train_test(spark):
+    train = _ds(spark, [(0,), (1,)] * 10, "label int", label="label")
+    test = _ds(spark, [(0,), (1,), (2,), (2,), (3,)], "label int", label="label")
+    check = NewLabelTrainTest().add_condition_new_labels_number_less_or_equal(0)
+    result = check.run(train, test)
+    assert result.value["n_new_labels_samples"] == 3
+    assert result.value["n_samples"] == 5
+    assert result.value["new_labels"] == {2: 2, 3: 1}
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
+
+
+def test_new_label_none_new(spark):
+    train = _ds(spark, [(0,), (1,)] * 10, "label int", label="label")
+    test = _ds(spark, [(0,), (1,)], "label int", label="label")
+    result = NewLabelTrainTest().run(train, test)
+    assert result.value["new_labels"] == {}
+
+
+def test_new_category_train_test(spark):
+    train = _ds(spark, [("a",), ("b",), ("c",)] * 5, "cat string", cat_features=["cat"])
+    test = _ds(spark, [("a",), ("b",), ("c",), ("d",), ("d",), ("e",)], "cat string", cat_features=["cat"])
+    check = NewCategoryTrainTest().add_condition_new_categories_less_or_equal(0)
+    result = check.run(train, test)
+    info = result.value["cat"]
+    assert info["n_new_categories"] == 2
+    assert info["new_categories"] == ["d", "e"]
+    assert info["ratio_of_new_categories"] == pytest.approx(0.5)
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
+
+
+def test_string_mismatch_comparison(spark):
+    train = _ds(spark, [("deep",), ("deep!",), ("shallow",)], "col string")
+    test = _ds(spark, [("DEEP",), ("deep",), ("shallow",)], "col string")
+    check = StringMismatchComparison().add_condition_no_new_variants()
+    result = check.run(train, test)
+    assert "deep" in result.value["col"]
+    assert result.value["col"]["deep"]["variants_only_in_test"] == ["DEEP"]
+    assert result.conditions_results[0].category == ConditionCategory.WARN
+
+
+def test_index_leakage(spark):
+    train = _ds(spark, [(i, "x") for i in range(10)], "idx int, v string", index_name="idx")
+    test = _ds(spark, [(i, "y") for i in range(8, 12)], "idx int, v string", index_name="idx")
+    check = IndexTrainTestLeakage().add_condition_ratio_less_or_equal(0.0)
+    result = check.run(train, test)
+    assert result.value == pytest.approx(0.5)  # 8,9 of 8,9,10,11
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
+    assert [r["idx"] for r in result.violations.collect()] == [8, 9]
+
+
+def _dt(day):
+    return datetime(2025, 1, day)
+
+
+def test_date_leakage_duplicates(spark):
+    train = _ds(spark, [(_dt(d),) for d in [1, 2, 3, 4]], "ts timestamp", datetime_name="ts")
+    test = _ds(spark, [(_dt(d),) for d in [4, 5, 6, 7]], "ts timestamp", datetime_name="ts")
+    result = DateTrainTestLeakageDuplicates().run(train, test)
+    assert result.value == pytest.approx(0.25)
+
+
+def test_date_leakage_overlap(spark):
+    train = _ds(spark, [(_dt(d),) for d in [1, 5, 10]], "ts timestamp", datetime_name="ts")
+    test = _ds(spark, [(_dt(d),) for d in [7, 9, 11, 12]], "ts timestamp", datetime_name="ts")
+    check = DateTrainTestLeakageOverlap().add_condition_leakage_ratio_less_or_equal(0.0)
+    result = check.run(train, test)
+    assert result.value == pytest.approx(0.5)  # 7, 9 < max(train)=10
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
+
+
+def test_train_test_samples_mix(spark):
+    train = _ds(spark, [(1, "a"), (2, "b"), (3, "c"), (None, "n")], "f int, label string", label="label")
+    test = _ds(
+        spark,
+        [(1, "a"), (9, "z"), (8, "z"), (None, "n"), (2, "x")],
+        "f int, label string",
+        label="label",
+    )
+    check = TrainTestSamplesMix().add_condition_duplicates_ratio_less_or_equal(0.1)
+    result = check.run(train, test)
+    # (1,a) and (None,n) appear in train → 2/5 (null-safe equality)
+    assert result.value["ratio"] == pytest.approx(0.4)
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
