@@ -1,38 +1,93 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship computation — the full data-integrity +
+train/test-drift suite of deepchecks_spark over the sf0.001 tables —
+and returns the verdict table. ``queries``/``oracle_sql`` expose every
+implemented operator with a DuckDB twin (see
+deepchecks_spark/entry_queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: integrity + drift suite over the documents table at
+    sf0.001, returning one verdict row per (check, condition)."""
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark import Dataset, Suite
+    from deepchecks_spark.checks.integrity import (
+        ClassImbalance,
+        DataDuplicates,
+        IsSingleValue,
+        MixedDataTypes,
+        MixedNulls,
+        PercentOfNulls,
+        SpecialCharacters,
+        StringMismatch,
+    )
+    from deepchecks_spark.checks.traintest import (
+        DatasetsSizeComparison,
+        FeatureDrift,
+        NewCategoryTrainTest,
+        TrainTestSamplesMix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mk = lambda df: Dataset(  # noqa: E731
+        df, label="lang", features=["text", "source", "n_chars"],
+        cat_features=["source"], infer_categorical=False,
+    )
+    train = mk(docs.filter(F.col("doc_id") % 2 == 0))
+    test = mk(docs.filter(F.col("doc_id") % 2 == 1))
+
+    suite = Suite(
+        "webtext integrity + drift",
+        IsSingleValue().add_condition_not_single_value(),
+        PercentOfNulls().add_condition_percent_of_nulls_not_greater_than(0.05),
+        MixedNulls().add_condition_different_nulls_less_equal_to(1),
+        MixedDataTypes().add_condition_rare_type_ratio_not_in_range((0.01, 0.1)),
+        SpecialCharacters().add_condition_ratio_of_special_characters_less_or_equal(0.001),
+        StringMismatch().add_condition_no_variants(),
+        ClassImbalance().add_condition_class_ratio_less_than(0.01),
+        DataDuplicates().add_condition_ratio_less_or_equal(0.05),
+        DatasetsSizeComparison().add_condition_test_train_size_ratio_greater_than(0.1),
+        NewCategoryTrainTest().add_condition_new_categories_less_or_equal(0),
+        TrainTestSamplesMix().add_condition_duplicates_ratio_less_or_equal(0.1),
+        FeatureDrift().add_condition_drift_score_less_than(0.2, 0.2),
+    )
+    result = suite.run(train, test)
+    rows = []
+    for r in result.to_json()["results"]:
+        if "failure" in r:
+            rows.append((r["header"], "<failure>", "ERROR", r["failure"]))
+        elif r["conditions"]:
+            for c in r["conditions"]:
+                rows.append((r["header"], c["name"], c["category"], c["details"]))
+        else:
+            rows.append((r["header"], "<no-conditions>", "PASS", ""))
+    return spark.createDataFrame(
+        rows, "check string, condition string, category string, details string"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from deepchecks_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins for every query (same column names + rounding)."""
+    from deepchecks_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

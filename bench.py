@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine workloads at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the wall time of the full fused integrity+drift
+suite over the largest table (lineitem); ``rows_per_sec`` reports the
+corresponding throughput (the north-rule docs/sec analogue). Scaling
+evidence (local[8] vs local[32]) is produced by bench_scaling.py and
+recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_spark():
+    from deepchecks_spark.session import get_spark
+
+    return get_spark("deepchecks_spark_bench", cores=CPUS, shuffle_partitions=CPUS)
+
+
+def bench_integrity_suite(spark):
+    """Fused stats pass + melted string pass + duplicates over lineitem."""
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark import Dataset, Suite
+    from deepchecks_spark.checks.integrity import (
+        DataDuplicates,
+        IsSingleValue,
+        MixedDataTypes,
+        MixedNulls,
+        PercentOfNulls,
+        SpecialCharacters,
+    )
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    ds = Dataset(df, cat_features=["l_returnflag", "l_linestatus"], infer_categorical=False)
+    suite = Suite(
+        "bench integrity",
+        IsSingleValue().add_condition_not_single_value(),
+        PercentOfNulls().add_condition_percent_of_nulls_not_greater_than(0.05),
+        MixedNulls().add_condition_different_nulls_less_equal_to(1),
+        MixedDataTypes().add_condition_rare_type_ratio_not_in_range(),
+        SpecialCharacters().add_condition_ratio_of_special_characters_less_or_equal(),
+        DataDuplicates(columns=["l_orderkey", "l_partkey", "l_suppkey"])
+        .add_condition_ratio_less_or_equal(0.5),
+    )
+    result = suite.run(ds)
+    assert not result.get_failures(), [repr(f) for f in result.get_failures()]
+    return df.count()
+
+
+def bench_drift(spark):
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark import Dataset
+    from deepchecks_spark.checks.traintest import FeatureDrift, LabelDrift
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    mk = lambda d: Dataset(  # noqa: E731
+        d.select("o_custkey", "o_totalprice", "o_orderpriority", "o_orderstatus"),
+        label="o_orderstatus",
+        cat_features=["o_orderpriority"],
+        infer_categorical=False,
+    )
+    train = mk(df.filter(F.col("o_orderkey") % 2 == 0))
+    test = mk(df.filter(F.col("o_orderkey") % 2 == 1))
+    r = FeatureDrift().add_condition_drift_score_less_than().run(train, test)
+    r2 = LabelDrift().run(train, test)
+    assert r.value and r2.value
+    return df.count()
+
+
+def bench_traintest_joins(spark):
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark import Dataset
+    from deepchecks_spark.core.context import Context
+    from deepchecks_spark.checks.traintest import (
+        DateTrainTestLeakageDuplicates,
+        DateTrainTestLeakageOverlap,
+        TrainTestSamplesMix,
+    )
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    mk = lambda d: Dataset(d, datetime_name="o_orderdate", infer_categorical=False)  # noqa: E731
+    ctx = Context(train=mk(df.filter(F.col("o_orderkey") % 2 == 0)),
+                  test=mk(df.filter(F.col("o_orderkey") % 2 == 1)))
+    DateTrainTestLeakageDuplicates().compute(ctx)
+    DateTrainTestLeakageOverlap().compute(ctx)
+    TrainTestSamplesMix().compute(ctx)
+    return df.count()
+
+
+def bench_dedup(spark):
+    from deepchecks_spark.pipeline.dedup import (
+        exact_duplicate_stats,
+        minhash_near_duplicates,
+        simhash,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact_duplicate_stats(docs, ["lang", "source"])
+    minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5).count()
+    simhash(docs, "doc_id", "text").count()
+    return docs.count()
+
+
+def bench_similarity(spark):
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.pipeline.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 50)
+    brute_force_topk(queries, emb, k=10, id_col="vec_id").count()
+    return emb.count()
+
+
+def bench_textstats(spark):
+    from deepchecks_spark.pipeline.textstats import (
+        document_fingerprint,
+        language_id,
+        text_quality,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    text_quality(docs, "text").agg({"n_tokens": "sum"}).collect()
+    language_id(docs, "text").groupBy("lang_pred").count().collect()
+    document_fingerprint(docs, "text").agg({"fingerprint": "min"}).collect()
+    return docs.count()
+
+
+BENCHES = {
+    "integrity_suite_lineitem": bench_integrity_suite,
+    "feature_label_drift_orders": bench_drift,
+    "traintest_joins_orders": bench_traintest_joins,
+    "dedup_documents": bench_dedup,
+    "similarity_embeddings": bench_similarity,
+    "textstats_documents": bench_textstats,
+}
+
+
+def main():
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/codegen path so timings measure the engine, not startup
+    spark.range(1000).count()
+    timings = {}
+    rows = {}
+    for name, fn in BENCHES.items():
+        t0 = time.time()
+        rows[name] = fn(spark)
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    suite_rows = rows["integrity_suite_lineitem"]
+    out = {
+        "metric": "suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "rows_per_sec_integrity": round(suite_rows / timings["integrity_suite_lineitem"], 1),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,10 +71,21 @@ class Context:
         return self._stats_cache[key]
 
     def persist(self, kind: str) -> None:
-        """Cache the dataset across the suite's multiple passes."""
-        df = self.data(kind).df
-        df.persist()
-        self._cached_dfs.append(df)
+        """Cache the dataset across the suite's multiple passes.
+
+        If the source has fewer partitions than the cluster has slots
+        (common for small/compacted parquet), repartition first so every
+        downstream pass uses the full parallelism — one shuffle paid
+        once, amortized over every check. At real scale the input has
+        far more partitions than cores and this is a no-op.
+        """
+        ds = self.data(kind)
+        spark = ds.df.sparkSession
+        slots = spark.sparkContext.defaultParallelism
+        if ds.df.rdd.getNumPartitions() < slots:
+            ds.df = ds.df.repartition(slots)
+        ds.df.persist()
+        self._cached_dfs.append(ds.df)
 
     def unpersist_all(self) -> None:
         for df in self._cached_dfs:

@@ -1,0 +1,621 @@
+"""Driver-contract query registry (consumed by __spark_entry__.py).
+
+Each entry runs a real engine check (or pipeline operator) over the
+driver's sf-scale parquet tables and returns a small DataFrame whose
+values a DuckDB oracle (oracle_sql) reproduces independently — the
+round's correctness gate. Column names/types are aligned on both sides;
+floats are rounded identically before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepchecks_spark.dataset import Dataset
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"]
+
+
+# ---------------------------------------------------------------------------
+# integrity checks over the stats pass
+# ---------------------------------------------------------------------------
+
+def q_percent_of_nulls_lineitem(spark, sf_dir):
+    from deepchecks_spark.checks.integrity import PercentOfNulls
+
+    ds = Dataset(_t(spark, sf_dir, "lineitem"), infer_categorical=False)
+    value, _ = PercentOfNulls().compute(_ctx(ds), "train")
+    rows = [(c, round(float(v), 6)) for c, v in sorted(value.items())]
+    return spark.createDataFrame(rows, "column string, percent_nulls double")
+
+
+def o_percent_of_nulls_lineitem():
+    parts = [
+        f"SELECT '{c}' AS column, round(avg(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END), 6) "
+        f"AS percent_nulls FROM lineitem"
+        for c in LINEITEM_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_is_single_value_orders(spark, sf_dir):
+    from deepchecks_spark.checks.integrity import IsSingleValue
+
+    ds = Dataset(_t(spark, sf_dir, "orders"), infer_categorical=False)
+    value, _ = IsSingleValue().compute(_ctx(ds), "train")
+    rows = [(c, int(v)) for c, v in sorted(value.items())]
+    return spark.createDataFrame(rows, "column string, n_unique long")
+
+
+def o_is_single_value_orders():
+    parts = [
+        f"SELECT '{c}' AS column, count(DISTINCT {c}) AS n_unique FROM orders"
+        for c in ORDERS_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_class_imbalance_embeddings(spark, sf_dir):
+    from deepchecks_spark.checks.integrity import ClassImbalance
+
+    ds = Dataset(_t(spark, sf_dir, "embeddings"), label="label", infer_categorical=False)
+    value, _ = ClassImbalance().compute(_ctx(ds), "train")
+    rows = [(int(k), float(v)) for k, v in value.items()]
+    return spark.createDataFrame(rows, "label long, ratio double")
+
+
+def o_class_imbalance_embeddings():
+    # python round() is banker's; at n=500 ratios never land on a .xx5
+    # boundary (count/5 can't produce .005 fractions), so plain round matches.
+    return (
+        "SELECT label::BIGINT AS label, round(count(*) / (SELECT count(*) FROM embeddings WHERE "
+        "label IS NOT NULL)::double, 2) AS ratio FROM embeddings WHERE label IS NOT NULL GROUP BY label"
+    )
+
+
+def q_data_duplicates_documents(spark, sf_dir):
+    from deepchecks_spark.checks.integrity import DataDuplicates
+
+    ds = Dataset(_t(spark, sf_dir, "documents"), infer_categorical=False)
+    value, _ = DataDuplicates(columns=["lang", "source"]).compute(_ctx(ds), "train")
+    return spark.createDataFrame([(round(float(value), 6),)], "percent_duplicates double")
+
+
+def o_data_duplicates_documents():
+    return (
+        "SELECT round(1 - (SELECT count(*) FROM (SELECT DISTINCT lang, source FROM documents))"
+        "::double / (SELECT count(*) FROM documents), 6) AS percent_duplicates"
+    )
+
+
+def q_special_characters_documents(spark, sf_dir):
+    from deepchecks_spark.checks.integrity import SpecialCharacters
+
+    ds = Dataset(_t(spark, sf_dir, "documents"), infer_categorical=False)
+    value, _ = SpecialCharacters(columns=["text", "lang", "source"]).compute(_ctx(ds), "train")
+    rows = [(c, round(float(v), 6)) for c, v in sorted(value.items())]
+    return spark.createDataFrame(rows, "column string, special_ratio double")
+
+
+def o_special_characters_documents():
+    parts = [
+        f"SELECT '{c}' AS column, round(avg(CASE WHEN length({c}) > 0 AND "
+        f"length(regexp_replace({c}, '[^a-zA-Z0-9]', '', 'g')) = 0 THEN 1.0 ELSE 0.0 END), 6) "
+        f"AS special_ratio FROM documents WHERE {c} IS NOT NULL"
+        for c in ["lang", "source", "text"]
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_text_length_quantiles_documents(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    qs = [0.25, 0.5, 0.75, 0.99]
+    row = df.agg(
+        F.percentile(F.length("text"), qs).alias("q")
+    ).first()["q"]
+    rows = [(f"p{int(q * 100)}", round(float(v), 6)) for q, v in zip(qs, row)]
+    return spark.createDataFrame(rows, "quantile string, length double")
+
+
+def o_text_length_quantiles_documents():
+    parts = [
+        f"SELECT 'p{int(q * 100)}' AS quantile, round(quantile_cont(length(text), {q}), 6) "
+        f"AS length FROM documents"
+        for q in [0.25, 0.5, 0.75, 0.99]
+    ]
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# drift kernels (train = even keys, test = odd keys)
+# ---------------------------------------------------------------------------
+
+def q_psi_orders_priority(spark, sf_dir):
+    from deepchecks_spark.drift import psi_from_counts
+    from deepchecks_spark.drift.spark import categorical_histograms
+
+    df = _t(spark, sf_dir, "orders")
+    train = df.filter(F.col("o_orderkey") % 2 == 0)
+    test = df.filter(F.col("o_orderkey") % 2 == 1)
+    h1 = categorical_histograms(train, ["o_orderpriority"])["o_orderpriority"]
+    h2 = categorical_histograms(test, ["o_orderpriority"])["o_orderpriority"]
+    score = psi_from_counts(h1, h2, min_category_size_ratio=0.01)
+    return spark.createDataFrame([(round(float(score), 6),)], "psi double")
+
+
+def o_psi_orders_priority():
+    # 5 near-balanced categories → no Other-binning triggers; PSI floor 0.01.
+    return """
+    WITH train AS (SELECT o_orderpriority v FROM orders WHERE o_orderkey % 2 = 0 AND o_orderpriority IS NOT NULL),
+         test  AS (SELECT o_orderpriority v FROM orders WHERE o_orderkey % 2 = 1 AND o_orderpriority IS NOT NULL),
+         c1 AS (SELECT v, count(*) n FROM train GROUP BY v),
+         c2 AS (SELECT v, count(*) n FROM test GROUP BY v),
+         j AS (SELECT coalesce(c1.v, c2.v) v, coalesce(c1.n, 0) n1, coalesce(c2.n, 0) n2
+               FROM c1 FULL OUTER JOIN c2 ON c1.v = c2.v)
+    SELECT round(sum((e - a) * ln(e / a)), 6) AS psi
+    FROM (SELECT greatest(n1 / (SELECT sum(n1)::double FROM j), 0.01) e,
+                 greatest(n2 / (SELECT sum(n2)::double FROM j), 0.01) a
+          FROM j)
+    """
+
+
+def q_cramers_v_events_type(spark, sf_dir):
+    from deepchecks_spark.drift import cramers_v_from_counts
+    from deepchecks_spark.drift.spark import categorical_histograms
+
+    df = _t(spark, sf_dir, "events")
+    train = df.filter(F.col("ts") < "2024-01-15")
+    test = df.filter(F.col("ts") >= "2024-01-15")
+    h1 = categorical_histograms(train, ["event_type"])["event_type"]
+    h2 = categorical_histograms(test, ["event_type"])["event_type"]
+    score = cramers_v_from_counts(h1, h2, min_category_size_ratio=0.01)
+    return spark.createDataFrame([(round(float(score), 6),)], "cramers_v double")
+
+
+def o_cramers_v_events_type():
+    # bias-corrected Cramér's V on the 2×k contingency after downsizing the
+    # larger side (round to int), k>2 → no Yates correction. Mirrors
+    # reference deepchecks drift.py:98-172 semantics.
+    return """
+    WITH train AS (SELECT event_type v FROM events WHERE ts < TIMESTAMP '2024-01-15' AND event_type IS NOT NULL),
+         test  AS (SELECT event_type v FROM events WHERE ts >= TIMESTAMP '2024-01-15' AND event_type IS NOT NULL),
+         c1 AS (SELECT v, count(*) n FROM train GROUP BY v),
+         c2 AS (SELECT v, count(*) n FROM test GROUP BY v),
+         j AS (SELECT coalesce(c1.v, c2.v) v, coalesce(c1.n, 0)::double n1, coalesce(c2.n, 0)::double n2
+               FROM c1 FULL OUTER JOIN c2 ON c1.v = c2.v),
+         sums AS (SELECT sum(n1) s1, sum(n2) s2 FROM j),
+         scaled AS (SELECT v,
+                    round(CASE WHEN (SELECT s1 FROM sums) > (SELECT s2 FROM sums)
+                               THEN n1 * (SELECT s2 FROM sums) / (SELECT s1 FROM sums) ELSE n1 END) a1,
+                    round(CASE WHEN (SELECT s2 FROM sums) > (SELECT s1 FROM sums)
+                               THEN n2 * (SELECT s1 FROM sums) / (SELECT s2 FROM sums) ELSE n2 END) a2
+                    FROM j),
+         flt AS (SELECT * FROM scaled WHERE a1 + a2 > 0),
+         tot AS (SELECT sum(a1) r1, sum(a2) r2, sum(a1 + a2) n, count(*) k FROM flt),
+         chi AS (SELECT sum(pow(a1 - (a1 + a2) * (SELECT r1 FROM tot) / (SELECT n FROM tot), 2)
+                          / ((a1 + a2) * (SELECT r1 FROM tot) / (SELECT n FROM tot)))
+                      + sum(pow(a2 - (a1 + a2) * (SELECT r2 FROM tot) / (SELECT n FROM tot), 2)
+                          / ((a1 + a2) * (SELECT r2 FROM tot) / (SELECT n FROM tot))) chi2
+                 FROM flt)
+    SELECT round(sqrt(greatest(0, (SELECT chi2 FROM chi) / (SELECT n FROM tot)
+                                   - ((SELECT k FROM tot) - 1) * 1.0 / ((SELECT n FROM tot) - 1))
+                  / least((SELECT k FROM tot) - pow((SELECT k FROM tot) - 1, 2) / ((SELECT n FROM tot) - 1) - 1,
+                          2 - 1.0 / ((SELECT n FROM tot) - 1) - 1)), 6) AS cramers_v
+    """
+
+
+def q_ks_lineitem_price(spark, sf_dir):
+    from deepchecks_spark.drift import ks_from_hist
+    from deepchecks_spark.drift.spark import numeric_histograms
+
+    df = _t(spark, sf_dir, "lineitem")
+    train = df.filter(F.col("l_orderkey") % 2 == 0)
+    test = df.filter(F.col("l_orderkey") % 2 == 1)
+    v1, c1 = numeric_histograms(train, ["l_extendedprice"], "exact")["l_extendedprice"]
+    v2, c2 = numeric_histograms(test, ["l_extendedprice"], "exact")["l_extendedprice"]
+    score = ks_from_hist(v1, c1, v2, c2)
+    return spark.createDataFrame([(round(float(score), 6),)], "ks double")
+
+
+def o_ks_lineitem_price():
+    return """
+    WITH t1 AS (SELECT l_extendedprice v FROM lineitem WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL),
+         t2 AS (SELECT l_extendedprice v FROM lineitem WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL),
+         merged AS (SELECT v, 1 a, 0 b FROM t1 UNION ALL SELECT v, 0, 1 FROM t2),
+         cum AS (SELECT v,
+                        sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) ca,
+                        sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) cb
+                 FROM merged),
+         grp AS (SELECT v, max(ca) ca, max(cb) cb FROM cum GROUP BY v)
+    SELECT round(max(abs(ca / (SELECT count(*)::double FROM t1)
+                      - cb / (SELECT count(*)::double FROM t2))), 6) AS ks
+    FROM grp
+    """
+
+
+def q_emd_events_value(spark, sf_dir):
+    from deepchecks_spark.drift import emd_from_hist
+    from deepchecks_spark.drift.spark import numeric_histograms
+
+    df = _t(spark, sf_dir, "events")
+    train = df.filter(F.col("event_id") % 2 == 0)
+    test = df.filter(F.col("event_id") % 2 == 1)
+    v1, c1 = numeric_histograms(train, ["value"], "exact")["value"]
+    v2, c2 = numeric_histograms(test, ["value"], "exact")["value"]
+    score = emd_from_hist(v1, c1, v2, c2, margin_quantile_filter=0.0)
+    return spark.createDataFrame([(round(float(score), 6),)], "emd double")
+
+
+def o_emd_events_value():
+    # W1 = ∫ |ECDF1 − ECDF2| dx on jointly min-max-scaled values (margin
+    # filter 0 here, so no quantile step).
+    return """
+    WITH t1 AS (SELECT value v FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL AND NOT isnan(value)),
+         t2 AS (SELECT value v FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL AND NOT isnan(value)),
+         bounds AS (SELECT least((SELECT min(v) FROM t1), (SELECT min(v) FROM t2)) lo,
+                           greatest((SELECT max(v) FROM t1), (SELECT max(v) FROM t2)) hi),
+         s1 AS (SELECT (v - (SELECT lo FROM bounds)) / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) v FROM t1),
+         s2 AS (SELECT (v - (SELECT lo FROM bounds)) / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) v FROM t2),
+         merged AS (SELECT v, 1 a, 0 b FROM s1 UNION ALL SELECT v, 0, 1 FROM s2),
+         cum AS (SELECT v,
+                        sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) ca,
+                        sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) cb
+                 FROM merged),
+         grp AS (SELECT v, max(ca) ca, max(cb) cb FROM cum GROUP BY v),
+         step AS (SELECT abs(ca / (SELECT count(*)::double FROM s1)
+                            - cb / (SELECT count(*)::double FROM s2)) d,
+                         lead(v) OVER (ORDER BY v) - v dx
+                  FROM grp)
+    SELECT round(sum(d * dx), 6) AS emd FROM step WHERE dx IS NOT NULL
+    """
+
+
+# ---------------------------------------------------------------------------
+# train/test set-op checks
+# ---------------------------------------------------------------------------
+
+def _split_ds(df, key, label=None, index_name=None, datetime_name=None):
+    train = Dataset(df.filter(F.col(key) % 2 == 0), label=label, index_name=index_name,
+                    datetime_name=datetime_name, infer_categorical=False)
+    test = Dataset(df.filter(F.col(key) % 2 == 1), label=label, index_name=index_name,
+                   datetime_name=datetime_name, infer_categorical=False)
+    return train, test
+
+
+def q_new_label_embeddings(spark, sf_dir):
+    from deepchecks_spark.checks.traintest import NewLabelTrainTest
+    from deepchecks_spark.core.context import Context
+
+    df = _t(spark, sf_dir, "embeddings")
+    train, test = _split_ds(df, "vec_id", label="label")
+    value, _ = NewLabelTrainTest().compute(Context(train=train, test=test))
+    return spark.createDataFrame(
+        [(int(value["n_new_labels_samples"]), int(value["n_samples"]))],
+        "n_new_labels_samples long, n_samples long",
+    )
+
+
+def o_new_label_embeddings():
+    return """
+    SELECT (SELECT count(*) FROM embeddings te WHERE te.vec_id % 2 = 1 AND te.label IS NOT NULL
+            AND te.label NOT IN (SELECT DISTINCT label FROM embeddings tr
+                                 WHERE tr.vec_id % 2 = 0 AND tr.label IS NOT NULL)
+           )::BIGINT AS n_new_labels_samples,
+           (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1)::BIGINT AS n_samples
+    """
+
+
+def q_date_leakage_overlap_orders(spark, sf_dir):
+    from deepchecks_spark.checks.traintest import DateTrainTestLeakageOverlap
+    from deepchecks_spark.core.context import Context
+
+    df = _t(spark, sf_dir, "orders")
+    train, test = _split_ds(df, "o_orderkey", datetime_name="o_orderdate")
+    value, _ = DateTrainTestLeakageOverlap().compute(Context(train=train, test=test))
+    return spark.createDataFrame([(round(float(value), 6),)], "overlap_ratio double")
+
+
+def o_date_leakage_overlap_orders():
+    return """
+    SELECT round(avg(CASE WHEN o_orderdate < (SELECT max(o_orderdate) FROM orders WHERE o_orderkey % 2 = 0)
+                          THEN 1.0 ELSE 0.0 END), 6) AS overlap_ratio
+    FROM orders WHERE o_orderkey % 2 = 1 AND o_orderdate IS NOT NULL
+    """
+
+
+def q_date_leakage_duplicates_orders(spark, sf_dir):
+    from deepchecks_spark.checks.traintest import DateTrainTestLeakageDuplicates
+    from deepchecks_spark.core.context import Context
+
+    df = _t(spark, sf_dir, "orders")
+    train, test = _split_ds(df, "o_orderkey", datetime_name="o_orderdate")
+    value, _ = DateTrainTestLeakageDuplicates().compute(Context(train=train, test=test))
+    return spark.createDataFrame([(round(float(value), 6),)], "dup_date_ratio double")
+
+
+def o_date_leakage_duplicates_orders():
+    return """
+    SELECT round(avg(CASE WHEN o_orderdate IN (SELECT DISTINCT o_orderdate FROM orders
+                                               WHERE o_orderkey % 2 = 0 AND o_orderdate IS NOT NULL)
+                          THEN 1.0 ELSE 0.0 END), 6) AS dup_date_ratio
+    FROM orders WHERE o_orderkey % 2 = 1 AND o_orderdate IS NOT NULL
+    """
+
+
+def q_index_leakage_events(spark, sf_dir):
+    from deepchecks_spark.checks.traintest import IndexTrainTestLeakage
+    from deepchecks_spark.core.context import Context
+
+    df = _t(spark, sf_dir, "events")
+    hi = df.agg(F.max("event_id")).first()[0]
+    t_train, t_test = int(hi * 0.6), int(hi * 0.4)
+    train = Dataset(df.filter(F.col("event_id") < t_train), index_name="event_id", infer_categorical=False)
+    test = Dataset(df.filter(F.col("event_id") >= t_test), index_name="event_id", infer_categorical=False)
+    value, _ = IndexTrainTestLeakage().compute(Context(train=train, test=test))
+    return spark.createDataFrame([(round(float(value), 6),)], "leak_ratio double")
+
+
+def o_index_leakage_events():
+    # same scale-relative split: train = id < 0.6*max, test = id >= 0.4*max
+    return """
+    WITH m AS (SELECT cast(floor(max(event_id) * 0.6) AS BIGINT) t_train,
+                      cast(floor(max(event_id) * 0.4) AS BIGINT) t_test FROM events)
+    SELECT round(coalesce(avg(CASE WHEN event_id < (SELECT t_train FROM m) THEN 1.0 ELSE 0.0 END), 0), 6)
+           AS leak_ratio
+    FROM events WHERE event_id >= (SELECT t_test FROM m)
+    """
+
+
+def q_samples_mix_customer(spark, sf_dir):
+    from deepchecks_spark.checks.traintest import TrainTestSamplesMix
+    from deepchecks_spark.core.context import Context
+
+    df = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    train = Dataset(df.filter(F.col("c_custkey") % 2 == 0), features=["c_nationkey", "c_mktsegment"],
+                    infer_categorical=False)
+    test = Dataset(df.filter(F.col("c_custkey") % 2 == 1), features=["c_nationkey", "c_mktsegment"],
+                   infer_categorical=False)
+    value, _ = TrainTestSamplesMix().compute(Context(train=train, test=test))
+    return spark.createDataFrame([(round(float(value["ratio"]), 6),)], "mix_ratio double")
+
+
+def o_samples_mix_customer():
+    return """
+    SELECT round(avg(CASE WHEN EXISTS (SELECT 1 FROM customer tr WHERE tr.c_custkey % 2 = 0
+                                       AND tr.c_nationkey IS NOT DISTINCT FROM te.c_nationkey
+                                       AND tr.c_mktsegment IS NOT DISTINCT FROM te.c_mktsegment)
+                          THEN 1.0 ELSE 0.0 END), 6) AS mix_ratio
+    FROM customer te WHERE te.c_custkey % 2 = 1
+    """
+
+
+def q_datasets_size_orders(spark, sf_dir):
+    from deepchecks_spark.checks.traintest import DatasetsSizeComparison
+    from deepchecks_spark.core.context import Context
+
+    df = _t(spark, sf_dir, "orders")
+    train, test = _split_ds(df, "o_orderkey")
+    value, _ = DatasetsSizeComparison().compute(Context(train=train, test=test))
+    return spark.createDataFrame([(int(value["Train"]), int(value["Test"]))],
+                                 "train_size long, test_size long")
+
+
+def o_datasets_size_orders():
+    return """
+    SELECT (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)::BIGINT AS train_size,
+           (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1)::BIGINT AS test_size
+    """
+
+
+def q_new_category_orders(spark, sf_dir):
+    from deepchecks_spark.checks.traintest import NewCategoryTrainTest
+    from deepchecks_spark.core.context import Context
+
+    df = _t(spark, sf_dir, "orders")
+    train = Dataset(df.filter(F.col("o_orderkey") % 2 == 0), cat_features=["o_orderpriority", "o_orderstatus"],
+                    infer_categorical=False)
+    test = Dataset(df.filter(F.col("o_orderkey") % 2 == 1), cat_features=["o_orderpriority", "o_orderstatus"],
+                   infer_categorical=False)
+    value, _ = NewCategoryTrainTest().compute(Context(train=train, test=test))
+    rows = [
+        (c, int(info["n_new_categories"]), round(float(info["ratio_of_new_categories"]), 6))
+        for c, info in sorted(value.items())
+    ]
+    return spark.createDataFrame(rows, "column string, n_new_categories long, new_ratio double")
+
+
+def o_new_category_orders():
+    parts = []
+    for c in ["o_orderpriority", "o_orderstatus"]:
+        parts.append(f"""
+        SELECT '{c}' AS column,
+               (SELECT count(DISTINCT {c}) FROM orders te WHERE te.o_orderkey % 2 = 1 AND {c} IS NOT NULL
+                AND {c} NOT IN (SELECT DISTINCT {c} FROM orders tr WHERE tr.o_orderkey % 2 = 0
+                                AND {c} IS NOT NULL))::BIGINT AS n_new_categories,
+               round((SELECT count(*) FROM orders te WHERE te.o_orderkey % 2 = 1 AND {c} IS NOT NULL
+                      AND {c} NOT IN (SELECT DISTINCT {c} FROM orders tr WHERE tr.o_orderkey % 2 = 0
+                                      AND {c} IS NOT NULL))
+                     / (SELECT count(*) FROM orders te2 WHERE te2.o_orderkey % 2 = 1
+                        AND {c} IS NOT NULL)::double, 6) AS new_ratio
+        """)
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / text / similarity)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_documents(spark, sf_dir):
+    from deepchecks_spark.pipeline.dedup import exact_duplicate_stats
+
+    df = _t(spark, sf_dir, "documents")
+    stats = exact_duplicate_stats(df, ["lang", "source"])
+    return spark.createDataFrame(
+        [(int(stats["n_dup_groups"]), int(stats["n_dup_rows"]), round(float(stats["dup_ratio"]), 6))],
+        "n_dup_groups long, n_dup_rows long, dup_ratio double",
+    )
+
+
+def o_exact_dedup_documents():
+    return """
+    WITH g AS (SELECT lang, source, count(*) n FROM documents GROUP BY lang, source)
+    SELECT (SELECT count(*) FROM g WHERE n > 1)::BIGINT AS n_dup_groups,
+           (SELECT coalesce(sum(n - 1), 0) FROM g WHERE n > 1)::BIGINT AS n_dup_rows,
+           round((SELECT coalesce(sum(n - 1), 0) FROM g WHERE n > 1)
+                 / (SELECT count(*) FROM documents)::double, 6) AS dup_ratio
+    """
+
+
+def q_token_count_documents(spark, sf_dir):
+    from deepchecks_spark.pipeline.textstats import with_token_count
+
+    df = _t(spark, sf_dir, "documents")
+    return with_token_count(df, "text").select("doc_id", "n_tokens")
+
+
+def o_token_count_documents():
+    return """
+    SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE array_length(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS n_tokens
+    FROM documents
+    """
+
+
+def q_text_quality_documents(spark, sf_dir):
+    from deepchecks_spark.pipeline.textstats import text_quality
+
+    df = _t(spark, sf_dir, "documents")
+    out = text_quality(df, "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+def o_text_quality_documents():
+    return """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents)
+    SELECT doc_id,
+           len(t)::BIGINT AS n_tokens,
+           round(list_sum(list_transform(t, x -> length(x))) / len(t)::double, 6) AS avg_token_len,
+           round(len(list_filter(t, x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is', 'that')))
+                 / len(t)::double, 6) AS stopword_ratio
+    FROM toks
+    """
+
+
+def q_ngram_jaccard_adjacent_documents(spark, sf_dir):
+    from deepchecks_spark.pipeline.dedup import jaccard_adjacent
+
+    df = _t(spark, sf_dir, "documents")
+    return jaccard_adjacent(df, id_col="doc_id", text_col="text").select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def o_ngram_jaccard_adjacent_documents():
+    return """
+    WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) t FROM documents)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           round(len(list_intersect(a.t, b.t))
+                 / len(list_distinct(list_concat(a.t, b.t)))::double, 6) AS jaccard
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    """
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    from deepchecks_spark.pipeline.similarity import brute_force_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 20)
+    return brute_force_topk(queries, df, k=5, id_col="vec_id").select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def o_embedding_cosine_topk():
+    return """
+    WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] e FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id nid, embedding::DOUBLE[] e FROM embeddings),
+         sims AS (SELECT q.qid, c.nid, list_cosine_similarity(q.e, c.e) s
+                  FROM q CROSS JOIN c WHERE q.qid != c.nid),
+         ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid ASC) r
+                    FROM sims)
+    SELECT qid::BIGINT AS query_id, nid::BIGINT AS neighbor_id, r::BIGINT AS rank
+    FROM ranked WHERE r <= 5
+    """
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def _ctx(ds):
+    from deepchecks_spark.core.context import Context
+
+    return Context(train=ds)
+
+
+QUERIES = {
+    "percent_of_nulls_lineitem": q_percent_of_nulls_lineitem,
+    "is_single_value_orders": q_is_single_value_orders,
+    "class_imbalance_embeddings": q_class_imbalance_embeddings,
+    "data_duplicates_documents": q_data_duplicates_documents,
+    "special_characters_documents": q_special_characters_documents,
+    "text_length_quantiles_documents": q_text_length_quantiles_documents,
+    "psi_orders_priority": q_psi_orders_priority,
+    "cramers_v_events_type": q_cramers_v_events_type,
+    "ks_lineitem_price": q_ks_lineitem_price,
+    "emd_events_value": q_emd_events_value,
+    "new_label_embeddings": q_new_label_embeddings,
+    "date_leakage_overlap_orders": q_date_leakage_overlap_orders,
+    "date_leakage_duplicates_orders": q_date_leakage_duplicates_orders,
+    "index_leakage_events": q_index_leakage_events,
+    "samples_mix_customer": q_samples_mix_customer,
+    "datasets_size_orders": q_datasets_size_orders,
+    "new_category_orders": q_new_category_orders,
+    "exact_dedup_documents": q_exact_dedup_documents,
+    "token_count_documents": q_token_count_documents,
+    "text_quality_documents": q_text_quality_documents,
+    "ngram_jaccard_adjacent_documents": q_ngram_jaccard_adjacent_documents,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+}
+
+ORACLES = {
+    "percent_of_nulls_lineitem": o_percent_of_nulls_lineitem(),
+    "is_single_value_orders": o_is_single_value_orders(),
+    "class_imbalance_embeddings": o_class_imbalance_embeddings(),
+    "data_duplicates_documents": o_data_duplicates_documents(),
+    "special_characters_documents": o_special_characters_documents(),
+    "text_length_quantiles_documents": o_text_length_quantiles_documents(),
+    "psi_orders_priority": o_psi_orders_priority(),
+    "cramers_v_events_type": o_cramers_v_events_type(),
+    "ks_lineitem_price": o_ks_lineitem_price(),
+    "emd_events_value": o_emd_events_value(),
+    "new_label_embeddings": o_new_label_embeddings(),
+    "date_leakage_overlap_orders": o_date_leakage_overlap_orders(),
+    "date_leakage_duplicates_orders": o_date_leakage_duplicates_orders(),
+    "index_leakage_events": o_index_leakage_events(),
+    "samples_mix_customer": o_samples_mix_customer(),
+    "datasets_size_orders": o_datasets_size_orders(),
+    "new_category_orders": o_new_category_orders(),
+    "exact_dedup_documents": o_exact_dedup_documents(),
+    "token_count_documents": o_token_count_documents(),
+    "text_quality_documents": o_text_quality_documents(),
+    "ngram_jaccard_adjacent_documents": o_ngram_jaccard_adjacent_documents(),
+    "embedding_cosine_topk": o_embedding_cosine_topk(),
+}

@@ -1,0 +1,210 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup is a two-stage hash aggregation; near-dup is MinHash+LSH
+(shingle → minhash signature → band → bucket join), SimHash (bit-vote
+fingerprint + banded hamming buckets), and n-gram Jaccard verification —
+all built from JVM-side primitives (xxhash64, explode, groupBy,
+array_intersect); no Python in the hot path. Designed so only
+signature/bucket-level data ever shuffles: at 10^12 docs the shingle
+explosion stays map-side local to each partition's aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicate_stats(df: DataFrame, cols: list) -> dict:
+    """Exact-duplicate statistics over selected columns: one
+    groupBy(cols).count() (partial agg collapses heavy duplicates before
+    the shuffle) + one tiny re-aggregation."""
+    grouped = df.groupBy(*cols).count()
+    row = grouped.agg(
+        F.coalesce(F.sum(F.when(F.col("count") > 1, 1).otherwise(0)), F.lit(0)).alias("n_dup_groups"),
+        F.coalesce(F.sum(F.when(F.col("count") > 1, F.col("count") - 1)), F.lit(0)).alias("n_dup_rows"),
+        F.coalesce(F.sum("count"), F.lit(0)).alias("total"),
+    ).first()
+    total = row["total"] or 0
+    return {
+        "n_dup_groups": row["n_dup_groups"],
+        "n_dup_rows": row["n_dup_rows"],
+        "total": total,
+        "dup_ratio": (row["n_dup_rows"] / total) if total else 0.0,
+    }
+
+
+def dedup_exact(df: DataFrame, cols: list) -> DataFrame:
+    """Keep one row per distinct key (dropDuplicates = shuffle on key,
+    AQE-coalesced)."""
+    return df.dropDuplicates(cols)
+
+
+def _tokens(col: str):
+    return F.array_distinct(F.split(F.trim(F.col(col)), r"\s+"))
+
+
+def jaccard_adjacent(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Jaccard similarity of distinct-token sets between consecutive ids
+    (a linear-size verification pattern; the all-pairs version goes
+    through LSH buckets below)."""
+    toks = df.select(F.col(id_col), _tokens(text_col).alias("t"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    return (
+        a.join(b, F.col(f"b.{id_col}") == F.col(f"a.{id_col}") + 1)
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            (
+                F.size(F.array_intersect("a.t", "b.t"))
+                / F.size(F.array_union("a.t", "b.t")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 64, shingle_words: int = 3) -> DataFrame:
+    """(id, signature array<long>) via word-shingle MinHash.
+
+    Shingles are built JVM-side (transform over token index array);
+    each of the ``num_hashes`` permutations is min(xxhash64(seed_i,
+    shingle)) — one explode + one groupBy with num_hashes min() aggs,
+    i.e. a single two-stage aggregation; signature state is tiny and
+    mergeable.
+    """
+    toks = df.select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t"))
+    n = F.size("t")
+    shingles = toks.select(
+        F.col(id_col),
+        F.when(
+            n >= shingle_words,
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(shingle_words)),
+                lambda i: F.array_join(F.slice(F.col("t"), i + 1, shingle_words), " "),
+            ),
+        ).otherwise(F.array(F.array_join(F.col("t"), " "))).alias("sh"),
+    )
+    exploded = shingles.select(F.col(id_col), F.explode(F.array_distinct("sh")).alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 64, bands: int = 16,
+                           shingle_words: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH on MinHash signatures.
+
+    rows_per_band = num_hashes / bands; docs sharing any band bucket
+    become a candidate pair. The bucket join shuffles only
+    (band, bucket_hash, id) tuples; hot buckets (boilerplate pages) are
+    the skew risk — AQE skew-join splitting applies on the self-join.
+    Returns (id_a, id_b, n_shared_bands).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_words)
+    band_entries = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b, F.array_join(F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string")), ",")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            threshold: float = 0.7, num_hashes: int = 64,
+                            bands: int = 16, shingle_words: int = 3) -> DataFrame:
+    """LSH candidates verified by exact shingle-set Jaccard.
+
+    Verification joins the candidate pairs back to the (distinct)
+    shingle sets — only candidate-pair rows are rescanned, not n².
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_words)
+    toks = df.select(F.col(id_col), _tokens(text_col).alias("t"))
+    a = toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("t", "ta")
+    b = toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("t", "tb")
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("ta", "tb"))
+             / F.size(F.array_union("ta", "tb")).cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: per token h = xxhash64(token); bit b of the
+    fingerprint is the sign of Σ_tokens (±1 by bit b of h). One explode +
+    one groupBy with ``bits`` sum() aggs — all JVM-side."""
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    votes = toks.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            max_hamming: int = 3, bits: int = 64, chunks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into ``chunks``
+    16-bit pieces (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), bucket-
+    join on (chunk_idx, chunk_value), verify hamming via bit_count."""
+    fps = simhash(df, id_col, text_col, bits)
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    entries = fps.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(chunks - 1)),
+                lambda i: F.struct(
+                    i.alias("chunk"),
+                    F.shiftrightunsigned("simhash", i * chunk_bits).bitwiseAND(F.lit(mask)).alias("v"),
+                ),
+            )
+        ).alias("cc"),
+    ).select(F.col(id_col), "simhash", F.col("cc.chunk"), F.col("cc.v"))
+    a = entries.alias("a")
+    b = entries.alias("b")
+    return (
+        a.join(b, ["chunk", "v"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

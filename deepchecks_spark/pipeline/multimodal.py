@@ -1,0 +1,110 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, batch shapes, partitioning, Arrow UDF
+signatures) is real and tested; the actual media decode is STUBBED —
+this container has no image/audio libraries — behind
+``decoder='fake'`` (deterministic, content-derived features) or
+``decoder='real'`` (raises NotImplementedError with the intended
+implementation documented). The fake path preserves every structural
+property the pipeline depends on: per-row alignment, fixed feature
+width, null propagation, Arrow batching.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_DDL = "width int, height int, channels int, format string"
+IMAGE_FEATURES_DIM = 8
+
+
+def with_media_metadata(df: DataFrame, binary_col: str, meta_col: str = "media_meta") -> DataFrame:
+    """Typed metadata column for an opaque media payload. Real header
+    parsing (PNG/JPEG dimensions etc.) would go in the same expression
+    slot; here: size + a deterministic pseudo-format from the first
+    bytes, all JVM-side."""
+    b = F.col(binary_col)
+    return df.withColumn(
+        meta_col,
+        F.struct(
+            F.length(b).alias("n_bytes"),
+            F.xxhash64(b).alias("content_hash"),
+            F.substring(F.hex(F.substring(b, 1, 4)), 1, 8).alias("magic"),
+        ),
+    )
+
+
+def _fake_decode_features(payload: bytes, dim: int = IMAGE_FEATURES_DIM) -> list:
+    """Deterministic stand-in for decode→feature-extract: features are a
+    pure function of the payload bytes (stable across runs/machines)."""
+    if payload is None:
+        return None
+    digest = hashlib.sha256(bytes(payload)).digest()
+    arr = np.frombuffer(digest[: dim * 4], dtype=np.uint32).astype(np.float64)
+    return (arr / np.float64(2**32)).tolist()
+
+
+def decode_features(df: DataFrame, binary_col: str, out_col: str = "features",
+                    decoder: str = "fake", dim: int = IMAGE_FEATURES_DIM) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches, never
+    per-row Python). decoder='real' documents the intended
+    PIL/torchvision path and raises — the libs aren't in this container."""
+    if decoder not in ("fake", "real"):
+        raise ValueError("decoder must be 'fake' or 'real'")
+    schema = df.schema.add(out_col, "array<double>")
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+
+    def _batches(it):
+        for pdf in it:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real media decode requires PIL/torchvision/ffmpeg: "
+                    "decode bytes → resize(224,224) → normalized channel stats; "
+                    "not available in this container"
+                )
+            pdf[out_col] = pdf[binary_col].map(lambda b: _fake_decode_features(b, dim))
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=ddl)
+
+
+def resize_stub(df: DataFrame, binary_col: str, width: int, height: int,
+                out_col: str = "resized", decoder: str = "fake") -> DataFrame:
+    """Resize plumbing: same mapInPandas shape; fake path passes payload
+    through with a deterministic truncation so size invariants are testable."""
+    schema = df.schema.add(out_col, "binary")
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    cap = width * height
+
+    def _batches(it):
+        for pdf in it:
+            if decoder == "real":
+                raise NotImplementedError("real resize requires an image library")
+            pdf[out_col] = pdf[binary_col].map(lambda b: None if b is None else bytes(b)[:cap])
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=ddl)
+
+
+def frame_sample_stub(df: DataFrame, binary_col: str, every_n: int = 10,
+                      out_col: str = "frames", decoder: str = "fake") -> DataFrame:
+    """Video frame sampling plumbing: one row in → array of frame payloads
+    out. Fake path: deterministic byte-strided chunks."""
+    schema = df.schema.add(out_col, "array<binary>")
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+
+    def _batches(it):
+        for pdf in it:
+            if decoder == "real":
+                raise NotImplementedError("real frame sampling requires ffmpeg/av")
+            pdf[out_col] = pdf[binary_col].map(
+                lambda b: None if b is None else [bytes(b)[i:i + every_n] for i in range(0, min(len(b), every_n * 5), every_n)]
+            )
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=ddl)

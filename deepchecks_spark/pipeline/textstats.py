@@ -1,0 +1,110 @@
+"""Text-analysis operators: token counting, quality scoring, n-gram
+language ID, document fingerprinting. Everything JVM-side (split /
+list lambdas / xxhash64); no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "that")
+
+# tiny per-language stopword seeds for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "of", "and", "is", "that", "to"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "est", "et", "pas"],
+    "es": ["el", "la", "los", "es", "no", "una"],
+    "pt": ["o", "os", "nao", "uma", "rede"],
+    "it": ["il", "i", "non", "una", "rete"],
+    "nl": ["de", "het", "een", "niet"],
+    "pl": ["i", "w", "nie", "to"],
+    "ru": ["и", "в", "не", "на"],
+    "zh": ["的", "一", "是", "在"],
+}
+
+
+def _tokens(col: str):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def with_token_count(df: DataFrame, text_col: str, out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (0 for empty/blank strings)."""
+    return df.withColumn(
+        out_col,
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(_tokens(text_col)))
+        .cast("long"),
+    )
+
+
+def with_bpe_ish_token_count(df: DataFrame, text_col: str, out_col: str = "n_subtokens") -> DataFrame:
+    """BPE-ish proxy: word-boundary pieces + digit runs + punctuation
+    singles via a regexp tokenizer (regexp_extract_all is codegen'd)."""
+    pieces = F.expr(
+        f"regexp_extract_all({text_col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"
+    )
+    return df.withColumn(out_col, F.size(pieces).cast("long"))
+
+
+def text_quality(df: DataFrame, text_col: str) -> DataFrame:
+    """Quality-scoring features: token count, mean token length,
+    stopword ratio, punctuation ratio, uppercase ratio — one projection,
+    fully codegen'd."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    text = F.col(text_col)
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    upper = F.length(text) - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    return df.select(
+        "*",
+        n.cast("long").alias("n_tokens"),
+        (total_len / n.cast("double")).alias("avg_token_len"),
+        (stop / n.cast("double")).alias("stopword_ratio"),
+        (punct / F.greatest(F.length(text), F.lit(1)).cast("double")).alias("punct_ratio"),
+        (upper / F.greatest(F.length(text), F.lit(1)).cast("double")).alias("upper_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language ID: score per language = number of that
+    language's marker words present in the token set; argmax with
+    deterministic tie-break (score desc, lang asc). Pure JVM exprs —
+    built as an array of (score, lang) structs reduced with array_max."""
+    toks = F.array_distinct(_tokens(text_col))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("score"),
+                F.lit(-ord(lang[0]) * 256 - ord(lang[1])).alias("tie"),  # lang asc on ties
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return df.withColumn(
+        out_col, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+    )
+
+
+def document_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint",
+                         ngram: int = 4) -> DataFrame:
+    """Winnowing-style fingerprint: min over rolling word-ngram hashes
+    (robust to small edits), plus the full-text xxhash64 as tiebreaker
+    column ``{out}_exact``."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= ngram,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(ngram)),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, ngram), " ")),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.col(text_col))))
+    return df.withColumn(out_col, F.array_min(grams)).withColumn(
+        f"{out_col}_exact", F.xxhash64(F.col(text_col))
+    )
