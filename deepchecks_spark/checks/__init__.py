@@ -1,0 +1,45 @@
+from deepchecks_spark.checks.integrity import (
+    ClassImbalance,
+    ConflictingLabels,
+    DataDuplicates,
+    IsSingleValue,
+    MixedDataTypes,
+    MixedNulls,
+    PercentOfNulls,
+    SpecialCharacters,
+    StringLengthOutOfBounds,
+    StringMismatch,
+)
+from deepchecks_spark.checks.ml import (
+    FeatureFeatureCorrelation,
+    FeatureLabelCorrelation,
+    FeatureLabelCorrelationChange,
+    IdentifierLabelCorrelation,
+    MultivariateDrift,
+    OutlierSampleDetection,
+)
+from deepchecks_spark.checks.traintest import (
+    DatasetsSizeComparison,
+    DateTrainTestLeakageDuplicates,
+    DateTrainTestLeakageOverlap,
+    FeatureDrift,
+    IndexTrainTestLeakage,
+    LabelDrift,
+    NewCategoryTrainTest,
+    NewLabelTrainTest,
+    StringMismatchComparison,
+    TrainTestSamplesMix,
+)
+
+__all__ = [
+    "ClassImbalance", "ConflictingLabels", "DataDuplicates", "IsSingleValue",
+    "MixedDataTypes", "MixedNulls", "PercentOfNulls", "SpecialCharacters",
+    "StringLengthOutOfBounds", "StringMismatch",
+    "FeatureFeatureCorrelation", "FeatureLabelCorrelation",
+    "FeatureLabelCorrelationChange", "IdentifierLabelCorrelation",
+    "MultivariateDrift", "OutlierSampleDetection",
+    "DatasetsSizeComparison", "DateTrainTestLeakageDuplicates",
+    "DateTrainTestLeakageOverlap", "FeatureDrift", "IndexTrainTestLeakage",
+    "LabelDrift", "NewCategoryTrainTest", "NewLabelTrainTest",
+    "StringMismatchComparison", "TrainTestSamplesMix",
+]

@@ -1,0 +1,444 @@
+"""Sampled ML-kernel checks + correlation checks.
+
+Sampling-to-driver is the reference's own semantic (PPS caps at 5k,
+outliers at 5k, domain classifier at 10k/side — SURVEY.md §1.3), so
+these kernels run the identical protocol on a seeded Spark sample; only
+the sample crosses the driver boundary. The correlation check stays
+fully distributed (aggregation-expressible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deepchecks_spark.core.checks import SingleDatasetCheck, TrainTestCheck, format_number
+from deepchecks_spark.core.result import ConditionCategory, ConditionResult
+from deepchecks_spark.ml.gbm import GradientBoostingBinary
+from deepchecks_spark.ml.metrics import roc_auc
+from deepchecks_spark.ml.outliers import gower_matrix, loop_scores
+from deepchecks_spark.ml.pps import pps_score
+
+
+def sample_to_pandas(df: DataFrame, n: int, seed: int = 42) -> pd.DataFrame:
+    """Seeded cap-to-n sample collected via Arrow. No-op when the data is
+    already smaller (test fixtures stay exact, reference dataset.py:443-465)."""
+    total = df.count()
+    if total > n:
+        frac = min(1.0, n / total * 1.2)
+        df = df.sample(False, frac, seed).limit(n)
+    return df.toPandas()
+
+
+class FeatureLabelCorrelation(SingleDatasetCheck):
+    """PPS of each feature vs the label (reference data_integrity/
+    feature_label_correlation.py:69-114 + ppscore). value = {feature: pps}."""
+
+    def __init__(self, ppscore_params: dict | None = None, n_top_features: int = 5,
+                 n_samples: int | None = 100_000, random_state: int = 42, **kw):
+        super().__init__(n_samples=n_samples, random_state=random_state, **kw)
+        self.ppscore_params = ppscore_params or {}
+        self.n_top_features = n_top_features
+
+    def compute(self, ctx, kind):
+        ds = ctx.data(kind)
+        if ds.label_name is None:
+            raise ValueError("FeatureLabelCorrelation requires a label")
+        cols = list(ds.features) + [ds.label_name]
+        pdf = sample_to_pandas(ds.df.select(*[f"`{c}`" for c in cols]), self.n_samples or 10**9,
+                               self.random_state)
+        value = {
+            f: pps_score(pdf, f, ds.label_name, random_seed=self.random_state,
+                         **self.ppscore_params)["ppscore"]
+            for f in ds.features
+        }
+        return value, None
+
+    def add_condition_feature_pps_less_than(self, threshold: float = 0.8):
+        def condition(result):
+            failing = {c: format_number(v) for c, v in result.items() if v >= threshold}
+            if failing:
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"Found {len(failing)} out of {len(result)} features with PPS above threshold: {failing}",
+                )
+            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+
+        return self.add_condition(f"Features' Predictive Power Score is less than {format_number(threshold)}",
+                                  condition)
+
+
+class IdentifierLabelCorrelation(SingleDatasetCheck):
+    """PPS of index/datetime columns vs label (reference data_integrity/
+    identifier_label_correlation.py)."""
+
+    def __init__(self, ppscore_params: dict | None = None, n_samples: int | None = 100_000,
+                 random_state: int = 42, **kw):
+        super().__init__(n_samples=n_samples, random_state=random_state, **kw)
+        self.ppscore_params = ppscore_params or {}
+
+    def compute(self, ctx, kind):
+        ds = ctx.data(kind)
+        if ds.label_name is None:
+            raise ValueError("IdentifierLabelCorrelation requires a label")
+        identifiers = [c for c in (ds.spec.index_name, ds.spec.datetime_name) if c]
+        if not identifiers:
+            raise ValueError("check requires an index or datetime column")
+        pdf = sample_to_pandas(
+            ds.df.select(*[f"`{c}`" for c in identifiers + [ds.label_name]]),
+            self.n_samples or 10**9, self.random_state,
+        )
+        value = {
+            c: pps_score(pdf, c, ds.label_name, random_seed=self.random_state,
+                         **self.ppscore_params)["ppscore"]
+            for c in identifiers
+        }
+        return value, None
+
+    def add_condition_pps_less_or_equal(self, max_pps: float = 0.0):
+        def condition(result):
+            failing = {c: format_number(v) for c, v in result.items() if v > max_pps}
+            if failing:
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"Found {len(failing)} out of {len(result)} identifiers with PPS above threshold: {failing}",
+                )
+            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+
+        return self.add_condition(f"Identifier columns PPS is less or equal to {format_number(max_pps)}",
+                                  condition)
+
+
+class FeatureLabelCorrelationChange(TrainTestCheck):
+    """PPS per feature on train and test + difference (reference
+    train_test_validation/feature_label_correlation_change.py via
+    core/check_utils/feature_label_correlation_utils.py:79-149)."""
+
+    def __init__(self, ppscore_params: dict | None = None, n_samples: int | None = 100_000,
+                 random_state: int = 42, **kw):
+        super().__init__(n_samples=n_samples, random_state=random_state, **kw)
+        self.ppscore_params = ppscore_params or {}
+
+    def compute(self, ctx):
+        label = ctx.train.label_name
+        if label is None:
+            raise ValueError("FeatureLabelCorrelationChange requires a label")
+        features = list(ctx.train.features)
+        out = {"train": {}, "test": {}, "train-test difference": {}}
+        for kind, ds in (("train", ctx.train), ("test", ctx.test)):
+            pdf = sample_to_pandas(ds.df.select(*[f"`{c}`" for c in features + [label]]),
+                                   self.n_samples or 10**9, self.random_state)
+            for f in features:
+                out[kind][f] = pps_score(pdf, f, label, random_seed=self.random_state,
+                                         **self.ppscore_params)["ppscore"]
+        for f in features:
+            out["train-test difference"][f] = out["train"][f] - out["test"][f]
+        return out, None
+
+    def add_condition_feature_pps_difference_less_than(self, threshold: float = 0.2):
+        def condition(result):
+            failing = {
+                c: format_number(v)
+                for c, v in result["train-test difference"].items()
+                if v >= threshold
+            }
+            if failing:
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"Found {len(failing)} out of {len(result['train'])} features with PPS difference above "
+                    f"threshold: {failing}",
+                )
+            return ConditionResult(ConditionCategory.PASS,
+                                   f"Passed for {len(result['train'])} relevant columns")
+
+        return self.add_condition(f"Train-Test features' Predictive Power Score difference is less than "
+                                  f"{format_number(threshold)}", condition)
+
+    def add_condition_feature_pps_in_train_less_than(self, threshold: float = 0.7):
+        def condition(result):
+            failing = {c: format_number(v) for c, v in result["train"].items() if v >= threshold}
+            if failing:
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"Found {len(failing)} out of {len(result['train'])} features in train dataset with PPS "
+                    f"above threshold: {failing}",
+                )
+            return ConditionResult(ConditionCategory.PASS,
+                                   f"Passed for {len(result['train'])} relevant columns")
+
+        return self.add_condition(f"Train features' Predictive Power Score is less than "
+                                  f"{format_number(threshold)}", condition)
+
+
+class OutlierSampleDetection(SingleDatasetCheck):
+    """Gower-kNN + LoOP outlier probabilities on a ≤5k sample (reference
+    data_integrity/outlier_sample_detection.py:92-143). value =
+    {'outlier_probabilities_quantiles': 1000-quantile vector,
+    'n_samples': n}; violations = top-k outlier rows."""
+
+    def __init__(self, nearest_neighbors_percent: float = 0.01, extent_parameter: int = 3,
+                 n_to_show: int = 5, n_samples: int | None = 5_000, random_state: int = 42, **kw):
+        super().__init__(n_samples=n_samples, random_state=random_state, **kw)
+        self.nearest_neighbors_percent = nearest_neighbors_percent
+        self.extent_parameter = extent_parameter
+        self.n_to_show = n_to_show
+
+    def compute(self, ctx, kind):
+        ds = ctx.data(kind)
+        cols = list(ds.features) or ds.columns
+        pdf = sample_to_pandas(ds.df.select(*[f"`{c}`" for c in cols]),
+                               self.n_samples or 5_000, self.random_state)
+        if len(pdf) < 10:
+            raise ValueError("not enough samples for outlier detection")
+        dist = gower_matrix(pdf, list(ds.cat_features))
+        k = max(2, int(np.ceil(self.nearest_neighbors_percent * len(pdf))))
+        probs = loop_scores(dist, k, float(self.extent_parameter))
+        quantiles = np.quantile(probs, np.linspace(0, 1, 1000)).tolist()
+        value = {"outlier_probabilities_quantiles": quantiles, "n_samples": len(pdf)}
+        top_idx = np.argsort(-probs)[: self.n_to_show]
+        top = pdf.iloc[top_idx].assign(outlier_probability=probs[top_idx])
+        spark = ds.df.sparkSession
+        violations = spark.createDataFrame(top)
+        return value, violations
+
+    def add_condition_outlier_ratio_less_or_equal(self, max_outliers_ratio: float = 0.005,
+                                                  outlier_score_threshold: float = 0.7):
+        def condition(result):
+            q = np.array(result["outlier_probabilities_quantiles"])
+            ratio = float(np.mean(q >= outlier_score_threshold))
+            details = f"{format_number(ratio * 100)}% of dataset samples above outlier threshold"
+            if ratio > max_outliers_ratio:
+                return ConditionResult(ConditionCategory.WARN, details)
+            return ConditionResult(ConditionCategory.PASS, details)
+
+        return self.add_condition(
+            f"Not more than {format_number(max_outliers_ratio * 100)}% of dataset samples above outlier "
+            f"score {format_number(outlier_score_threshold)}",
+            condition,
+        )
+
+
+class MultivariateDrift(TrainTestCheck):
+    """Domain-classifier drift (reference core/check_utils/
+    multivariate_drift_utils.py:39-147): sample n/side, label rows by
+    origin, rare-category(254)+ordinal encode, gradient-boosted depth-2
+    trees ×10, drift score = max(2·AUC−1, 0); permutation feature
+    importance on the held-out split."""
+
+    def __init__(self, n_top_columns: int = 3, sample_size: int = 10_000,
+                 test_size: float = 0.3, random_state: int = 42,
+                 n_samples: int | None = 100_000, **kw):
+        super().__init__(n_samples=n_samples, random_state=random_state, **kw)
+        self.n_top_columns = n_top_columns
+        self.sample_size = sample_size
+        self.test_size = test_size
+
+    def compute(self, ctx):
+        features = list(ctx.train.features)
+        cats = set(ctx.train.cat_features)
+        train_pdf = sample_to_pandas(ctx.train.df.select(*[f"`{c}`" for c in features]),
+                                     self.sample_size, self.random_state)
+        test_pdf = sample_to_pandas(ctx.test.df.select(*[f"`{c}`" for c in features]),
+                                    self.sample_size, self.random_state + 1)
+        combined = pd.concat([train_pdf, test_pdf], ignore_index=True)
+        domain = np.concatenate([np.zeros(len(train_pdf)), np.ones(len(test_pdf))])
+        X = self._encode(combined, features, cats)
+        rng = np.random.default_rng(self.random_state)
+        perm = rng.permutation(len(X))
+        X, domain = X[perm], domain[perm]
+        n_eval = max(1, int(len(X) * self.test_size))
+        X_tr, X_ev = X[n_eval:], X[:n_eval]
+        y_tr, y_ev = domain[n_eval:], domain[:n_eval]
+        model = GradientBoostingBinary(n_iter=10, max_depth=2)
+        model.fit(X_tr, y_tr)
+        auc = roc_auc(y_ev, model.predict_proba(X_ev))
+        drift_score = max(2 * auc - 1, 0)
+        importance = self._permutation_importance(model, X_ev, y_ev, features, auc, rng)
+        value = {
+            "domain_classifier_auc": auc,
+            "domain_classifier_drift_score": drift_score,
+            "domain_classifier_feature_importance": importance,
+        }
+        return value, None
+
+    @staticmethod
+    def _encode(pdf: pd.DataFrame, features: list, cats: set,
+                max_categories: int = 254) -> np.ndarray:
+        """RareCategoryEncoder(254) + ordinal encoding (reference
+        multivariate_drift_utils.py encoder pipeline)."""
+        out = np.zeros((len(pdf), len(features)))
+        for j, c in enumerate(features):
+            col = pdf[c]
+            if c in cats or not pd.api.types.is_numeric_dtype(col):
+                vc = col.value_counts()
+                keep = set(vc.index[:max_categories])
+                reduced = col.where(col.isin(keep), other="__OTHER__")
+                codes, _ = pd.factorize(reduced, sort=True, use_na_sentinel=False)
+                out[:, j] = codes
+            else:
+                vals = col.astype(float)
+                out[:, j] = vals.fillna(vals.median()).to_numpy()
+        return out
+
+    def _permutation_importance(self, model, X_ev, y_ev, features, base_auc, rng):
+        drops = {}
+        for j, c in enumerate(features):
+            Xp = X_ev.copy()
+            Xp[:, j] = rng.permutation(Xp[:, j])
+            drops[c] = max(0.0, base_auc - roc_auc(y_ev, model.predict_proba(Xp)))
+        total = sum(drops.values())
+        if total == 0:
+            return {c: 0.0 for c in features}
+        return {c: v / total for c, v in drops.items()}
+
+    def add_condition_overall_drift_value_less_than(self, max_drift_value: float = 0.25):
+        def condition(result):
+            score = result["domain_classifier_drift_score"]
+            details = f"Drift value is {format_number(score)}"
+            if score >= max_drift_value:
+                return ConditionResult(ConditionCategory.FAIL, details)
+            return ConditionResult(ConditionCategory.PASS, details)
+
+        return self.add_condition(f"Drift value is less than {format_number(max_drift_value)}", condition)
+
+
+class FeatureFeatureCorrelation(SingleDatasetCheck):
+    """Pairwise feature correlations (reference data_integrity/
+    feature_feature_correlation.py:75-125): num-num Spearman, cat-cat
+    symmetric Theil's U, num-cat correlation ratio η.
+
+    Spark execution: Spearman = Pearson corr of average ranks (two
+    window passes per pair); Theil's U from the (x, y) contingency
+    (groupBy, bounded by category cardinalities); η from
+    groupBy(cat).agg(count, avg) + global variance. Only aggregated
+    state reaches the driver. value = nested dict {col: {col: corr}}.
+    """
+
+    def __init__(self, n_samples: int | None = 100_000, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+
+    def compute(self, ctx, kind):
+        ds = ctx.data(kind)
+        cats = [c for c in ds.cat_features]
+        nums = [
+            c for c in ds.numerical_features
+            if isinstance(ds.schema_of(c), (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                                            T.FloatType, T.DoubleType, T.DecimalType))
+        ]
+        all_feats = nums + cats
+        value = {c: {} for c in all_feats}
+        df = ds.df
+        for c in all_feats:
+            value[c][c] = 1.0
+        for i, a in enumerate(nums):
+            for b in nums[i + 1:]:
+                r = self._spearman(df, a, b)
+                value[a][b] = value[b][a] = r
+        for i, a in enumerate(cats):
+            for b in cats[i + 1:]:
+                r = self._symmetric_theil_u(df, a, b)
+                value[a][b] = value[b][a] = r
+        for a in cats:
+            for b in nums:
+                r = self._correlation_ratio(df, a, b)
+                value[a][b] = value[b][a] = r
+        return value, None
+
+    @staticmethod
+    def _spearman(df, a, b) -> float:
+        """Spearman = Pearson on average ranks; ranks via window
+        (rank + (ties−1)/2 = average rank)."""
+        sub = df.select(F.col(f"`{a}`").alias("x"), F.col(f"`{b}`").alias("y")).dropna()
+        wx = Window.orderBy("x")
+        wy = Window.orderBy("y")
+        ranked = sub.select(
+            (F.rank().over(wx) + (F.count("*").over(Window.partitionBy("x")) - 1) / 2.0).alias("rx"),
+            (F.rank().over(wy) + (F.count("*").over(Window.partitionBy("y")) - 1) / 2.0).alias("ry"),
+        )
+        r = ranked.agg(F.corr("rx", "ry")).first()[0]
+        return float(r) if r is not None else 0.0
+
+    @staticmethod
+    def _symmetric_theil_u(df, a, b) -> float:
+        """Symmetric Theil's U from the joint contingency (reference
+        utils/correlation_methods.py:24-103)."""
+        rows = (
+            df.select(F.col(f"`{a}`").alias("x"), F.col(f"`{b}`").alias("y"))
+            .dropna().groupBy("x", "y").count().collect()
+        )
+        if not rows:
+            return 0.0
+        import collections
+
+        xy = collections.Counter()
+        xc = collections.Counter()
+        yc = collections.Counter()
+        total = 0
+        for r in rows:
+            xy[(r["x"], r["y"])] = r["count"]
+            xc[r["x"]] += r["count"]
+            yc[r["y"]] += r["count"]
+            total += r["count"]
+
+        def entropy(counter):
+            p = np.array(list(counter.values()), dtype=float) / total
+            p = p[p > 0]
+            return float(-(p * np.log(p)).sum())
+
+        def cond_entropy(joint, cond_counts, swap):
+            s = 0.0
+            for (x, y), n in joint.items():
+                p_xy = n / total
+                p_c = cond_counts[y if not swap else x] / total
+                s += p_xy * np.log(p_c / p_xy)
+            return s
+
+        h_x, h_y = entropy(xc), entropy(yc)
+        u_xy = 1.0 if h_x == 0 else (h_x - cond_entropy(xy, yc, False)) / h_x
+        u_yx = 1.0 if h_y == 0 else (h_y - cond_entropy(xy, xc, True)) / h_y
+        if h_x + h_y == 0:
+            return 1.0
+        return float((h_x * u_xy + h_y * u_yx) / (h_x + h_y))
+
+    @staticmethod
+    def _correlation_ratio(df, cat, num) -> float:
+        """η from per-category (n, mean) + global Σ(y−ȳ)² (reference
+        correlation_methods.py:106-148) — single aggregation pass."""
+        sub = df.select(F.col(f"`{cat}`").alias("c"), F.col(f"`{num}`").cast("double").alias("v")).dropna()
+        groups = sub.groupBy("c").agg(F.count("v").alias("n"), F.avg("v").alias("m")).collect()
+        if not groups:
+            return 0.0
+        glob = sub.agg(F.sum("v").alias("s"), F.sum(F.col("v") * F.col("v")).alias("s2"),
+                       F.count("v").alias("n")).first()
+        n_tot, s, s2 = glob["n"], glob["s"], glob["s2"]
+        if not n_tot:
+            return 0.0
+        y_avg = s / n_tot
+        numerator = sum(g["n"] * (g["m"] - y_avg) ** 2 for g in groups)
+        denominator = s2 - n_tot * y_avg**2
+        if denominator <= 0:
+            return 0.0
+        return float(np.sqrt(numerator / denominator))
+
+    def add_condition_max_number_of_pairs_above_threshold(self, threshold: float = 0.9,
+                                                          n_pairs: int = 0):
+        def condition(result):
+            pairs = set()
+            for a, row in result.items():
+                for b, v in row.items():
+                    if a != b and v is not None and abs(v) >= threshold:
+                        pairs.add(tuple(sorted((a, b))))
+            if len(pairs) > n_pairs:
+                return ConditionResult(
+                    ConditionCategory.WARN,
+                    f"Correlated features: {sorted(pairs)}",
+                )
+            return ConditionResult(ConditionCategory.PASS,
+                                   f"All correlations are less than {threshold} except pairs {sorted(pairs)}")
+
+        return self.add_condition(
+            f"Not more than {n_pairs} pairs are correlated above {threshold}", condition
+        )

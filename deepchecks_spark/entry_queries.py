@@ -561,6 +561,184 @@ def o_embedding_cosine_topk():
 
 
 # ---------------------------------------------------------------------------
+# correlation checks (SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def q_spearman_lineitem(spark, sf_dir):
+    from deepchecks_spark.checks.ml import FeatureFeatureCorrelation
+
+    df = _t(spark, sf_dir, "lineitem")
+    r = FeatureFeatureCorrelation._spearman(df, "l_quantity", "l_extendedprice")
+    return spark.createDataFrame([(round(float(r), 6),)], "spearman double")
+
+
+def o_spearman_lineitem():
+    return """
+    WITH sub AS (SELECT l_quantity x, l_extendedprice y FROM lineitem
+                 WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         r AS (SELECT rank() OVER (ORDER BY x) + (count(*) OVER (PARTITION BY x) - 1) / 2.0 rx,
+                      rank() OVER (ORDER BY y) + (count(*) OVER (PARTITION BY y) - 1) / 2.0 ry
+               FROM sub)
+    SELECT round(corr(rx, ry), 6) AS spearman FROM r
+    """
+
+
+def q_theil_u_orders(spark, sf_dir):
+    from deepchecks_spark.checks.ml import FeatureFeatureCorrelation
+
+    df = _t(spark, sf_dir, "orders")
+    r = FeatureFeatureCorrelation._symmetric_theil_u(df, "o_orderpriority", "o_orderstatus")
+    return spark.createDataFrame([(round(float(r), 6),)], "theil_u double")
+
+
+def o_theil_u_orders():
+    # symmetric Theil's U with natural-log entropies over the contingency
+    return """
+    WITH sub AS (SELECT o_orderpriority x, o_orderstatus y FROM orders
+                 WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+         joint AS (SELECT x, y, count(*)::double n FROM sub GROUP BY x, y),
+         tot AS (SELECT sum(n) t FROM joint),
+         xc AS (SELECT x, sum(n) nx FROM joint GROUP BY x),
+         yc AS (SELECT y, sum(n) ny FROM joint GROUP BY y),
+         hx AS (SELECT -sum((nx / (SELECT t FROM tot)) * ln(nx / (SELECT t FROM tot))) h FROM xc),
+         hy AS (SELECT -sum((ny / (SELECT t FROM tot)) * ln(ny / (SELECT t FROM tot))) h FROM yc),
+         sxy AS (SELECT sum((n / (SELECT t FROM tot)) * ln((yc.ny / (SELECT t FROM tot)) / (n / (SELECT t FROM tot)))) s
+                 FROM joint JOIN yc USING (y)),
+         syx AS (SELECT sum((n / (SELECT t FROM tot)) * ln((xc.nx / (SELECT t FROM tot)) / (n / (SELECT t FROM tot)))) s
+                 FROM joint JOIN xc USING (x))
+    SELECT round((
+        (SELECT h FROM hx) * (CASE WHEN (SELECT h FROM hx) = 0 THEN 1
+                                   ELSE ((SELECT h FROM hx) - (SELECT s FROM sxy)) / (SELECT h FROM hx) END)
+      + (SELECT h FROM hy) * (CASE WHEN (SELECT h FROM hy) = 0 THEN 1
+                                   ELSE ((SELECT h FROM hy) - (SELECT s FROM syx)) / (SELECT h FROM hy) END)
+    ) / ((SELECT h FROM hx) + (SELECT h FROM hy)), 6) AS theil_u
+    """
+
+
+def q_correlation_ratio_orders(spark, sf_dir):
+    from deepchecks_spark.checks.ml import FeatureFeatureCorrelation
+
+    df = _t(spark, sf_dir, "orders")
+    r = FeatureFeatureCorrelation._correlation_ratio(df, "o_orderpriority", "o_totalprice")
+    return spark.createDataFrame([(round(float(r), 6),)], "eta double")
+
+
+def o_correlation_ratio_orders():
+    return """
+    WITH sub AS (SELECT o_orderpriority c, o_totalprice v FROM orders
+                 WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+         g AS (SELECT c, count(*)::double n, avg(v) m FROM sub GROUP BY c),
+         tot AS (SELECT sum(v) / count(*) ya, count(*)::double nt, sum(v * v) s2 FROM sub)
+    SELECT round(sqrt(
+        (SELECT sum(n * pow(m - (SELECT ya FROM tot), 2)) FROM g)
+        / ((SELECT s2 FROM tot) - (SELECT nt FROM tot) * pow((SELECT ya FROM tot), 2))
+    ), 6) AS eta
+    """
+
+
+# ---------------------------------------------------------------------------
+# sampled ML kernels + approximate pipeline ops — rows-only (no SQL oracle:
+# seeded tree/GBM/LoOP kernels and LSH are not SQL-expressible; the driver
+# records the weaker rows-only check, unit tests cover exact semantics)
+# ---------------------------------------------------------------------------
+
+def q_pps_feature_label_events(spark, sf_dir):
+    from deepchecks_spark.checks.ml import FeatureLabelCorrelation
+    from deepchecks_spark.core.context import Context
+
+    df = _t(spark, sf_dir, "events").select("value", "user_id", "event_type")
+    ds = Dataset(df, label="event_type", infer_categorical=False)
+    value, _ = FeatureLabelCorrelation().compute(Context(train=ds), "train")
+    rows = [(c, round(float(v), 6)) for c, v in sorted(value.items())]
+    return spark.createDataFrame(rows, "feature string, pps double")
+
+
+def q_outlier_detection_events(spark, sf_dir):
+    from deepchecks_spark.checks.ml import OutlierSampleDetection
+    from deepchecks_spark.core.context import Context
+
+    df = _t(spark, sf_dir, "events").select("value", "event_type")
+    ds = Dataset(df, cat_features=["event_type"], infer_categorical=False)
+    value, _ = OutlierSampleDetection(n_samples=2000).compute(Context(train=ds), "train")
+    q = value["outlier_probabilities_quantiles"]
+    return spark.createDataFrame(
+        [(int(value["n_samples"]), round(float(max(q)), 4), int(sum(1 for p in q if p >= 0.7)))],
+        "n_samples long, max_prob double, n_quantiles_above_07 long",
+    )
+
+
+def q_multivariate_drift_orders(spark, sf_dir):
+    from deepchecks_spark.checks.ml import MultivariateDrift
+    from deepchecks_spark.core.context import Context
+
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
+    mk = lambda d: Dataset(d.drop("o_orderkey"), cat_features=["o_orderpriority"],  # noqa: E731
+                           infer_categorical=False)
+    ctx = Context(train=mk(df.filter(F.col("o_orderkey") % 2 == 0)),
+                  test=mk(df.filter(F.col("o_orderkey") % 2 == 1)))
+    value, _ = MultivariateDrift().compute(ctx)
+    return spark.createDataFrame(
+        [(round(float(value["domain_classifier_auc"]), 4),
+          round(float(value["domain_classifier_drift_score"]), 4))],
+        "auc double, drift_score double",
+    )
+
+
+def q_minhash_near_duplicates_documents(spark, sf_dir):
+    from deepchecks_spark.pipeline.dedup import minhash_near_duplicates
+
+    df = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(df, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash_documents(spark, sf_dir):
+    from deepchecks_spark.pipeline.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_lsh_topk_embeddings(spark, sf_dir):
+    from deepchecks_spark.pipeline.similarity import lsh_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 10)
+    return lsh_topk(queries, df, dim=64, k=5, id_col="vec_id").select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_language_id_documents(spark, sf_dir):
+    from deepchecks_spark.pipeline.textstats import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"), "text").select("doc_id", "lang_pred")
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    from deepchecks_spark.pipeline.textstats import document_fingerprint
+
+    return document_fingerprint(_t(spark, sf_dir, "documents"), "text").select(
+        "doc_id", "fingerprint", "fingerprint_exact"
+    )
+
+
+def q_string_length_outliers_documents(spark, sf_dir):
+    from deepchecks_spark.checks.integrity import StringLengthOutOfBounds
+
+    ds = Dataset(_t(spark, sf_dir, "documents"), infer_categorical=False)
+    value, _ = StringLengthOutOfBounds(columns=["text"]).compute(_ctx(ds), "train")
+    rows = []
+    for col, info in sorted(value.items()):
+        for o in info.get("outliers", []):
+            rows.append((col, float(o["range"]["min"]), float(o["range"]["max"]), int(o["n_samples"])))
+    schema = "column string, range_min double, range_max double, n_samples long"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -593,6 +771,18 @@ QUERIES = {
     "text_quality_documents": q_text_quality_documents,
     "ngram_jaccard_adjacent_documents": q_ngram_jaccard_adjacent_documents,
     "embedding_cosine_topk": q_embedding_cosine_topk,
+    "spearman_lineitem": q_spearman_lineitem,
+    "theil_u_orders": q_theil_u_orders,
+    "correlation_ratio_orders": q_correlation_ratio_orders,
+    "pps_feature_label_events": q_pps_feature_label_events,
+    "outlier_detection_events": q_outlier_detection_events,
+    "multivariate_drift_orders": q_multivariate_drift_orders,
+    "minhash_near_duplicates_documents": q_minhash_near_duplicates_documents,
+    "simhash_documents": q_simhash_documents,
+    "lsh_topk_embeddings": q_lsh_topk_embeddings,
+    "language_id_documents": q_language_id_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "string_length_outliers_documents": q_string_length_outliers_documents,
 }
 
 ORACLES = {
@@ -618,4 +808,10 @@ ORACLES = {
     "text_quality_documents": o_text_quality_documents(),
     "ngram_jaccard_adjacent_documents": o_ngram_jaccard_adjacent_documents(),
     "embedding_cosine_topk": o_embedding_cosine_topk(),
+    "spearman_lineitem": o_spearman_lineitem(),
+    "theil_u_orders": o_theil_u_orders(),
+    "correlation_ratio_orders": o_correlation_ratio_orders(),
+    # pps/outlier/mvdrift/minhash/simhash/lsh/langid/fingerprint/strlen-outliers:
+    # intentionally no oracle — seeded ML kernels and hash/LSH ops are not
+    # SQL-expressible; the driver records rows-only checks for these.
 }

@@ -74,7 +74,7 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1).cast("long") << i).otherwise(0)
+        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
     return bucket
 
 
@@ -89,10 +89,10 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
     planes = random_hyperplanes(dim, n_planes, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qe")
-    ).withColumn("bucket", lsh_bucket_expr(vec_col, planes)).withColumn("qn", _norm("qe"))
+    ).withColumn("bucket", lsh_bucket_expr("qe", planes)).withColumn("qn", _norm("qe"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce")
-    ).withColumn("bucket", lsh_bucket_expr(vec_col, planes)).withColumn("cn", _norm("ce"))
+    ).withColumn("bucket", lsh_bucket_expr("ce", planes)).withColumn("cn", _norm("ce"))
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

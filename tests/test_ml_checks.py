@@ -1,0 +1,192 @@
+"""ML kernels (numpy) + sampled-kernel checks (FIXTURES.md pps1/outlier1/
+mvdrift1/ffcorr1)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepchecks_spark import Dataset
+from deepchecks_spark.checks.ml import (
+    FeatureFeatureCorrelation,
+    FeatureLabelCorrelation,
+    FeatureLabelCorrelationChange,
+    IdentifierLabelCorrelation,
+    MultivariateDrift,
+    OutlierSampleDetection,
+)
+from deepchecks_spark.core.result import ConditionCategory
+from deepchecks_spark.ml.metrics import f1_weighted, mean_absolute_error, roc_auc
+from deepchecks_spark.ml.pps import pps_score
+from deepchecks_spark.ml.tree import DecisionTree
+
+
+# -- metrics ---------------------------------------------------------------
+
+def test_f1_weighted_known_values():
+    y_true = np.array([0, 0, 0, 1, 1, 2])
+    y_pred = np.array([0, 0, 1, 1, 1, 2])
+    # class 0: p=1, r=2/3, f1=0.8 | class 1: p=2/3, r=1, f1=0.8 | class 2: f1=1
+    want = 0.8 * 3 / 6 + 0.8 * 2 / 6 + 1.0 * 1 / 6
+    assert f1_weighted(y_true, y_pred) == pytest.approx(want)
+
+
+def test_auc_known_values():
+    y = np.array([0, 0, 1, 1])
+    s = np.array([0.1, 0.4, 0.35, 0.8])
+    assert roc_auc(y, s) == pytest.approx(0.75)
+    assert roc_auc(y, np.array([0.5, 0.5, 0.5, 0.5])) == pytest.approx(0.5)
+
+
+def test_decision_tree_classifier_separable():
+    rng = np.random.default_rng(0)
+    X = rng.normal(0, 1, (200, 1))
+    y = (X[:, 0] > 0).astype(int)
+    t = DecisionTree("classification").fit(X, y)
+    assert (t.predict(X) == y).mean() == 1.0
+
+
+def test_decision_tree_regressor():
+    X = np.arange(100, dtype=float)[:, None]
+    y = (X[:, 0] > 50).astype(float) * 10
+    t = DecisionTree("regression").fit(X, y)
+    assert mean_absolute_error(y, t.predict(X)) < 0.5
+
+
+# -- PPS protocol -----------------------------------------------------------
+
+def test_pps_perfect_feature():
+    df = pd.DataFrame({"x": ["a", "b"] * 200, "y": ["a", "b"] * 200})
+    assert pps_score(df, "x", "y")["ppscore"] > 0.9
+
+
+def test_pps_random_feature():
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame({
+        "x": rng.normal(0, 1, 500),
+        "y": rng.choice(["a", "b"], 500),
+    })
+    assert pps_score(df, "x", "y")["ppscore"] < 0.15
+
+
+def test_pps_cases():
+    df = pd.DataFrame({"x": range(100), "y": [1] * 100, "id": [str(i) for i in range(100)]})
+    assert pps_score(df, "x", "x")["case"] == "predict_itself"
+    assert pps_score(df, "x", "y")["case"] == "target_is_constant"
+    assert pps_score(df, "id", "x")["case"] == "feature_is_id"
+    assert pps_score(df, "x", "id")["case"] == "target_is_id"
+
+
+def test_pps_regression():
+    x = np.linspace(0, 10, 400)
+    df = pd.DataFrame({"x": x, "y": x * 2 + 1})
+    assert pps_score(df, "x", "y")["ppscore"] > 0.8
+
+
+# -- checks ------------------------------------------------------------------
+
+def test_feature_label_correlation(spark):
+    rows = [(i % 2, float(np.random.default_rng(i).random()), "c%d" % (i % 2)) for i in range(400)]
+    ds = Dataset(
+        spark.createDataFrame(rows, "strong int, noise double, label string"),
+        label="label", infer_categorical=False,
+    )
+    check = FeatureLabelCorrelation().add_condition_feature_pps_less_than(0.8)
+    result = check.run(ds)
+    assert result.value["strong"] > 0.9
+    assert result.value["noise"] < 0.3
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
+
+
+def test_identifier_label_correlation(spark):
+    rows = [(i, "a" if i < 200 else "b") for i in range(400)]
+    ds = Dataset(spark.createDataFrame(rows, "idx long, label string"),
+                 label="label", index_name="idx", infer_categorical=False)
+    result = IdentifierLabelCorrelation().add_condition_pps_less_or_equal(0.0).run(ds)
+    assert result.value["idx"] > 0.5  # index predicts label → leakage detected
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
+
+
+def test_feature_label_correlation_change(spark):
+    # train: x == label; test: x random → big PPS difference
+    train_rows = [(i % 2, i % 2) for i in range(300)]
+    rng = np.random.default_rng(2)
+    test_rows = [(int(rng.integers(0, 2)), i % 2) for i in range(300)]
+    mk = lambda rows: Dataset(  # noqa: E731
+        spark.createDataFrame(rows, "x int, label int"), label="label",
+        cat_features=["x"], infer_categorical=False,
+    )
+    check = FeatureLabelCorrelationChange().add_condition_feature_pps_difference_less_than(0.2)
+    result = check.run(mk(train_rows), mk(test_rows))
+    assert result.value["train"]["x"] > 0.9
+    assert result.value["test"]["x"] < 0.3
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
+
+
+def test_outlier_sample_detection(spark):
+    rng = np.random.default_rng(3)
+    rows = [(float(x), float(y)) for x, y in rng.normal(0, 1, (500, 2))]
+    rows += [(50.0, 50.0), (-60.0, 55.0), (70.0, -65.0)]  # planted outliers
+    ds = Dataset(spark.createDataFrame(rows, "a double, b double"), infer_categorical=False)
+    check = OutlierSampleDetection()
+    result = check.run(ds)
+    q = result.value["outlier_probabilities_quantiles"]
+    assert len(q) == 1000
+    assert max(q) > 0.9  # planted outliers get high probability
+    top = result.violations.collect()
+    assert abs(top[0]["a"]) > 10  # a planted outlier ranks first
+
+
+def test_multivariate_drift(spark):
+    rng = np.random.default_rng(4)
+    train_rows = [(float(x), float(y)) for x, y in rng.normal(0, 1, (800, 2))]
+    test_rows = [(float(x) + 3.0, float(y)) for x, y in rng.normal(0, 1, (800, 2))]
+    mk = lambda rows: Dataset(spark.createDataFrame(rows, "a double, b double"),  # noqa: E731
+                              infer_categorical=False)
+    check = MultivariateDrift().add_condition_overall_drift_value_less_than(0.25)
+    result = check.run(mk(train_rows), mk(test_rows))
+    assert result.value["domain_classifier_drift_score"] > 0.5
+    fi = result.value["domain_classifier_feature_importance"]
+    assert fi["a"] > fi["b"]  # the shifted feature dominates
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
+
+
+def test_multivariate_drift_no_drift(spark):
+    rng = np.random.default_rng(5)
+    rows = [(float(x), float(y)) for x, y in rng.normal(0, 1, (800, 2))]
+    mk = lambda r: Dataset(spark.createDataFrame(r, "a double, b double"), infer_categorical=False)  # noqa: E731
+    result = MultivariateDrift().add_condition_overall_drift_value_less_than(0.25).run(mk(rows), mk(rows))
+    assert result.value["domain_classifier_drift_score"] < 0.2
+
+
+def test_feature_feature_correlation(spark):
+    rng = np.random.default_rng(6)
+    n = 400
+    x = rng.normal(0, 1, n)
+    rows = [
+        (float(x[i]), float(x[i] * 2 + rng.normal(0, 0.01)),  # correlated nums
+         "c%d" % (i % 3), "d%d" % (i % 3),                     # dependent cats
+         )
+        for i in range(n)
+    ]
+    ds = Dataset(spark.createDataFrame(rows, "n1 double, n2 double, c1 string, c2 string"),
+                 cat_features=["c1", "c2"], infer_categorical=False)
+    check = FeatureFeatureCorrelation().add_condition_max_number_of_pairs_above_threshold(0.9, 0)
+    result = check.run(ds)
+    assert result.value["n1"]["n2"] > 0.99   # Spearman ~1
+    assert result.value["c1"]["c2"] > 0.99   # Theil's U = 1 (deterministic map)
+    assert 0 <= result.value["c1"]["n1"] < 0.3  # cat independent of num
+    assert result.conditions_results[0].category == ConditionCategory.WARN
+
+
+def test_spearman_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 1, 300)
+    b = a + rng.normal(0, 1, 300)
+    rows = [(float(a[i]), float(b[i])) for i in range(300)]
+    ds = Dataset(spark.createDataFrame(rows, "a double, b double"), infer_categorical=False)
+    got = FeatureFeatureCorrelation._spearman(ds.df, "a", "b")
+    # oracle: rank-transform then Pearson
+    ra = pd.Series(a).rank().to_numpy()
+    rb = pd.Series(b).rank().to_numpy()
+    want = np.corrcoef(ra, rb)[0, 1]
+    assert got == pytest.approx(want, abs=1e-9)
