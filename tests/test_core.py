@@ -1,0 +1,76 @@
+"""Core plumbing: reduce_output aggregation, suite config round-trip,
+condition error isolation, format helpers."""
+
+import pytest
+
+from deepchecks_spark import Dataset, Suite
+from deepchecks_spark.core.checks import format_number, format_percent
+from deepchecks_spark.core.reduce import reduce_output
+from deepchecks_spark.core.result import ConditionCategory
+from deepchecks_spark.checks.integrity import IsSingleValue, PercentOfNulls
+
+
+def test_reduce_output_methods():
+    scores = {"a": 0.2, "b": 0.4, "c": None}
+    fi = {"a": 0.75, "b": 0.25}
+    assert reduce_output(scores, aggregation_method="none") == {"a": 0.2, "b": 0.4}
+    assert reduce_output(scores, aggregation_method="mean") == {"Mean": pytest.approx(0.3)}
+    assert reduce_output(scores, aggregation_method="max") == {"Max": 0.4}
+    w = reduce_output(scores, fi, "weighted")
+    assert w == {"Weighted": pytest.approx(0.2 * 0.75 + 0.4 * 0.25)}
+    l3 = reduce_output(scores, fi, "l3_weighted")
+    w3 = {"a": 0.75**3, "b": 0.25**3}
+    tot = sum(w3.values())
+    assert l3 == {"L3 Weighted": pytest.approx(0.2 * w3["a"] / tot + 0.4 * w3["b"] / tot)}
+
+
+def test_reduce_output_uniform_fallback():
+    assert reduce_output({"a": 0.1, "b": 0.3}, None, "weighted") == {"Weighted": pytest.approx(0.2)}
+
+
+def test_suite_config_roundtrip(spark):
+    suite = Suite(
+        "roundtrip",
+        IsSingleValue(n_samples=1000).add_condition_not_single_value(),
+        PercentOfNulls(),
+    )
+    conf = suite.config()
+    assert conf["name"] == "roundtrip"
+    assert [c["check"] for c in conf["checks"]] == ["IsSingleValue", "PercentOfNulls"]
+    rebuilt = Suite.from_config(conf)
+    assert [type(c).__name__ for c in rebuilt.checks] == ["IsSingleValue", "PercentOfNulls"]
+    assert rebuilt.checks[0].n_samples == 1000
+    # rebuilt suite runs
+    ds = Dataset(spark.createDataFrame([(1, "a"), (2, "b")], "x int, y string"),
+                 infer_categorical=False)
+    result = rebuilt.run(ds)
+    assert not result.get_failures()
+
+
+def test_condition_exception_becomes_error(spark):
+    check = IsSingleValue().add_condition("boom", lambda v: 1 / 0)
+    ds = Dataset(spark.createDataFrame([(1,)], "x int"), infer_categorical=False)
+    result = check.run(ds)
+    assert result.conditions_results[0].category == ConditionCategory.ERROR
+    assert "ZeroDivisionError" in result.conditions_results[0].details
+
+
+def test_check_failure_isolated_in_suite(spark):
+    class Exploding(IsSingleValue):
+        def compute(self, ctx, kind):
+            raise RuntimeError("kernel exploded")
+
+    suite = Suite("iso", Exploding(), PercentOfNulls())
+    ds = Dataset(spark.createDataFrame([(1,)], "x int"), infer_categorical=False)
+    result = suite.run(ds)
+    assert len(result.get_failures()) == 1
+    assert result.passed(fail_if_check_not_run=False)
+    assert not result.passed(fail_if_check_not_run=True)
+
+
+def test_format_helpers():
+    assert format_percent(0.5) == "50%"
+    assert format_percent(0.123456) == "12.35%"
+    assert format_percent(0.0001) == "0.01%"
+    assert format_number(3.14159, 2) == "3.14"
+    assert format_number(1000000) == "1,000,000"
