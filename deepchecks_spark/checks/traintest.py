@@ -200,6 +200,27 @@ class LabelDrift(TrainTestCheck):
         return self.add_condition(f"Label drift score < {max_allowed_drift_score}", condition)
 
 
+class PredictionDrift(LabelDrift):
+    """Drift of a model-prediction column (reference tabular/.../
+    prediction_drift.py shares the LabelDrift kernels via
+    utils/abstracts/label_drift.py): identical computation, applied to a
+    named prediction column instead of the label."""
+
+    def __init__(self, prediction_column: str, **kw):
+        super().__init__(**kw)
+        self.prediction_column = prediction_column
+
+    def compute(self, ctx):
+        from deepchecks_spark.dataset import Dataset as _DS
+        from deepchecks_spark.core.context import Context as _Ctx
+
+        col = self.prediction_column
+        mk = lambda ds: _DS(ds.df.select(col), label=col, infer_categorical=False,  # noqa: E731
+                            cat_features=[c for c in ds.cat_features if c == col])
+        sub_ctx = _Ctx(train=mk(ctx.train), test=mk(ctx.test))
+        return LabelDrift.compute(self, sub_ctx)
+
+
 class DatasetsSizeComparison(TrainTestCheck):
     """len(train) / len(test) (reference train_test_validation/
     datasets_size_comparison.py). Counts come from the shared stats pass."""

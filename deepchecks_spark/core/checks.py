@@ -122,3 +122,34 @@ def format_number(x, floating_point: int = 5) -> str:
     if isinstance(x, (int,)) or (isinstance(x, float) and x == int(x)):
         return f"{int(x):,}"
     return f"{x:,.{floating_point}f}".rstrip("0").rstrip(".")
+
+
+def format_list(values, max_elements_to_show: int = 10, max_string_length: int = 40) -> str:
+    """Reference utils/strings.py format_list — used in details strings."""
+    string_list = [str(v) for v in values[:max_elements_to_show]]
+    out = ", ".join(string_list)
+    if len(out) > max_string_length:
+        out = out[:max_string_length] + "..."
+    elif len(values) > max_elements_to_show:
+        out += ", ..."
+    return out
+
+
+def format_datetime(value) -> str:
+    """Reference utils/strings.py format_datetime (driver-side display)."""
+    import datetime
+
+    if isinstance(value, (int, float)):
+        value = datetime.datetime.fromtimestamp(value)
+    if isinstance(value, datetime.datetime):
+        if value.hour == value.minute == value.second == 0:
+            return value.strftime("%Y-%m-%d")
+        return value.strftime("%Y-%m-%d %H:%M:%S")
+    return str(value)
+
+
+def truncate_string(s: str, max_length: int) -> str:
+    """Reference utils/strings.py:67."""
+    if len(s) <= max_length:
+        return s
+    return s[:max_length] + "..."

@@ -169,6 +169,13 @@ class Dataset:
             name=self.name,
         )
 
+    def train_test_split(self, train_fraction: float = 0.8, seed: int = 42):
+        """Random split preserving metadata (reference dataset.py:496-537
+        uses sklearn train_test_split; Spark randomSplit is the
+        distributed analogue — only needed for model-validation flows)."""
+        train_df, test_df = self.df.randomSplit([train_fraction, 1 - train_fraction], seed)
+        return self._with_df(train_df), self._with_df(test_df)
+
     def _with_df(self, df: DataFrame) -> "Dataset":
         new = object.__new__(Dataset)
         new.df = df

@@ -73,6 +73,58 @@ def is_special_only_expr(col: Column | str) -> Column:
     return (F.length(c) > 0) & ~c.rlike(r"[\p{L}\p{N}]")
 
 
+def normalize_text_expr(col: Column | str, lowercase: bool = True,
+                        remove_punct: bool = True, collapse_whitespace: bool = True) -> Column:
+    """JVM-side text normalization (reference nlp/utils/text.py:97-161
+    semantics minus NFKC — unicode normalization needs python, see
+    :func:`make_normalize_text_udf`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    if remove_punct:
+        c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", "")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def make_normalize_text_udf(lowercase: bool = True, remove_punct: bool = True,
+                            nfkc: bool = True):
+    """Arrow-batched normalization including NFKC (python unicodedata),
+    for byte-parity-critical paths."""
+    import re
+    import unicodedata
+
+    from pyspark.sql import types as T
+
+    punct_re = re.compile(r"[^\w\s]", re.UNICODE)
+
+    def _norm(v):
+        if v is None:
+            return None
+        if nfkc:
+            v = unicodedata.normalize("NFKC", v)
+        if lowercase:
+            v = v.lower()
+        if remove_punct:
+            v = punct_re.sub("", v)
+        return " ".join(v.split())
+
+    @F.pandas_udf(T.StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(_norm)
+
+    return _udf
+
+
+def hash_text_expr(col: Column | str) -> Column:
+    """Deterministic 64-bit text hash — xxhash64 replaces the reference's
+    process-seeded python hash() (nlp/utils/text.py hash_text), which is
+    not stable across workers."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c)
+
+
 def make_baseform_pandas_udf(allow_empty_result: bool = False):
     """Arrow-batched UDF with the exact python semantics, for the
     byte-parity path (SURVEY.md §2.6 caveat)."""

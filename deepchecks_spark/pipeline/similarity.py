@@ -58,6 +58,29 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     )
 
 
+def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
+                              n_planes: int = 8, seed: int = 42,
+                              id_col: str = "id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join +
+    exact cosine filter ≥ threshold. The bucket equi-join replaces the
+    n² cross join (recall controlled by n_planes; fewer planes = bigger
+    buckets = higher recall). Returns (id_a, id_b, cosine)."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    vecs = df.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket_expr("v", planes)).withColumn("n", _norm("v"))
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", _dot("a.v", "b.v") / (F.col("a.n") * F.col("b.n")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -1,0 +1,81 @@
+"""Coverage for the remaining SURVEY §2 function rows: text
+normalization, hashing, train/test split, PredictionDrift,
+embedding near-duplicates, format helpers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepchecks_spark import Dataset
+from deepchecks_spark.core.checks import format_datetime, format_list, truncate_string
+from deepchecks_spark.functions.strings import (
+    hash_text_expr,
+    make_normalize_text_udf,
+    normalize_text_expr,
+)
+from deepchecks_spark.pipeline.similarity import embedding_near_duplicates
+
+
+def test_normalize_text_expr(spark):
+    df = spark.createDataFrame([("Hello,  WORLD!!",), (None,)], "t string")
+    out = df.select(normalize_text_expr("t").alias("n")).collect()
+    assert out[0]["n"] == "hello world"
+    assert out[1]["n"] is None
+
+
+def test_normalize_text_udf_nfkc(spark):
+    df = spark.createDataFrame([("ﬁne Ｔext",)], "t string")  # ligature + fullwidth
+    out = df.select(make_normalize_text_udf()(F.col("t")).alias("n")).collect()
+    assert out[0]["n"] == "fine text"
+
+
+def test_hash_text_deterministic(spark):
+    df = spark.createDataFrame([("abc",), ("abc",), ("abd",)], "t string")
+    h = [r["h"] for r in df.select(hash_text_expr("t").alias("h")).collect()]
+    assert h[0] == h[1] != h[2]
+
+
+def test_train_test_split(spark):
+    ds = Dataset(spark.createDataFrame([(i,) for i in range(1000)], "x int"),
+                 infer_categorical=False)
+    train, test = ds.train_test_split(0.8, seed=1)
+    n_train, n_test = train.df.count(), test.df.count()
+    assert n_train + n_test == 1000
+    assert 700 < n_train < 900
+    # disjoint
+    assert train.df.join(test.df, "x", "left_semi").count() == 0
+
+
+def test_prediction_drift(spark):
+    from deepchecks_spark.checks.traintest import PredictionDrift
+
+    train = Dataset(spark.createDataFrame([("a", 1)] * 80 + [("b", 1)] * 20, "pred string, other int"),
+                    infer_categorical=False)
+    test = Dataset(spark.createDataFrame([("a", 1)] * 50 + [("b", 1)] * 50, "pred string, other int"),
+                   infer_categorical=False)
+    check = PredictionDrift("pred").add_condition_drift_score_less_than(0.15)
+    result = check.run(train, test)
+    assert result.value["Method"] == "Cramer's V"
+    assert result.value["Drift score"] > 0.15
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    pairs = embedding_near_duplicates(df, dim=4, threshold=0.99, n_planes=2).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert all(p == (1, 2) for p in found)
+
+
+def test_format_helpers_extra():
+    assert format_list(["a", "b", "c"], max_elements_to_show=2) == "a, b, ..."
+    assert truncate_string("abcdef", 3) == "abc..."
+    import datetime
+
+    assert format_datetime(datetime.datetime(2025, 1, 2)) == "2025-01-02"
+    assert format_datetime(datetime.datetime(2025, 1, 2, 3, 4, 5)) == "2025-01-02 03:04:05"
