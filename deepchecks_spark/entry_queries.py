@@ -176,8 +176,10 @@ def q_cramers_v_events_type(spark, sf_dir):
     from deepchecks_spark.drift.spark import categorical_histograms
 
     df = _t(spark, sf_dir, "events")
-    train = df.filter(F.col("ts") < "2024-01-15")
-    test = df.filter(F.col("ts") >= "2024-01-15")
+    # key-parity split (not a timestamp literal): immune to the session
+    # timezone of whatever SparkSession the driver hands us
+    train = df.filter(F.col("event_id") % 2 == 0)
+    test = df.filter(F.col("event_id") % 2 == 1)
     h1 = categorical_histograms(train, ["event_type"])["event_type"]
     h2 = categorical_histograms(test, ["event_type"])["event_type"]
     score = cramers_v_from_counts(h1, h2, min_category_size_ratio=0.01)
@@ -189,8 +191,8 @@ def o_cramers_v_events_type():
     # larger side (round to int), k>2 → no Yates correction. Mirrors
     # reference deepchecks drift.py:98-172 semantics.
     return """
-    WITH train AS (SELECT event_type v FROM events WHERE ts < TIMESTAMP '2024-01-15' AND event_type IS NOT NULL),
-         test  AS (SELECT event_type v FROM events WHERE ts >= TIMESTAMP '2024-01-15' AND event_type IS NOT NULL),
+    WITH train AS (SELECT event_type v FROM events WHERE event_id % 2 = 0 AND event_type IS NOT NULL),
+         test  AS (SELECT event_type v FROM events WHERE event_id % 2 = 1 AND event_type IS NOT NULL),
          c1 AS (SELECT v, count(*) n FROM train GROUP BY v),
          c2 AS (SELECT v, count(*) n FROM test GROUP BY v),
          j AS (SELECT coalesce(c1.v, c2.v) v, coalesce(c1.n, 0)::double n1, coalesce(c2.n, 0)::double n2
