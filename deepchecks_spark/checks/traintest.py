@@ -165,10 +165,7 @@ class LabelDrift(TrainTestCheck):
         label = ctx.train.label_name
         if label is None:
             raise ValueError("LabelDrift requires a label column")
-        dt = ctx.train.schema_of(label)
-        is_numeric = isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                                     T.FloatType, T.DoubleType, T.DecimalType)) and \
-            label not in set(ctx.train.cat_features)
+        is_numeric = self._label_is_numeric(ctx)
         kw = dict(
             margin_quantile_filter=self.margin_quantile_filter,
             max_num_categories_for_drift=self.max_num_categories_for_drift,
@@ -188,6 +185,34 @@ class LabelDrift(TrainTestCheck):
             score, method = calc_drift_score("categorical", h1, h2, **kw)
         value = {"Drift score": None if score == "not_enough_samples" else score, "Method": method}
         return value, None
+
+    @staticmethod
+    def _label_is_numeric(ctx) -> bool:
+        """Task-type inference for the label (reference tabular/utils/
+        task_inference.py:55-82): a numeric label with few distinct
+        observed values is a classification label → categorical drift.
+        Categorical iff n_unique/max(n_non_null,1000) < 0.05 AND
+        n_unique ≤ cap (30 for ints/whole floats, 5 otherwise)."""
+        label = ctx.train.label_name
+        dt = ctx.train.schema_of(label)
+        if label in set(ctx.train.cat_features):
+            return False
+        if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                               T.FloatType, T.DoubleType, T.DecimalType)):
+            return False
+        col = F.col(f"`{label}`")
+        aggs = [F.count(col).alias("n"), F.countDistinct(col).alias("d")]
+        whole = None
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            aggs.append(F.min(col.cast("double") == F.floor(col).cast("double")).alias("w"))
+        row = ctx.train.df.agg(*aggs).first()
+        n, d = row["n"] or 0, row["d"] or 0
+        if d == 0:
+            return True
+        whole = row["w"] if "w" in row.asDict() else True
+        cap = 30 if (not isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)) or whole) else 5
+        is_cat = d / max(n, 1000) < 0.05 and d <= cap
+        return not is_cat
 
     def add_condition_drift_score_less_than(self, max_allowed_drift_score: float = 0.15):
         def condition(result):
