@@ -183,17 +183,15 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     fps = simhash(df, id_col, text_col, bits)
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask)).alias("v"),
+        )
+        for i in range(chunks)
+    ]
     entries = fps.select(
-        F.col(id_col), F.col("simhash"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(chunks - 1)),
-                lambda i: F.struct(
-                    i.alias("chunk"),
-                    F.shiftrightunsigned("simhash", i * chunk_bits).bitwiseAND(F.lit(mask)).alias("v"),
-                ),
-            )
-        ).alias("cc"),
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_structs)).alias("cc")
     ).select(F.col(id_col), "simhash", F.col("cc.chunk"), F.col("cc.v"))
     a = entries.alias("a")
     b = entries.alias("b")

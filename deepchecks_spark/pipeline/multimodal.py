@@ -56,7 +56,9 @@ def decode_features(df: DataFrame, binary_col: str, out_col: str = "features",
     PIL/torchvision path and raises — the libs aren't in this container."""
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
-    schema = df.schema.add(out_col, "array<double>")
+    from pyspark.sql import types as T
+    # build a NEW StructType — StructType.add mutates the df's schema object
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.DoubleType()))])
     ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
 
     def _batches(it):
@@ -77,7 +79,8 @@ def resize_stub(df: DataFrame, binary_col: str, width: int, height: int,
                 out_col: str = "resized", decoder: str = "fake") -> DataFrame:
     """Resize plumbing: same mapInPandas shape; fake path passes payload
     through with a deterministic truncation so size invariants are testable."""
-    schema = df.schema.add(out_col, "binary")
+    from pyspark.sql import types as T
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())])
     ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
     cap = width * height
 
@@ -95,7 +98,8 @@ def frame_sample_stub(df: DataFrame, binary_col: str, every_n: int = 10,
                       out_col: str = "frames", decoder: str = "fake") -> DataFrame:
     """Video frame sampling plumbing: one row in → array of frame payloads
     out. Fake path: deterministic byte-strided chunks."""
-    schema = df.schema.add(out_col, "array<binary>")
+    from pyspark.sql import types as T
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.BinaryType()))])
     ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
 
     def _batches(it):

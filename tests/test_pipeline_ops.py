@@ -1,0 +1,137 @@
+"""Pipeline operators: near-dup detection finds planted near-duplicates,
+similarity search returns correct neighbors, multimodal plumbing keeps
+schema/alignment invariants."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deepchecks_spark.pipeline.dedup import (
+    jaccard_adjacent,
+    minhash_lsh_candidates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash,
+    simhash_near_duplicates,
+)
+from deepchecks_spark.pipeline.multimodal import (
+    decode_features,
+    frame_sample_stub,
+    resize_stub,
+    with_media_metadata,
+)
+from deepchecks_spark.pipeline.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def neardup_docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs far away "
+            "into the deep dark forest to find some food for the long cold winter")
+    variant = base.replace("lazy", "sleepy")          # near-dup of 0
+    distinct1 = "completely different content about spark dataframes and shuffles here"
+    distinct2 = "yet another unrelated document mentioning neither foxes nor dogs at all"
+    rows = [(0, base), (1, variant), (2, base), (3, distinct1), (4, distinct2)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_signatures_shape(spark, neardup_docs):
+    sig = minhash_signatures(neardup_docs, "doc_id", "text", num_hashes=32).collect()
+    assert len(sig) == 5
+    assert all(len(r["signature"]) == 32 for r in sig)
+    by_id = {r["doc_id"]: r["signature"] for r in sig}
+    assert by_id[0] == by_id[2]  # identical docs → identical signature
+
+
+def test_minhash_finds_near_duplicates(spark, neardup_docs):
+    pairs = minhash_near_duplicates(neardup_docs, "doc_id", "text",
+                                    threshold=0.5, num_hashes=32, bands=16).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 2) in found          # exact duplicate pair
+    assert (0, 1) in found or (1, 2) in found  # near-dup (one word changed)
+    assert all({a, b} <= {0, 1, 2} for a, b in found)  # distinct docs never pair
+
+
+def test_minhash_candidates_exclude_unrelated(spark, neardup_docs):
+    cands = minhash_lsh_candidates(neardup_docs, "doc_id", "text",
+                                   num_hashes=32, bands=8).collect()
+    ids = {r["id_a"] for r in cands} | {r["id_b"] for r in cands}
+    assert 3 not in ids and 4 not in ids
+
+
+def test_simhash_near_duplicates(spark, neardup_docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(neardup_docs, "doc_id", "text").collect()}
+    assert fps[0] == fps[2]
+    pairs = simhash_near_duplicates(neardup_docs, "doc_id", "text", max_hamming=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 2) in found
+    assert not any({a, b} & {3, 4} and {a, b} & {0, 1, 2} for a, b in found)
+
+
+def test_jaccard_adjacent_values(spark):
+    rows = [(0, "a b c d"), (1, "a b c e"), (2, "x y z w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in
+           jaccard_adjacent(df, "doc_id", "text").collect()}
+    assert out[(0, 1)] == pytest.approx(3 / 5)
+    assert out[(1, 2)] == pytest.approx(0.0)
+
+
+def test_brute_force_topk_correctness(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    out = brute_force_topk(df.filter(F.col("id") == 0), df, k=5).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    # numpy oracle
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    order = [i for i in np.argsort(-sims) if i != 0][:5]
+    assert [g[0] for g in got] == order
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((200, 8))
+    vecs[5] = vecs[0] * 0.9 + rng.standard_normal(8) * 0.01  # near neighbor of 0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    out = lsh_topk(df.filter(F.col("id") == 0), df, dim=8, k=5, n_planes=4).collect()
+    assert any(r["neighbor_id"] == 5 for r in out)  # same bucket w.h.p.
+
+
+# -- multimodal plumbing ------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [(1, b"\x89PNG fake image bytes one"), (2, b"RIFF fake audio bytes"), (3, None)]
+    return spark.createDataFrame(rows, "id long, payload binary")
+
+
+def test_media_metadata(spark, media_df):
+    out = {r["id"]: r["media_meta"] for r in with_media_metadata(media_df, "payload").collect()}
+    assert out[1]["n_bytes"] == 25
+    assert out[1]["magic"] == "8950"[:2] + "4E47"[:2] or len(out[1]["magic"]) == 8
+    assert out[3]["n_bytes"] is None
+
+
+def test_decode_features_fake_deterministic(spark, media_df):
+    a = {r["id"]: r["features"] for r in decode_features(media_df, "payload").collect()}
+    b = {r["id"]: r["features"] for r in decode_features(media_df, "payload").collect()}
+    assert a == b  # deterministic across runs
+    assert len(a[1]) == 8 and all(0 <= x <= 1 for x in a[1])
+    assert a[3] is None  # null propagates
+    assert a[1] != a[2]  # content-derived
+
+
+def test_decode_features_real_raises(spark, media_df):
+    with pytest.raises(Exception) as err:
+        decode_features(media_df, "payload", decoder="real").collect()
+    assert "NotImplementedError" in str(err.value) or "not available" in str(err.value)
+
+
+def test_resize_and_frames_plumbing(spark, media_df):
+    resized = {r["id"]: r["resized"] for r in resize_stub(media_df, "payload", 4, 4).collect()}
+    assert len(resized[1]) == 16 and resized[3] is None
+    frames = {r["id"]: r["frames"] for r in frame_sample_stub(media_df, "payload", every_n=5).collect()}
+    assert frames[3] is None
+    assert all(len(f) <= 5 for f in frames[1])
