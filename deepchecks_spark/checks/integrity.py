@@ -451,16 +451,24 @@ class ConflictingLabels(SingleDatasetCheck):
     all features; groups with >1 distinct label are ambiguous; value =
     {'percent': fraction of rows in ambiguous groups, 'samples_indices':
     […]}. Spark: groupBy(features).agg(countDistinct(label), count) —
-    two-stage agg, AQE-skew-safe; violations carry the ambiguous
-    feature-groups with their label sets.
+    two-stage agg, AQE-skew-safe.
+
+    ``salt_buckets``: explicit key salting for pathologically hot
+    feature-keys (boilerplate web rows where one key holds a large
+    fraction of the corpus). The aggregation becomes groupBy(features,
+    salt) → partial label-sets per salt bucket → groupBy(features) final
+    merge (flatten + distinct + sum) — identical results, bounded
+    per-task state. Map-side combine already bounds the count-style
+    aggs; salting additionally bounds the collect_set state per task.
     """
 
     def __init__(self, columns=None, ignore_columns=None, n_to_show: int = 5,
-                 n_samples: int | None = 10_000_000, **kw):
+                 n_samples: int | None = 10_000_000, salt_buckets: int | None = None, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
         self.ignore_columns = ignore_columns
         self.n_to_show = n_to_show
+        self.salt_buckets = salt_buckets
 
     def compute(self, ctx, kind):
         ds = ctx.data(kind)
@@ -470,11 +478,28 @@ class ConflictingLabels(SingleDatasetCheck):
         if not features:
             raise ValueError("no feature columns to check")
         label = F.col(f"`{ds.label_name}`")
-        grouped = ds.df.groupBy(*[F.col(f"`{c}`") for c in features]).agg(
-            F.countDistinct(label).alias("n_labels"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sort_array(F.collect_set(label)).alias("labels"),
-        )
+        fcols = [F.col(f"`{c}`") for c in features]
+        if self.salt_buckets:
+            salted = (
+                ds.df.withColumn(
+                    "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(self.salt_buckets))
+                )
+                .groupBy(*fcols, F.col("__salt"))
+                .agg(
+                    F.collect_set(label).alias("labels_part"),
+                    F.count(F.lit(1)).alias("n_part"),
+                )
+            )
+            grouped = salted.groupBy(*fcols).agg(
+                F.sort_array(F.array_distinct(F.flatten(F.collect_list("labels_part")))).alias("labels"),
+                F.sum("n_part").alias("n_rows"),
+            ).withColumn("n_labels", F.size("labels"))
+        else:
+            grouped = ds.df.groupBy(*fcols).agg(
+                F.countDistinct(label).alias("n_labels"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sort_array(F.collect_set(label)).alias("labels"),
+            )
         agg = grouped.agg(
             F.coalesce(F.sum(F.when(F.col("n_labels") > 1, F.col("n_rows"))), F.lit(0)).alias("ambiguous_rows"),
             F.coalesce(F.sum("n_rows"), F.lit(0)).alias("total"),

@@ -231,3 +231,16 @@ def test_string_length_no_outliers(spark):
     ds = _ds(spark, rows, "col1 string")
     result = StringLengthOutOfBounds().run(ds)
     assert result.value["col1"]["outliers"] == []
+
+
+def test_conflicting_labels_salted_matches_unsalted(spark):
+    # Zipf-hot key: one feature-group holds most rows
+    rows = [(1, 1, "a")] * 300 + [(1, 1, "b")] * 100 + [(2, 2, "a")] * 50 + [(3, 3, "c")] * 10
+    ds = _ds(spark, rows, "f1 int, f2 int, label string", label="label")
+    plain = ConflictingLabels().run(ds)
+    salted = ConflictingLabels(salt_buckets=8).run(ds)
+    assert salted.value == plain.value
+    assert plain.value["percent"] == pytest.approx(400 / 460)
+    pv = sorted((r["f1"], tuple(r["labels"])) for r in plain.violations.collect())
+    sv = sorted((r["f1"], tuple(r["labels"])) for r in salted.violations.collect())
+    assert pv == sv == [(1, ("a", "b"))]

@@ -108,6 +108,46 @@ def test_label_drift_drifted_golden(spark):
     assert r_psi.value["Drift score"] == pytest.approx(0.24, abs=0.01)
 
 
+def test_new_category_reference_golden(spark):
+    """reference new_category_test.py:33-60: {a,b,c}→{a,b,c,d}: 1 new
+    category, 0.25 ratio; no-new case → 0."""
+    from deepchecks_spark.checks.traintest import NewCategoryTrainTest
+
+    mk = lambda vals: Dataset(  # noqa: E731
+        spark.createDataFrame([(v,) for v in vals], "col1 string"),
+        cat_features=["col1"], infer_categorical=False,
+    )
+    r = NewCategoryTrainTest().run(mk(["a", "b", "c"]), mk(["a", "b", "c", "d"]))
+    assert r.value["col1"]["n_new_categories"] == 1
+    assert r.value["col1"]["ratio_of_new_categories"] == pytest.approx(0.25)
+    r0 = NewCategoryTrainTest().run(mk(["a", "b", "c"]), mk(["a", "a", "b", "c"]))
+    assert r0.value["col1"]["n_new_categories"] == 0
+
+
+def test_date_leakage_duplicates_reference_golden(spark):
+    """reference date_leakage_test.py:32-87: value close_to(0.31, 0.01)
+    on the 14/13-row fixture and close_to(0.5, 0.01) on the 7/4-row one."""
+    from datetime import datetime as dt
+
+    from deepchecks_spark.checks.traintest import DateTrainTestLeakageDuplicates
+
+    def mk(dates):
+        return Dataset(spark.createDataFrame([(d,) for d in dates], "col1 timestamp"),
+                       datetime_name="col1", infer_categorical=False)
+
+    train = mk([dt(2021, 10, 1)] * 3 + [dt(2021, 10, 2)] * 3 + [dt(2021, 10, 3)] * 3
+               + [dt(2021, 10, 4)] * 3 + [dt(2021, 10, 5)] * 2)
+    test = mk([dt(2021, 9, 4), dt(2021, 10, 4), dt(2021, 10, 5), dt(2021, 10, 5),
+               dt(2021, 10, 5), dt(2021, 10, 6), dt(2021, 10, 6), dt(2021, 10, 7),
+               dt(2021, 10, 7), dt(2021, 10, 8), dt(2021, 10, 8), dt(2021, 10, 9),
+               dt(2021, 10, 9)])
+    assert DateTrainTestLeakageDuplicates().run(train, test).value == pytest.approx(0.31, abs=0.01)
+
+    train2 = mk([dt(2021, 10, 3)] * 2 + [dt(2021, 10, 4)] * 3 + [dt(2021, 10, 5)] * 2)
+    test2 = mk([dt(2021, 9, 4), dt(2021, 10, 4), dt(2021, 10, 5), dt(2021, 10, 6)])
+    assert DateTrainTestLeakageDuplicates(n_to_show=1).run(train2, test2).value == pytest.approx(0.5, abs=0.01)
+
+
 def test_feature_drift_ks_golden(spark, drifted_data):
     """KS on the same fixture: drifted numeric column must be far above
     the 0.2 threshold, undrifted far below (reference uses the same
