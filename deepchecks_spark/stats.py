@@ -122,10 +122,21 @@ def compute_column_stats(df: DataFrame, columns: list | None = None,
     already in the main agg) serves as ``distinct`` — exact per-column
     cardinality of a trillion rows is not a single-pass-friendly ask."""
     columns = columns if columns is not None else df.columns
-    row = df.agg(*_agg_exprs(df, columns)).first().asDict()
     if exact_distinct:
-        row.update(df.agg(*_distinct_exprs(df, columns)).first().asDict())
+        # submit both jobs concurrently — they scan the same (cached)
+        # input and the scheduler interleaves their tasks, hiding each
+        # job's ramp-up/tail behind the other's
+        from concurrent.futures import ThreadPoolExecutor
+
+        if df.is_cached:
+            df.count()  # materialize once so the two jobs don't race to build the cache
+        with ThreadPoolExecutor(2) as pool:
+            f_main = pool.submit(lambda: df.agg(*_agg_exprs(df, columns)).first().asDict())
+            f_dist = pool.submit(lambda: df.agg(*_distinct_exprs(df, columns)).first().asDict())
+            row = f_main.result()
+            row.update(f_dist.result())
     else:
+        row = df.agg(*_agg_exprs(df, columns)).first().asDict()
         for c in columns:
             row[f"distinct::{c}"] = row[f"approx_distinct::{c}"]
     return _rows_to_stats(row, columns)
