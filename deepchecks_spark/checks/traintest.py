@@ -140,6 +140,18 @@ class FeatureDrift(TrainTestCheck):
                             allowed_num_features_exceeding_threshold),
         )
 
+    def reduce_output(self, check_result, aggregation_method: str = "l3_weighted") -> dict:
+        """Headline monitoring number(s) from the per-feature drift scores
+        (reference utils/abstracts/feature_drift.py reduce_output +
+        core/reduce_classes.py:90-127), weighted by feature importance."""
+        from deepchecks_spark.core.reduce import reduce_output as _reduce
+
+        scores = {c: info.get("Drift score") for c, info in check_result.value.items()}
+        importance = {c: info.get("Importance") for c, info in check_result.value.items()}
+        if all(v is None for v in importance.values()):
+            importance = None
+        return _reduce(scores, importance, aggregation_method)
+
 
 class LabelDrift(TrainTestCheck):
     """Drift of the label column (reference utils/abstracts/label_drift.py:25-105,

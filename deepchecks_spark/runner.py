@@ -73,6 +73,47 @@ def partition_verdicts(ds: Dataset, checks: list, per_part: dict | None = None) 
     return rows
 
 
+def mixed_nulls_partition_rows(df: DataFrame, string_cols: list, per_part: dict,
+                               max_allowed_null_types: int = 1) -> list:
+    """Per-partition MixedNulls verdicts: one melted, pre-filtered pass
+    counts distinct string null-representations per (partition, column);
+    real-null presence comes from the per-partition stats. The condition
+    (distinct null types ≤ max) is then evaluated per partition —
+    matching a per-slice reference run exactly."""
+    rows = []
+    repr_counts: dict = {}
+    if string_cols:
+        melted = df.withColumn("__pid", F.spark_partition_id()).selectExpr(
+            "__pid",
+            f"stack({len(string_cols)}, "
+            + ", ".join(f"'{c}', `{c}`" for c in string_cols)
+            + ") as (column, value)",
+        ).filter(F.col("value").isNotNull() & is_null_string_expr(F.col("value")))
+        for r in melted.groupBy("__pid", "column").agg(
+            F.countDistinct("value").alias("n_reprs")
+        ).collect():
+            repr_counts[(r["__pid"], r["column"])] = r["n_reprs"]
+    cond_name = f"Number of different null types is less or equal to {max_allowed_null_types}"
+    for pid, stats in sorted(per_part.items()):
+        failing = {}
+        for col, st in stats.per_column.items():
+            n_types = repr_counts.get((pid, col), 0)
+            if st.get("null_count", 0) > 0:
+                n_types += 1
+            if st.get("nan_count"):
+                n_types += 1
+            if n_types > max_allowed_null_types:
+                failing[col] = n_types
+        if failing:
+            rows.append((pid, "Mixed Nulls", cond_name, "FAIL",
+                         f"Found {len(failing)} out of {len(stats.per_column)} columns with amount of "
+                         f"null types above threshold: {failing}"))
+        else:
+            rows.append((pid, "Mixed Nulls", cond_name, "PASS",
+                         f"Passed for {len(stats.per_column)} relevant columns"))
+    return rows
+
+
 class _StatsOnlyContext:
     """Context facade that serves one partition's precomputed stats to the
     stats-driven checks (their compute() only touches ctx.data/ctx.stats)."""
@@ -283,6 +324,7 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
 
     def _partition_verdicts():
         rows = partition_verdicts(ds, stats_checks, _per_part())
+        rows += mixed_nulls_partition_rows(ds.df, string_cols, _per_part())
         out = spark.createDataFrame(
             rows, "partition_id int, check string, condition string, category string, details string"
         )

@@ -115,3 +115,25 @@ def test_package_zip(tmp_path):
         names = zf.namelist()
     assert "deepchecks_spark/runner.py" in names
     assert "deepchecks_spark/__init__.py" in names
+
+
+def test_mixed_nulls_partition_parity(spark, tmp_path, corpus_parquet):
+    """Per-partition MixedNulls verdicts equal running the check on each
+    partition's slice through the normal path."""
+    out = str(tmp_path / "out_mn")
+    run_job(spark, corpus_parquet, out, cat_features=["lang"])
+    pv = spark.read.parquet(os.path.join(out, "partition_verdicts"))
+    got = {
+        r["partition_id"]: r["category"]
+        for r in pv.filter(F.col("check") == "Mixed Nulls").collect()
+    }
+    assert got  # rows exist
+    from deepchecks_spark import Dataset
+    from deepchecks_spark.checks.integrity import MixedNulls
+
+    df = spark.read.parquet(corpus_parquet).withColumn("__pid", F.spark_partition_id())
+    for pid in sorted(got):
+        part = df.filter(F.col("__pid") == pid).drop("__pid")
+        ds = Dataset(part, cat_features=["lang"], infer_categorical=False)
+        res = MixedNulls().add_condition_different_nulls_less_equal_to(1).run(ds)
+        assert got[pid] == res.conditions_results[0].category.value, f"pid {pid}"
