@@ -717,6 +717,42 @@ def q_language_id_documents(spark, sf_dir):
     return language_id(_t(spark, sf_dir, "documents"), "text").select("doc_id", "lang_pred")
 
 
+def o_language_id_documents():
+    from deepchecks_spark.pipeline.textstats import LANG_MARKERS
+
+    score_rows = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        arr = ", ".join(f"'{w}'" for w in words)
+        score_rows.append(
+            f"SELECT doc_id, '{lang}' AS lang, len(list_intersect(t, [{arr}])) AS s FROM toks"
+        )
+    scores = " UNION ALL ".join(score_rows)
+    return f"""
+    WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) t FROM documents),
+         scores AS ({scores}),
+         ranked AS (SELECT doc_id, lang, s,
+                           row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) r
+                    FROM scores)
+    SELECT doc_id, CASE WHEN s > 0 THEN lang ELSE 'unknown' END AS lang_pred
+    FROM ranked WHERE r = 1
+    """
+
+
+def q_bpe_token_count_documents(spark, sf_dir):
+    from deepchecks_spark.pipeline.textstats import with_bpe_ish_token_count
+
+    df = _t(spark, sf_dir, "documents")
+    return with_bpe_ish_token_count(df, "text").select("doc_id", "n_subtokens")
+
+
+def o_bpe_token_count_documents():
+    return """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_subtokens
+    FROM documents
+    """
+
+
 def q_fingerprint_documents(spark, sf_dir):
     from deepchecks_spark.pipeline.textstats import document_fingerprint
 
@@ -783,6 +819,7 @@ QUERIES = {
     "simhash_documents": q_simhash_documents,
     "lsh_topk_embeddings": q_lsh_topk_embeddings,
     "language_id_documents": q_language_id_documents,
+    "bpe_token_count_documents": q_bpe_token_count_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "string_length_outliers_documents": q_string_length_outliers_documents,
 }
@@ -813,6 +850,8 @@ ORACLES = {
     "spearman_lineitem": o_spearman_lineitem(),
     "theil_u_orders": o_theil_u_orders(),
     "correlation_ratio_orders": o_correlation_ratio_orders(),
+    "language_id_documents": o_language_id_documents(),
+    "bpe_token_count_documents": o_bpe_token_count_documents(),
     # pps/outlier/mvdrift/minhash/simhash/lsh/langid/fingerprint/strlen-outliers:
     # intentionally no oracle — seeded ML kernels and hash/LSH ops are not
     # SQL-expressible; the driver records rows-only checks for these.
