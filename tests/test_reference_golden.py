@@ -148,6 +148,20 @@ def test_date_leakage_duplicates_reference_golden(spark):
     assert DateTrainTestLeakageDuplicates(n_to_show=1).run(train2, test2).value == pytest.approx(0.5, abs=0.01)
 
 
+def test_index_leakage_reference_golden(spark):
+    """reference index_train_val_leakage_test.py:29-59: 0.25, 0.5, 0.0."""
+    from deepchecks_spark.checks.traintest import IndexTrainTestLeakage
+
+    def mk(vals):
+        return Dataset(spark.createDataFrame([(v,) for v in vals], "col1 int"),
+                       index_name="col1", infer_categorical=False)
+
+    train = mk([1, 2, 3, 4, 10, 11])
+    assert IndexTrainTestLeakage().run(train, mk([4, 5, 6, 7])).value == pytest.approx(0.25, abs=0.01)
+    assert IndexTrainTestLeakage(n_index_to_show=1).run(train, mk([4, 3, 6, 7])).value == pytest.approx(0.5, abs=0.01)
+    assert IndexTrainTestLeakage().run(train, mk([20, 5, 6, 7])).value == pytest.approx(0.0, abs=0.01)
+
+
 def test_feature_drift_ks_golden(spark, drifted_data):
     """KS on the same fixture: drifted numeric column must be far above
     the 0.2 threshold, undrifted far below (reference uses the same
