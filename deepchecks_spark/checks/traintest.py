@@ -297,8 +297,11 @@ class NewLabelTrainTest(TrainTestCheck):
         test_counts = (
             ctx.test.df.filter(F.col(label).isNotNull()).groupBy(label).count()
         )
+        # No forced broadcast: classification labels are tiny (AQE will
+        # broadcast them anyway), but a near-unique regression label would
+        # OOM a forced broadcast — let Catalyst/AQE pick the strategy.
         train_distinct = ctx.train.df.select(label).filter(F.col(label).isNotNull()).distinct()
-        new_rows = test_counts.join(F.broadcast(train_distinct), on=label, how="left_anti").collect()
+        new_rows = test_counts.join(train_distinct, on=label, how="left_anti").collect()
         n_test = ctx.stats("test", tuple(ctx.test.columns)).n_rows
         new_labels = {r[label]: r["count"] for r in sorted(new_rows, key=lambda r: str(r[label]))}
         value = {

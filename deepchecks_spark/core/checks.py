@@ -101,20 +101,41 @@ def pass_fail(ok: bool, details_pass: str, details_fail: str) -> ConditionResult
     return ConditionResult(ConditionCategory.FAIL, details_fail)
 
 
-def format_percent(ratio: float, floating_point: int = 2) -> str:
-    """Reference utils/strings.py:461+ format_percent — used inside
-    condition details strings so messages match the reference style."""
+def _truncate_zero_percent(ratio: float, floating_point: int) -> str:
+    """Reference utils/strings.py:461-466 truncate_zero_percent."""
+    if floating_point == 0:
+        return f"{ratio * 100:.0f}%"
+    return f"{ratio * 100:.{floating_point}f}".rstrip("0").rstrip(".") + "%"
+
+
+def format_percent(ratio: float, floating_point: int = 2,
+                   scientific_notation_threshold: int = 4,
+                   add_positive_prefix: bool = False) -> str:
+    """Reference utils/strings.py:469-513 format_percent — used inside
+    condition details strings so messages match the reference exactly:
+    integer ratios → '{int(ratio)*100}%', tiny ratios → scientific
+    notation, near-1 → '99.99%', else trailing-zero-stripped percent."""
     if ratio < 0:
-        return "-" + format_percent(-ratio, floating_point)
+        ratio = -ratio
+        prefix = "-"
+    else:
+        prefix = "+" if add_positive_prefix and ratio != 0 else ""
     if int(ratio) == ratio:
-        return f"{int(ratio):,}00%"
-    if ratio > 1:
-        return f"{ratio:,.{floating_point}f}".rstrip("0").rstrip(".") + "00%"
-    pct = ratio * 100
-    if pct < 10 ** (-floating_point) and pct > 0:
-        return f"{10 ** (-floating_point):.{floating_point}f}%"[0:] if pct else "0%"
-    out = f"{pct:.{floating_point}f}".rstrip("0").rstrip(".")
-    return f"{out}%"
+        result = f"{int(ratio) * 100}%"
+    elif ratio > 1:
+        result = _truncate_zero_percent(ratio, floating_point)
+    elif ratio < 10 ** (-(2 + floating_point)):
+        if ratio > 10 ** (-(2 + scientific_notation_threshold)):
+            result = _truncate_zero_percent(ratio, scientific_notation_threshold)
+        else:
+            from decimal import Decimal
+
+            result = f"{Decimal(ratio * 100):.{floating_point}E}%"
+    elif ratio > (1 - 10 ** (-(2 + floating_point))):
+        result = f"99.{'9' * floating_point}%" if floating_point > 0 else "99%"
+    else:
+        result = _truncate_zero_percent(ratio, floating_point)
+    return prefix + result
 
 
 def format_number(x, floating_point: int = 5) -> str:

@@ -194,8 +194,12 @@ def _chi2_stat(observed: np.ndarray) -> float:
     if np.any(expected == 0):
         raise ValueError("chi2: zero element in expected frequencies")
     dof = (observed.shape[0] - 1) * (observed.shape[1] - 1)
-    if dof == 1:  # Yates: shift observed 0.5 toward expected (scipy semantics)
-        observed = observed + 0.5 * np.sign(expected - observed)
+    if dof == 1:
+        # Yates: shift observed toward expected by min(0.5, |e−o|) — the
+        # magnitude cap matches scipy>=1.7 (scipy gh-13875); an uncapped
+        # shift overshoots past expected on near-identical distributions.
+        shift = np.minimum(0.5, np.abs(expected - observed))
+        observed = observed + shift * np.sign(expected - observed)
     return float(np.sum((observed - expected) ** 2 / expected))
 
 

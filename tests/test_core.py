@@ -74,3 +74,18 @@ def test_format_helpers():
     assert format_percent(0.0001) == "0.01%"
     assert format_number(3.14159, 2) == "3.14"
     assert format_number(1000000) == "1,000,000"
+
+
+def test_format_percent_reference_parity():
+    # reference utils/strings.py:469-513 exact behaviors
+    assert format_percent(0.0) == "0%"
+    assert format_percent(1) == "100%"
+    assert format_percent(2) == "200%"
+    assert format_percent(1.5) == "150%"
+    assert format_percent(1.234) == "123.4%"
+    assert format_percent(-0.5) == "-50%"
+    assert format_percent(0.999999) == "99.99%"
+    assert format_percent(0.00001) == "0.001%"  # below fp, above sci threshold
+    assert format_percent(0.000001) == "1.00E-4%"  # scientific notation
+    assert format_percent(1e-8).endswith("E-6%")
+    assert format_percent(0.25, add_positive_prefix=True) == "+25%"

@@ -170,3 +170,15 @@ def test_label_drift(spark):
     assert result.value["Method"] == "Cramer's V"
     assert result.value["Drift score"] == pytest.approx(want, abs=1e-12)
     assert result.conditions_results[0].category == ConditionCategory.FAIL
+
+
+def test_yates_correction_capped_at_observed_expected_gap():
+    # scipy>=1.7 caps the Yates shift at |expected-observed| (scipy gh-13875):
+    # two near-identical 2-category distributions must give Cramér's V ~0,
+    # not a small positive overshoot.
+    from deepchecks_spark.drift.kernels import cramers_v_from_counts
+
+    c1 = {"a": 500, "b": 500}
+    c2 = {"a": 501, "b": 499}
+    v = cramers_v_from_counts(c1, c2)
+    assert v == pytest.approx(0.0, abs=1e-9)

@@ -244,3 +244,78 @@ def test_conflicting_labels_salted_matches_unsalted(spark):
     pv = sorted((r["f1"], tuple(r["labels"])) for r in plain.violations.collect())
     sv = sorted((r["f1"], tuple(r["labels"])) for r in salted.violations.collect())
     assert pv == sv == [(1, ("a", "b"))]
+
+
+# -- StringLengthOutOfBounds: compressed ordinal path --
+
+def _detect_ordinal_expanded(check, value, c, lengths, counts, n):
+    """Brute-force twin of the reference's per-sample ordinal percentile
+    expansion (what round 1 did on the driver) — test oracle only."""
+    import numpy as np
+    from deepchecks_spark.checks.integrity import _outlier_sections
+
+    cum = np.cumsum(counts)
+    keys, vals = [], []
+    start = 0
+    for j in range(len(lengths)):
+        ranks = np.arange(start + 1, cum[j] + 1, dtype=float)
+        keys.append(100.0 * ranks / n)
+        vals.append(np.full(len(ranks), lengths[j]))
+        start = cum[j]
+    keys = np.concatenate(keys)
+    vals = np.concatenate(vals)
+    sections = _outlier_sections(keys, vals, check.inner_quantile_range, check.outlier_factor)
+    if not sections:
+        return
+    in_any = np.zeros(len(keys), dtype=bool)
+    for a, b in sections:
+        in_any |= (keys >= a) & (keys <= b)
+    if in_any.all():
+        return
+    non_out_keys = keys[~in_any]
+    lo_k, hi_k = non_out_keys.min(), non_out_keys.max()
+    non_lower = vals[keys == lo_k][0]
+    non_upper = vals[keys == hi_k][0]
+    for a, b in sections:
+        lo = vals[keys == a][0]
+        hi = vals[keys == b][0]
+        check._emit_outlier(value, c, lengths, counts, n, lo, hi, non_lower, non_upper)
+
+
+def test_string_length_compressed_matches_expanded_randomized():
+    import numpy as np
+
+    check = StringLengthOutOfBounds()
+    rng = np.random.default_rng(42)
+    for trial in range(60):
+        k = int(rng.integers(2, 40))
+        lengths = np.sort(rng.choice(np.arange(1, 3000), size=k, replace=False)).astype(float)
+        counts = rng.integers(1, 50, size=k).astype(np.int64)
+        n = int(counts.sum())
+        got, want = {"c": {"outliers": []}}, {"c": {"outliers": []}}
+        check._detect_ordinal_compressed(got, "c", lengths, counts, n)
+        _detect_ordinal_expanded(check, want, "c", lengths, counts, n)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_string_length_compressed_handles_billions_of_rows():
+    # 10^9 total count, 200 distinct lengths: must run in O(nunique), not
+    # O(n_rows) driver memory (VERDICT r1 §wrong-2)
+    import time
+
+    import numpy as np
+
+    check = StringLengthOutOfBounds()
+    lengths = np.arange(50, 250, dtype=float)
+    counts = np.full(200, 5_000_000, dtype=np.int64)
+    lengths = np.append(lengths, [50_000.0])
+    counts = np.append(counts, [1_000])
+    n = int(counts.sum())
+    assert n > 1_000_000_000
+    value = {"text": {"outliers": []}}
+    t0 = time.time()
+    check._detect_ordinal_compressed(value, "text", lengths, counts, n)
+    assert time.time() - t0 < 0.5
+    assert value["text"]["outliers"]
+    assert value["text"]["outliers"][0]["n_samples"] == 1_000
+    assert value["text"]["outliers"][0]["range"]["max"] >= 50_000.0
