@@ -32,7 +32,31 @@ class BaseCheck:
 
     # -- reference core/checks.py:93-109 -----------------------------------
     def add_condition(self, name: str, condition_func, **params) -> "BaseCheck":
-        self.conditions.append(Condition(name, condition_func, params))
+        """Attach a condition. When called from inside a default
+        ``add_condition_*`` builder method, the builder's name and
+        arguments are recorded on the Condition so config() round-trips
+        re-create it exactly (reference serializes condition objects in
+        core/suite.py:604-683; here the builder call is the config unit)."""
+        import inspect
+        import sys
+
+        builder = None
+        builder_kwargs = None
+        caller = sys._getframe(1)
+        fn_name = caller.f_code.co_name
+        if fn_name.startswith("add_condition_") and hasattr(type(self), fn_name):
+            try:
+                sig = inspect.signature(getattr(type(self), fn_name))
+                builder_kwargs = {
+                    k: caller.f_locals[k]
+                    for k in sig.parameters
+                    if k != "self" and k in caller.f_locals
+                }
+                builder = fn_name
+            except (TypeError, ValueError):  # pragma: no cover - exotic builders
+                pass
+        self.conditions.append(Condition(name, condition_func, params,
+                                         builder=builder, builder_kwargs=builder_kwargs))
         return self
 
     def clean_conditions(self) -> "BaseCheck":
@@ -47,10 +71,31 @@ class BaseCheck:
         return re.sub(r"(?<!^)(?=[A-Z])", " ", type(self).__name__)
 
     def config(self) -> dict:
+        """Full parameter snapshot (reference CheckConfig,
+        core/checks.py:186-239): every constructor parameter is read back
+        from its same-named instance attribute, and conditions carry their
+        builder + kwargs so from_config restores thresholds."""
+        import inspect
+
+        params = {}
+        try:
+            sig = inspect.signature(type(self).__init__)
+            for pname, p in sig.parameters.items():
+                if pname == "self" or p.kind in (p.VAR_KEYWORD, p.VAR_POSITIONAL):
+                    continue
+                if hasattr(self, pname):
+                    params[pname] = getattr(self, pname)
+        except (TypeError, ValueError):  # pragma: no cover
+            pass
+        params.setdefault("n_samples", self.n_samples)
+        params.setdefault("random_state", self.random_state)
         return {
             "check": type(self).__name__,
-            "params": {"n_samples": self.n_samples, "random_state": self.random_state, **self.params},
-            "conditions": [c.name for c in self.conditions],
+            "params": params,
+            "conditions": [
+                {"name": c.name, "builder": c.builder, "kwargs": c.builder_kwargs or {}}
+                for c in self.conditions
+            ],
         }
 
     def _finalize(self, ctx, value, violations=None, t0: float | None = None) -> CheckResult:

@@ -43,11 +43,18 @@ class ConditionResult:
 @dataclass
 class Condition:
     """Named predicate over a check's result value
-    (reference core/condition.py:24-52)."""
+    (reference core/condition.py:24-52).
+
+    ``builder``/``builder_kwargs`` record which ``add_condition_*``
+    default builder created this condition (when one did), so a suite
+    rebuilt from config() re-attaches the condition with the SAME
+    threshold arguments instead of silently dropping it."""
 
     name: str
     function: Callable[[Any], ConditionResult]
     params: dict = field(default_factory=dict)
+    builder: str | None = None
+    builder_kwargs: dict | None = None
 
     def __call__(self, value) -> ConditionResult:
         result = self.function(value, **self.params)

@@ -107,20 +107,28 @@ class Suite:
     @classmethod
     def from_config(cls, conf: dict) -> "Suite":
         """Rebuild a suite from config(): checks resolved by class name
-        from the checks registry with their recorded sampling params.
-        Conditions are re-attached by their recorded builder names when
-        they exist as default add_condition_* methods (the reference
-        instead serializes condition closures — core/suite.py:604-683)."""
+        from the checks registry, constructed with the FULL recorded
+        parameter dict, and conditions re-attached by invoking the
+        recorded add_condition_* builder with its recorded kwargs (the
+        reference instead serializes condition closures —
+        core/suite.py:604-683). A condition that was added via a custom
+        add_condition() call has no recorded builder and raises — a
+        rebuilt suite must never silently run with fewer conditions."""
         import deepchecks_spark.checks as registry
 
         suite = cls(conf["name"])
         for c in conf["checks"]:
             check_cls = getattr(registry, c["check"])
-            params = c.get("params", {})
-            check = check_cls(
-                n_samples=params.get("n_samples"),
-                random_state=params.get("random_state", 42),
-            )
+            params = dict(c.get("params", {}))
+            check = check_cls(**params)
+            for cond in c.get("conditions", []):
+                if isinstance(cond, str) or not cond.get("builder"):
+                    name = cond if isinstance(cond, str) else cond.get("name")
+                    raise ValueError(
+                        f"cannot restore condition {name!r} on {c['check']}: no recorded "
+                        "add_condition_* builder (custom conditions are not serializable)"
+                    )
+                getattr(check, cond["builder"])(**cond.get("kwargs", {}))
             suite.add(check)
         return suite
 

@@ -186,13 +186,16 @@ def q_cramers_v_events_type(spark, sf_dir):
     return spark.createDataFrame([(round(float(score), 6),)], "cramers_v double")
 
 
-def o_cramers_v_events_type():
-    # bias-corrected Cramér's V on the 2×k contingency after downsizing the
-    # larger side (round to int), k>2 → no Yates correction. Mirrors
-    # reference deepchecks drift.py:98-172 semantics.
-    return """
-    WITH train AS (SELECT event_type v FROM events WHERE event_id % 2 = 0 AND event_type IS NOT NULL),
-         test  AS (SELECT event_type v FROM events WHERE event_id % 2 = 1 AND event_type IS NOT NULL),
+def _cramers_sql(table: str, col: str, keycol: str, out_name: str = "cramers_v",
+                 extra_select: str | None = None):
+    """Bias-corrected Cramér's V on the 2×k contingency after downsizing
+    the larger side (round to int), k>2 → no Yates correction. Mirrors
+    reference deepchecks drift.py:98-172 semantics. Parameterized so
+    FeatureDrift/LabelDrift oracles reuse the identical math."""
+    select = extra_select + ", " if extra_select else ""
+    return f"""
+    WITH train AS (SELECT {col} v FROM {table} WHERE {keycol} % 2 = 0 AND {col} IS NOT NULL),
+         test  AS (SELECT {col} v FROM {table} WHERE {keycol} % 2 = 1 AND {col} IS NOT NULL),
          c1 AS (SELECT v, count(*) n FROM train GROUP BY v),
          c2 AS (SELECT v, count(*) n FROM test GROUP BY v),
          j AS (SELECT coalesce(c1.v, c2.v) v, coalesce(c1.n, 0)::double n1, coalesce(c2.n, 0)::double n2
@@ -211,11 +214,35 @@ def o_cramers_v_events_type():
                       + sum(pow(a2 - (a1 + a2) * (SELECT r2 FROM tot) / (SELECT n FROM tot), 2)
                           / ((a1 + a2) * (SELECT r2 FROM tot) / (SELECT n FROM tot))) chi2
                  FROM flt)
-    SELECT round(sqrt(greatest(0, (SELECT chi2 FROM chi) / (SELECT n FROM tot)
+    SELECT {select}round(sqrt(greatest(0, (SELECT chi2 FROM chi) / (SELECT n FROM tot)
                                    - ((SELECT k FROM tot) - 1) * 1.0 / ((SELECT n FROM tot) - 1))
                   / least((SELECT k FROM tot) - pow((SELECT k FROM tot) - 1, 2) / ((SELECT n FROM tot) - 1) - 1,
-                          2 - 1.0 / ((SELECT n FROM tot) - 1) - 1)), 6) AS cramers_v
+                          2 - 1.0 / ((SELECT n FROM tot) - 1) - 1)), 6) AS {out_name}
     """
+
+
+def _ks_sql(table: str, col: str, keycol: str, out_name: str = "ks",
+            extra_select: str | None = None):
+    """Two-sample KS via SQL-window cumulative CDFs over the merged
+    support — the same formulation the engine's ks_from_hist uses."""
+    select = extra_select + ", " if extra_select else ""
+    return f"""
+    WITH t1 AS (SELECT {col} v FROM {table} WHERE {keycol} % 2 = 0 AND {col} IS NOT NULL),
+         t2 AS (SELECT {col} v FROM {table} WHERE {keycol} % 2 = 1 AND {col} IS NOT NULL),
+         merged AS (SELECT v, 1 a, 0 b FROM t1 UNION ALL SELECT v, 0, 1 FROM t2),
+         cum AS (SELECT v,
+                        sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) ca,
+                        sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) cb
+                 FROM merged),
+         grp AS (SELECT v, max(ca) ca, max(cb) cb FROM cum GROUP BY v)
+    SELECT {select}round(max(abs(ca / (SELECT count(*)::double FROM t1)
+                      - cb / (SELECT count(*)::double FROM t2))), 6) AS {out_name}
+    FROM grp
+    """
+
+
+def o_cramers_v_events_type():
+    return _cramers_sql("events", "event_type", "event_id")
 
 
 def q_ks_lineitem_price(spark, sf_dir):
@@ -232,19 +259,7 @@ def q_ks_lineitem_price(spark, sf_dir):
 
 
 def o_ks_lineitem_price():
-    return """
-    WITH t1 AS (SELECT l_extendedprice v FROM lineitem WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL),
-         t2 AS (SELECT l_extendedprice v FROM lineitem WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL),
-         merged AS (SELECT v, 1 a, 0 b FROM t1 UNION ALL SELECT v, 0, 1 FROM t2),
-         cum AS (SELECT v,
-                        sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) ca,
-                        sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) cb
-                 FROM merged),
-         grp AS (SELECT v, max(ca) ca, max(cb) cb FROM cum GROUP BY v)
-    SELECT round(max(abs(ca / (SELECT count(*)::double FROM t1)
-                      - cb / (SELECT count(*)::double FROM t2))), 6) AS ks
-    FROM grp
-    """
+    return _ks_sql("lineitem", "l_extendedprice", "l_orderkey")
 
 
 def q_emd_events_value(spark, sf_dir):
@@ -777,6 +792,235 @@ def q_string_length_outliers_documents(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-2: driver-contract queries for the previously uncontracted
+# SURVEY §2 operators (VERDICT r1 next-1). Fixtures that need specific
+# pathologies (null reprs, type mixes, case variants) are DERIVED
+# deterministically from the driver tables with dialect-shared CASE
+# expressions, so Spark and DuckDB see byte-identical inputs.
+# ---------------------------------------------------------------------------
+
+_NULLISH_CASE = (
+    "CASE doc_id % 9 WHEN 0 THEN 'null' WHEN 1 THEN 'None' WHEN 2 THEN 'N/A' "
+    "WHEN 3 THEN '' WHEN 4 THEN NULL WHEN 5 THEN 'nan' ELSE lang END"
+)
+
+
+def q_mixed_nulls_documents(spark, sf_dir):
+    from deepchecks_spark.checks.integrity import MixedNulls
+
+    df = _t(spark, sf_dir, "documents").selectExpr(f"{_NULLISH_CASE} AS nullish", "lang")
+    ds = Dataset(df, infer_categorical=False)
+    value, _ = MixedNulls().compute(_ctx(ds), "train")
+    rows = []
+    for col, reprs in sorted(value["columns"].items()):
+        for key, info in sorted(reprs.items()):
+            rows.append((col, key, int(info["count"]), round(float(info["percent"]), 6)))
+    return spark.createDataFrame(rows, "column string, null_repr string, count long, percent double")
+
+
+def o_mixed_nulls_documents():
+    # string null-reprs keyed repr-with-double-quotes (reference
+    # mixed_nulls.py:126-131), real NULL keyed 'null'; baseform =
+    # lowercase alnum-stripped (reference strings.py:279-303)
+    return f"""
+    WITH d AS (SELECT {_NULLISH_CASE} AS v FROM documents),
+         n AS (SELECT count(*)::double c FROM documents)
+    SELECT 'nullish' AS column, '"' || v || '"' AS null_repr, count(*)::BIGINT AS count,
+           round(count(*) / (SELECT c FROM n), 6) AS percent
+    FROM d
+    WHERE v IS NOT NULL
+      AND lower(regexp_replace(v, '[^a-zA-Z0-9]', '', 'g')) IN ('none', 'null', 'nan', 'na', '')
+    GROUP BY v
+    UNION ALL
+    SELECT 'nullish', 'null', count(*)::BIGINT, round(count(*) / (SELECT c FROM n), 6)
+    FROM d WHERE v IS NULL
+    """
+
+
+def q_mixed_data_types_orders(spark, sf_dir):
+    from deepchecks_spark.checks.integrity import MixedDataTypes
+
+    df = _t(spark, sf_dir, "orders").selectExpr(
+        "CASE WHEN o_orderkey % 10 < 3 THEN CAST(o_totalprice AS STRING) "
+        "ELSE o_orderpriority END AS v"
+    )
+    ds = Dataset(df, infer_categorical=False)
+    value, _ = MixedDataTypes().compute(_ctx(ds), "train")
+    rows = [(c, round(float(info["strings"]), 6), round(float(info["numbers"]), 6))
+            for c, info in sorted(value.items()) if info]
+    return spark.createDataFrame(rows, "column string, strings_ratio double, numbers_ratio double")
+
+
+def o_mixed_data_types_orders():
+    return """
+    WITH d AS (SELECT CASE WHEN o_orderkey % 10 < 3 THEN CAST(o_totalprice AS VARCHAR)
+                           ELSE o_orderpriority END AS v FROM orders),
+         s AS (SELECT count(*)::double nn,
+                      sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END)::double nu
+               FROM d WHERE v IS NOT NULL)
+    SELECT 'v' AS column, round((nn - nu) / nn, 6) AS strings_ratio,
+           round(nu / nn, 6) AS numbers_ratio
+    FROM s
+    """
+
+
+def q_conflicting_labels_customer(spark, sf_dir):
+    from deepchecks_spark.checks.integrity import ConflictingLabels
+
+    df = _t(spark, sf_dir, "customer").selectExpr(
+        "c_nationkey", "c_mktsegment",
+        "CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS label")
+    ds = Dataset(df, label="label", infer_categorical=False)
+    value, _ = ConflictingLabels().compute(_ctx(ds), "train")
+    return spark.createDataFrame([(round(float(value["percent"]), 6),)], "percent double")
+
+
+def o_conflicting_labels_customer():
+    return """
+    WITH d AS (SELECT c_nationkey f1, c_mktsegment f2,
+                      CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS lbl FROM customer),
+         g AS (SELECT f1, f2, count(*) n, count(DISTINCT lbl) k FROM d GROUP BY f1, f2)
+    SELECT round((SELECT coalesce(sum(n), 0) FROM g WHERE k > 1)
+                 / (SELECT sum(n) FROM g)::double, 6) AS percent
+    """
+
+
+_VARIANT_CASE = (
+    "CASE doc_id % 5 WHEN 0 THEN upper(lang) WHEN 1 THEN concat(lang, '!') ELSE lang END"
+)
+
+
+def q_string_mismatch_documents(spark, sf_dir):
+    from deepchecks_spark.checks.integrity import StringMismatch
+
+    df = _t(spark, sf_dir, "documents").selectExpr(f"{_VARIANT_CASE} AS v")
+    ds = Dataset(df, infer_categorical=False)
+    value, _ = StringMismatch().compute(_ctx(ds), "train")
+    rows = []
+    for col, bases in sorted(value.items()):
+        for base, variants in sorted(bases.items()):
+            for variant, info in sorted(variants.items()):
+                rows.append((col, base, variant, int(info["count"]),
+                             round(float(info["percent"]), 6)))
+    return spark.createDataFrame(
+        rows, "column string, base string, variant string, count long, percent double")
+
+
+def o_string_mismatch_documents():
+    return f"""
+    WITH d AS (SELECT {_VARIANT_CASE} AS v FROM documents),
+         per AS (SELECT lower(regexp_replace(v, '[^a-zA-Z0-9]', '', 'g')) base, v, count(*) c
+                 FROM d WHERE v IS NOT NULL GROUP BY 1, 2),
+         k AS (SELECT base FROM per GROUP BY base HAVING count(*) > 1)
+    SELECT 'v' AS column, per.base, per.v AS variant, c::BIGINT AS count,
+           round(c / (SELECT count(*) FROM documents)::double, 6) AS percent
+    FROM per JOIN k USING (base)
+    """
+
+
+_TEST_ONLY_VARIANT_CASE = (
+    "CASE WHEN doc_id % 2 = 1 AND doc_id % 7 = 0 THEN upper(lang) ELSE lang END"
+)
+
+
+def q_string_mismatch_comparison_documents(spark, sf_dir):
+    from deepchecks_spark.checks.traintest import StringMismatchComparison
+    from deepchecks_spark.core.context import Context
+
+    df = _t(spark, sf_dir, "documents").selectExpr("doc_id", f"{_TEST_ONLY_VARIANT_CASE} AS v")
+    mk = lambda d: Dataset(d.drop("doc_id"), infer_categorical=False)  # noqa: E731
+    ctx = Context(train=mk(df.filter(F.col("doc_id") % 2 == 0)),
+                  test=mk(df.filter(F.col("doc_id") % 2 == 1)))
+    value, _ = StringMismatchComparison().compute(ctx)
+    rows = []
+    for col, bases in sorted(value.items()):
+        for base, info in sorted(bases.items()):
+            for variant in sorted(info["variants_only_in_test"]):
+                rows.append((col, base, variant))
+    return spark.createDataFrame(rows, "column string, base string, variant string")
+
+
+def o_string_mismatch_comparison_documents():
+    return f"""
+    WITH d AS (SELECT doc_id, {_TEST_ONLY_VARIANT_CASE} AS v FROM documents),
+         tr AS (SELECT DISTINCT lower(regexp_replace(v, '[^a-zA-Z0-9]', '', 'g')) base, v
+                FROM d WHERE doc_id % 2 = 0 AND v IS NOT NULL),
+         te AS (SELECT DISTINCT lower(regexp_replace(v, '[^a-zA-Z0-9]', '', 'g')) base, v
+                FROM d WHERE doc_id % 2 = 1 AND v IS NOT NULL)
+    SELECT 'v' AS column, te.base, te.v AS variant
+    FROM te
+    WHERE te.base IN (SELECT base FROM tr)
+      AND NOT EXISTS (SELECT 1 FROM tr WHERE tr.base = te.base AND tr.v = te.v)
+    """
+
+
+def q_feature_drift_orders(spark, sf_dir):
+    from deepchecks_spark.checks.traintest import FeatureDrift
+    from deepchecks_spark.core.context import Context
+
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
+    mk = lambda d: Dataset(d.drop("o_orderkey"), cat_features=["o_orderpriority"],  # noqa: E731
+                           infer_categorical=False)
+    ctx = Context(train=mk(df.filter(F.col("o_orderkey") % 2 == 0)),
+                  test=mk(df.filter(F.col("o_orderkey") % 2 == 1)))
+    value, _ = FeatureDrift().compute(ctx)
+    rows = [(c, info["Method"], round(float(info["Drift score"]), 6))
+            for c, info in sorted(value.items())]
+    return spark.createDataFrame(rows, "column string, method string, drift_score double")
+
+
+def o_feature_drift_orders():
+    ks = _ks_sql("orders", "o_totalprice", "o_orderkey", out_name="drift_score",
+                 extra_select="'o_totalprice' AS column, 'Kolmogorov-Smirnov' AS method")
+    cv = _cramers_sql("orders", "o_orderpriority", "o_orderkey", out_name="drift_score",
+                      extra_select="'o_orderpriority' AS column, 'Cramer''s V' AS method")
+    return f"SELECT * FROM ({ks}) UNION ALL SELECT * FROM ({cv})"
+
+
+def q_label_drift_embeddings(spark, sf_dir):
+    from deepchecks_spark.checks.traintest import LabelDrift
+    from deepchecks_spark.core.context import Context
+
+    df = _t(spark, sf_dir, "embeddings")
+    train, test = _split_ds(df, "vec_id", label="label")
+    value, _ = LabelDrift().compute(Context(train=train, test=test))
+    return spark.createDataFrame([(value["Method"], round(float(value["Drift score"]), 6))],
+                                 "method string, drift_score double")
+
+
+def o_label_drift_embeddings():
+    return _cramers_sql("embeddings", "label", "vec_id", out_name="drift_score",
+                        extra_select="'Cramer''s V' AS method")
+
+
+def q_identifier_label_correlation_events(spark, sf_dir):
+    from deepchecks_spark.checks.ml import IdentifierLabelCorrelation
+
+    df = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    ds = Dataset(df, label="event_type", index_name="event_id", infer_categorical=False)
+    value, _ = IdentifierLabelCorrelation().compute(_ctx(ds), "train")
+    rows = [(c, round(float(v), 6)) for c, v in sorted(value.items())]
+    return spark.createDataFrame(rows, "identifier string, pps double")
+
+
+def q_feature_label_corr_change_events(spark, sf_dir):
+    from deepchecks_spark.checks.ml import FeatureLabelCorrelationChange
+    from deepchecks_spark.core.context import Context
+
+    df = _t(spark, sf_dir, "events").select("event_id", "value", "user_id", "event_type")
+    mk = lambda d: Dataset(d.drop("event_id"), label="event_type",  # noqa: E731
+                           infer_categorical=False)
+    ctx = Context(train=mk(df.filter(F.col("event_id") % 2 == 0)),
+                  test=mk(df.filter(F.col("event_id") % 2 == 1)))
+    value, _ = FeatureLabelCorrelationChange().compute(ctx)
+    rows = [(f, round(float(value["train"][f]), 6), round(float(value["test"][f]), 6),
+             round(float(value["train-test difference"][f]), 6))
+            for f in sorted(value["train"])]
+    return spark.createDataFrame(
+        rows, "feature string, train_pps double, test_pps double, pps_diff double")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -822,6 +1066,15 @@ QUERIES = {
     "bpe_token_count_documents": q_bpe_token_count_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "string_length_outliers_documents": q_string_length_outliers_documents,
+    "mixed_nulls_documents": q_mixed_nulls_documents,
+    "mixed_data_types_orders": q_mixed_data_types_orders,
+    "conflicting_labels_customer": q_conflicting_labels_customer,
+    "string_mismatch_documents": q_string_mismatch_documents,
+    "string_mismatch_comparison_documents": q_string_mismatch_comparison_documents,
+    "feature_drift_orders": q_feature_drift_orders,
+    "label_drift_embeddings": q_label_drift_embeddings,
+    "identifier_label_correlation_events": q_identifier_label_correlation_events,
+    "feature_label_corr_change_events": q_feature_label_corr_change_events,
 }
 
 ORACLES = {
@@ -852,7 +1105,15 @@ ORACLES = {
     "correlation_ratio_orders": o_correlation_ratio_orders(),
     "language_id_documents": o_language_id_documents(),
     "bpe_token_count_documents": o_bpe_token_count_documents(),
-    # pps/outlier/mvdrift/minhash/simhash/lsh/langid/fingerprint/strlen-outliers:
+    "mixed_nulls_documents": o_mixed_nulls_documents(),
+    "mixed_data_types_orders": o_mixed_data_types_orders(),
+    "conflicting_labels_customer": o_conflicting_labels_customer(),
+    "string_mismatch_documents": o_string_mismatch_documents(),
+    "string_mismatch_comparison_documents": o_string_mismatch_comparison_documents(),
+    "feature_drift_orders": o_feature_drift_orders(),
+    "label_drift_embeddings": o_label_drift_embeddings(),
+    # pps/outlier/mvdrift/minhash/simhash/lsh/fingerprint + the two PPS
+    # queries (identifier_label_correlation, feature_label_corr_change):
     # intentionally no oracle — seeded ML kernels and hash/LSH ops are not
     # SQL-expressible; the driver records rows-only checks for these.
 }

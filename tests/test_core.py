@@ -32,7 +32,7 @@ def test_suite_config_roundtrip(spark):
     suite = Suite(
         "roundtrip",
         IsSingleValue(n_samples=1000).add_condition_not_single_value(),
-        PercentOfNulls(),
+        PercentOfNulls(columns=["x"]).add_condition_percent_of_nulls_not_greater_than(0.3),
     )
     conf = suite.config()
     assert conf["name"] == "roundtrip"
@@ -40,11 +40,25 @@ def test_suite_config_roundtrip(spark):
     rebuilt = Suite.from_config(conf)
     assert [type(c).__name__ for c in rebuilt.checks] == ["IsSingleValue", "PercentOfNulls"]
     assert rebuilt.checks[0].n_samples == 1000
-    # rebuilt suite runs
+    # non-sampling params and conditions (with thresholds) are restored
+    assert rebuilt.checks[1].columns == ["x"]
+    assert len(rebuilt.checks[0].conditions) == 1
+    assert len(rebuilt.checks[1].conditions) == 1
+    assert rebuilt.checks[1].conditions[0].builder_kwargs == {"threshold": 0.3}
+    assert rebuilt.checks[1].conditions[0].name == suite.checks[1].conditions[0].name
+    # rebuilt suite runs and its conditions actually evaluate
     ds = Dataset(spark.createDataFrame([(1, "a"), (2, "b")], "x int, y string"),
                  infer_categorical=False)
     result = rebuilt.run(ds)
     assert not result.get_failures()
+    assert all(r.conditions_results for r in result.results)
+
+
+def test_suite_from_config_raises_on_custom_condition():
+    check = IsSingleValue().add_condition("custom", lambda v: None)
+    conf = Suite("s", check).config()
+    with pytest.raises(ValueError, match="cannot restore condition"):
+        Suite.from_config(conf)
 
 
 def test_condition_exception_becomes_error(spark):
