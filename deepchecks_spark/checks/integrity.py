@@ -537,12 +537,20 @@ class StringMismatch(SingleDatasetCheck):
     (two-stage partial agg) → per-(column, baseform) variant counts via
     a second tiny aggregation over the already-reduced frame. Only
     reduced (distinct-value-level) data ever shuffles.
+
+    ``max_distinct_to_check`` (engine addition): free-text columns make
+    the collected variant map unbounded; columns whose distinct count
+    exceeds the gate are skipped (empty result), same policy as the
+    suite runner. The distinct counts come free from the shared fused
+    stats pass.
     """
 
-    def __init__(self, columns=None, ignore_columns=None, n_samples: int | None = 1_000_000, **kw):
+    def __init__(self, columns=None, ignore_columns=None, n_samples: int | None = 1_000_000,
+                 max_distinct_to_check: int = 10_000, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
         self.ignore_columns = ignore_columns
+        self.max_distinct_to_check = max_distinct_to_check
 
     def compute(self, ctx, kind):
         ds = ctx.data(kind)
@@ -552,6 +560,13 @@ class StringMismatch(SingleDatasetCheck):
             return value, None
         stats = ctx.stats(kind, tuple(ds.columns))
         n_rows = stats.n_rows
+        if self.max_distinct_to_check is not None:
+            cols = [
+                c for c in cols
+                if (stats.per_column[c].get("distinct") or 0) <= self.max_distinct_to_check
+            ]
+            if not cols:
+                return value, None
         melted = melt_strings(ds.df, cols).filter(F.col("value").isNotNull())
         per_variant = (
             melted.withColumn("base", baseform_expr(F.col("value"), allow_empty_result=False))

@@ -417,12 +417,19 @@ class StringMismatchComparison(TrainTestCheck):
     collect_set(value)`` over distinct values, inner join on
     (column, baseform), ``array_except`` for the test-only variants —
     only distinct-value-level data shuffles.
+
+    ``max_distinct_to_check`` (engine addition, same policy as
+    StringMismatch): columns whose approx distinct count exceeds the
+    gate on either side are skipped instead of collecting an unbounded
+    variant map. One narrow approx_count_distinct agg per side.
     """
 
-    def __init__(self, columns=None, ignore_columns=None, n_samples: int | None = 1_000_000, **kw):
+    def __init__(self, columns=None, ignore_columns=None, n_samples: int | None = 1_000_000,
+                 max_distinct_to_check: int = 10_000, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
         self.ignore_columns = ignore_columns
+        self.max_distinct_to_check = max_distinct_to_check
 
     def compute(self, ctx):
         from deepchecks_spark.checks.integrity import _string_columns, melt_strings
@@ -431,6 +438,14 @@ class StringMismatchComparison(TrainTestCheck):
         value = {c: {} for c in cols}
         if not cols:
             return value, None
+        if self.max_distinct_to_check is not None:
+            aggs = [F.approx_count_distinct(f"`{c}`").alias(c) for c in cols]
+            tr = ctx.train.df.agg(*aggs).first()
+            te = ctx.test.df.agg(*aggs).first()
+            cols = [c for c in cols
+                    if max(tr[c] or 0, te[c] or 0) <= self.max_distinct_to_check]
+            if not cols:
+                return value, None
 
         def baseform_variants(df):
             melted = melt_strings(df, cols).filter(F.col("value").isNotNull())

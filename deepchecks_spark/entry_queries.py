@@ -776,11 +776,21 @@ def q_fingerprint_documents(spark, sf_dir):
     )
 
 
+# planted length distribution: lengths 20..118 (5 rows each) plus five
+# 1000-char outliers — exercises the ordinal-rank percentile branch with
+# a real detected outlier section (r1's run on raw text found 0 rows,
+# asserting nothing; VERDICT r1 next-4)
+_PLANTED_LEN_CASE = (
+    "CAST(CASE WHEN doc_id % 100 = 99 THEN 1000 ELSE 20 + (doc_id % 100) END AS INT)"
+)
+
+
 def q_string_length_outliers_documents(spark, sf_dir):
     from deepchecks_spark.checks.integrity import StringLengthOutOfBounds
 
-    ds = Dataset(_t(spark, sf_dir, "documents"), infer_categorical=False)
-    value, _ = StringLengthOutOfBounds(columns=["text"]).compute(_ctx(ds), "train")
+    df = _t(spark, sf_dir, "documents").selectExpr(f"repeat('x', {_PLANTED_LEN_CASE}) AS s")
+    ds = Dataset(df, infer_categorical=False)
+    value, _ = StringLengthOutOfBounds().compute(_ctx(ds), "train")
     rows = []
     for col, info in sorted(value.items()):
         for o in info.get("outliers", []):
@@ -789,6 +799,55 @@ def q_string_length_outliers_documents(spark, sf_dir):
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(rows, schema)
+
+
+def o_string_length_outliers_documents():
+    # full SQL twin of the ordinal-rank outlier math for a single upper
+    # section (this fixture's shape): nearest-rank percentiles at 6/50/94,
+    # IQR*factor/2 outlier test, section = contiguous outlier ranks above
+    # the median key, then the min-length-difference section filter
+    # (reference string_length_out_of_bounds.py:150-213)
+    return f"""
+    WITH d AS (SELECT length(repeat('x', {_PLANTED_LEN_CASE})) AS len FROM documents),
+         st AS (SELECT count(*)::BIGINT n FROM d),
+         r AS (SELECT len, row_number() OVER (ORDER BY len) rnk FROM d),
+         nr AS (SELECT n,
+                CASE WHEN (6.0*n/100) - floor(6.0*n/100) <= 0.5
+                     THEN floor(6.0*n/100) ELSE floor(6.0*n/100)+1 END AS r6,
+                CASE WHEN (94.0*n/100) - floor(94.0*n/100) <= 0.5
+                     THEN floor(94.0*n/100) ELSE floor(94.0*n/100)+1 END AS r94,
+                CASE WHEN (50.0*n/100) - floor(50.0*n/100) <= 0.5
+                     THEN floor(50.0*n/100) ELSE floor(50.0*n/100)+1 END AS r50
+                FROM st),
+         marks AS (SELECT n,
+                (SELECT len FROM r WHERE rnk = least(greatest(r6, 1), n)) v6,
+                (SELECT len FROM r WHERE rnk = least(greatest(r94, 1), n)) v94,
+                (SELECT len FROM r WHERE rnk = least(greatest(r50, 1), n)) v50
+                FROM nr),
+         flag AS (SELECT rnk, len,
+                abs(len - (SELECT v50 FROM marks))
+                  > 4.0 * abs((SELECT v94 FROM marks) - (SELECT v6 FROM marks)) / 2.0 AS is_out
+                FROM r),
+         sec AS (SELECT min(rnk) a, max(rnk) b FROM flag
+                 WHERE is_out AND rnk * 2 > (SELECT n FROM marks)),
+         norm AS (SELECT min(len) nlo, max(len) nhi FROM flag
+                  WHERE rnk < (SELECT a FROM sec) OR rnk > (SELECT b FROM sec)),
+         bounds AS (SELECT
+                (SELECT len FROM r WHERE rnk = (SELECT a FROM sec)) lo0,
+                (SELECT len FROM r WHERE rnk = (SELECT b FROM sec)) hi0,
+                (SELECT nlo FROM norm) nlo, (SELECT nhi FROM norm) nhi),
+         adj AS (SELECT
+                CASE WHEN (lo0 - nhi) > 0 AND (lo0 - nhi) < greatest(5, 0.5*(nhi+nlo)/2.0)
+                     THEN lo0 + greatest(5, 0.5*(nhi+nlo)/2.0) - (lo0 - nhi) ELSE lo0 END lo,
+                CASE WHEN (lo0 - nhi) <= 0 AND (nlo - hi0) > 0
+                          AND (nlo - hi0) < greatest(5, 0.5*(nhi+nlo)/2.0)
+                     THEN hi0 - (greatest(5, 0.5*(nhi+nlo)/2.0) - (nlo - hi0)) ELSE hi0 END hi
+                FROM bounds)
+    SELECT 's' AS column, lo::double AS range_min, hi::double AS range_max,
+           (SELECT count(*) FROM d
+            WHERE len BETWEEN (SELECT lo FROM adj) AND (SELECT hi FROM adj))::BIGINT AS n_samples
+    FROM adj
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1112,6 +1171,7 @@ ORACLES = {
     "string_mismatch_comparison_documents": o_string_mismatch_comparison_documents(),
     "feature_drift_orders": o_feature_drift_orders(),
     "label_drift_embeddings": o_label_drift_embeddings(),
+    "string_length_outliers_documents": o_string_length_outliers_documents(),
     # pps/outlier/mvdrift/minhash/simhash/lsh/fingerprint + the two PPS
     # queries (identifier_label_correlation, feature_label_corr_change):
     # intentionally no oracle — seeded ML kernels and hash/LSH ops are not

@@ -319,3 +319,42 @@ def test_string_length_compressed_handles_billions_of_rows():
     assert value["text"]["outliers"]
     assert value["text"]["outliers"][0]["n_samples"] == 1_000
     assert value["text"]["outliers"][0]["range"]["max"] >= 50_000.0
+
+
+# -- cardinality gates (VERDICT r1 next-5) --
+
+def test_categorical_histograms_caps_collected_categories(spark):
+    from deepchecks_spark.drift.kernels import OTHER_CATEGORY_NAME
+    from deepchecks_spark.drift.spark import categorical_histograms
+
+    rows = [(f"v{i % 100:03d}",) for i in range(1000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "c string")
+    h = categorical_histograms(df, ["c"], max_categories=5)["c"]
+    assert len(h) == 6  # top-5 + Other roll-up
+    assert h["hot"] == 500
+    assert h[OTHER_CATEGORY_NAME] == 1500 - 500 - sum(
+        v for k, v in h.items() if k not in ("hot", OTHER_CATEGORY_NAME))
+    assert sum(h.values()) == 1500  # nothing lost
+    # uncapped path unchanged
+    full = categorical_histograms(df, ["c"])["c"]
+    assert len(full) == 101 and sum(full.values()) == 1500
+
+
+def test_string_mismatch_gates_high_cardinality(spark):
+    rows = [(f"Value{i}",) for i in range(500)]
+    ds = _ds(spark, rows, "col1 string")
+    result = StringMismatch(max_distinct_to_check=100).run(ds)
+    assert result.value == {"col1": {}}  # gated, not collected
+    # and the gate is off when None
+    open_result = StringMismatch(max_distinct_to_check=None).run(ds)
+    assert open_result.value["col1"] == {}  # no actual variants in fixture
+
+
+def test_string_mismatch_comparison_gates_high_cardinality(spark):
+    from deepchecks_spark.checks.traintest import StringMismatchComparison
+
+    train = _ds(spark, [(f"Value{i}",) for i in range(400)], "col1 string")
+    test = _ds(spark, [(f"value{i}",) for i in range(400)], "col1 string")
+    check = StringMismatchComparison(max_distinct_to_check=50)
+    result = check.run(train, test)
+    assert result.value == {"col1": {}}
