@@ -59,20 +59,28 @@ def categorical_histograms(df: DataFrame, cols: list, ignore_na: bool = True,
     if ignore_na:
         melted = melted.filter(F.col("value").isNotNull())
     grouped = melted.groupBy("column", "value").count()
-    if max_categories is not None:
-        from pyspark.sql import Window
+    if max_categories is None:
+        rows = grouped.collect()
+    else:
+        # Fast path: a guarded limit on the aggregated output. If the
+        # limit is NOT hit (every real categorical), this costs nothing
+        # beyond the plain collect; only a pathological high-cardinality
+        # column pays for the exact top-N window fallback.
+        cap_total = len(cols) * max_categories + 1
+        rows = grouped.limit(cap_total).collect()
+        if len(rows) >= cap_total:
+            from pyspark.sql import Window
 
-        w = Window.partitionBy("column").orderBy(F.desc("count"), F.asc("value"))
-        ranked = grouped.withColumn("__rn", F.row_number().over(w))
-        kept = ranked.filter(F.col("__rn") <= max_categories).drop("__rn")
-        other = (
-            ranked.filter(F.col("__rn") > max_categories)
-            .groupBy("column")
-            .agg(F.sum("count").alias("count"))
-            .select("column", F.lit(OTHER_CATEGORY_NAME).alias("value"), "count")
-        )
-        grouped = kept.unionByName(other)
-    rows = grouped.collect()
+            w = Window.partitionBy("column").orderBy(F.desc("count"), F.asc("value"))
+            ranked = grouped.withColumn("__rn", F.row_number().over(w))
+            kept = ranked.filter(F.col("__rn") <= max_categories).drop("__rn")
+            other = (
+                ranked.filter(F.col("__rn") > max_categories)
+                .groupBy("column")
+                .agg(F.sum("count").alias("count"))
+                .select("column", F.lit(OTHER_CATEGORY_NAME).alias("value"), "count")
+            )
+            rows = kept.unionByName(other).collect()
     out: dict = {c: {} for c in cols}
     for r in rows:
         key = r["value"] if r["value"] is not None else None
