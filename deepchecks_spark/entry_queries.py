@@ -1080,6 +1080,87 @@ def q_feature_label_corr_change_events(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# quantified near-dup / ANN recall (VERDICT r1 next-6). MinHash recall is
+# measured against a brute-force shingle-Jaccard golden; LSH top-k runs on
+# a derived INTEGER-VALUED clustered fixture (10 planted clusters), so
+# every dot product is exact in IEEE doubles on both engines and the
+# brute-force oracle is rounding-proof. Both oracles assert recall = 1.0:
+# if the approximate path misses a pair, the hash check goes red.
+# ---------------------------------------------------------------------------
+
+def q_minhash_recall_documents(spark, sf_dir):
+    from deepchecks_spark.pipeline.dedup import (
+        brute_force_jaccard_pairs,
+        minhash_near_duplicates,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    truth = brute_force_jaccard_pairs(df, "doc_id", "text", threshold=0.7)
+    found = minhash_near_duplicates(df, "doc_id", "text", threshold=0.7, verify="shingles")
+    n_true = truth.count()
+    n_found_true = found.join(truth.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi").count()
+    recall = n_found_true / n_true if n_true else 1.0
+    return spark.createDataFrame(
+        [(int(n_true), int(n_found_true), round(float(recall), 6))],
+        "n_true long, n_found long, recall double",
+    )
+
+
+def o_minhash_recall_documents():
+    # n_true from brute-force shingle-Jaccard; recall asserted 1.0 — the
+    # Spark side honestly intersects its MinHash output with the truth
+    # set, so any missed pair breaks the value-hash match.
+    return """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+                  list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [array_to_string(t, ' ')] END s FROM toks),
+         truth AS (SELECT a.doc_id ia, b.doc_id ib
+                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                   WHERE len(list_intersect(a.s, b.s))
+                         / len(list_distinct(list_concat(a.s, b.s)))::double >= 0.7)
+    SELECT count(*)::BIGINT AS n_true, count(*)::BIGINT AS n_found, 1.0 AS recall FROM truth
+    """
+
+
+_SPARK_CLUSTER_VEC = (
+    "transform(sequence(0, 15), d -> CAST((CASE WHEN d = CAST(vec_id % 10 AS INT) "
+    "THEN 40 ELSE 2 END) + ((vec_id * 7 + d * 13) % 5) - 2 AS DOUBLE))"
+)
+_DUCK_CLUSTER_VEC = (
+    "list_transform(generate_series(0, 15), d -> ((CASE WHEN d = vec_id % 10 "
+    "THEN 40 ELSE 2 END) + ((vec_id * 7 + d * 13) % 5) - 2)::DOUBLE)"
+)
+
+
+def q_lsh_topk_clustered_embeddings(spark, sf_dir):
+    from deepchecks_spark.pipeline.similarity import lsh_topk
+
+    df = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_SPARK_CLUSTER_VEC} AS embedding")
+    queries = df.filter(F.col("vec_id") < 20)
+    return lsh_topk(queries, df, dim=16, k=5, n_planes=8, n_tables=8,
+                    id_col="vec_id").select("query_id", "neighbor_id", "rank")
+
+
+def o_lsh_topk_clustered_embeddings():
+    # exact brute-force top-5 over the same derived clustered vectors —
+    # the LSH result must equal it exactly (recall@5 = 1.0 on clustered
+    # data), deterministic because all dot products are integer-exact
+    return f"""
+    WITH v AS (SELECT vec_id, {_DUCK_CLUSTER_VEC} e FROM embeddings),
+         q AS (SELECT vec_id qid, e FROM v WHERE vec_id < 20),
+         sims AS (SELECT q.qid, c.vec_id nid, list_cosine_similarity(q.e, c.e) s
+                  FROM q CROSS JOIN v c WHERE q.qid != c.vec_id),
+         ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid ASC) r
+                    FROM sims)
+    SELECT qid::BIGINT AS query_id, nid::BIGINT AS neighbor_id, r::BIGINT AS rank
+    FROM ranked WHERE r <= 5
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1134,6 +1215,8 @@ QUERIES = {
     "label_drift_embeddings": q_label_drift_embeddings,
     "identifier_label_correlation_events": q_identifier_label_correlation_events,
     "feature_label_corr_change_events": q_feature_label_corr_change_events,
+    "minhash_recall_documents": q_minhash_recall_documents,
+    "lsh_topk_clustered_embeddings": q_lsh_topk_clustered_embeddings,
 }
 
 ORACLES = {
@@ -1172,6 +1255,8 @@ ORACLES = {
     "feature_drift_orders": o_feature_drift_orders(),
     "label_drift_embeddings": o_label_drift_embeddings(),
     "string_length_outliers_documents": o_string_length_outliers_documents(),
+    "minhash_recall_documents": o_minhash_recall_documents(),
+    "lsh_topk_clustered_embeddings": o_lsh_topk_clustered_embeddings(),
     # pps/outlier/mvdrift/minhash/simhash/lsh/fingerprint + the two PPS
     # queries (identifier_label_correlation, feature_label_corr_change):
     # intentionally no oracle — seeded ML kernels and hash/LSH ops are not

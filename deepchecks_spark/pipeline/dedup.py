@@ -64,6 +64,27 @@ def jaccard_adjacent(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                 shingle_words: int = 3) -> DataFrame:
+    """(id, sh array<string>) — distinct word shingles, built JVM-side
+    (transform over the token index array). The similarity MinHash
+    estimates is Jaccard over exactly these sets."""
+    toks = df.select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t"))
+    n = F.size("t")
+    return toks.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.when(
+                n >= shingle_words,
+                F.transform(
+                    F.sequence(F.lit(0), n - F.lit(shingle_words)),
+                    lambda i: F.array_join(F.slice(F.col("t"), i + 1, shingle_words), " "),
+                ),
+            ).otherwise(F.array(F.array_join(F.col("t"), " ")))
+        ).alias("sh"),
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 64, shingle_words: int = 3) -> DataFrame:
     """(id, signature array<long>) via word-shingle MinHash.
@@ -74,19 +95,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     i.e. a single two-stage aggregation; signature state is tiny and
     mergeable.
     """
-    toks = df.select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t"))
-    n = F.size("t")
-    shingles = toks.select(
-        F.col(id_col),
-        F.when(
-            n >= shingle_words,
-            F.transform(
-                F.sequence(F.lit(0), n - F.lit(shingle_words)),
-                lambda i: F.array_join(F.slice(F.col("t"), i + 1, shingle_words), " "),
-            ),
-        ).otherwise(F.array(F.array_join(F.col("t"), " "))).alias("sh"),
-    )
-    exploded = shingles.select(F.col(id_col), F.explode(F.array_distinct("sh")).alias("shingle"))
+    shingles = shingle_sets(df, id_col, text_col, shingle_words)
+    exploded = shingles.select(F.col(id_col), F.explode("sh").alias("shingle"))
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
     ]
@@ -136,19 +146,49 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                             threshold: float = 0.7, num_hashes: int = 64,
-                            bands: int = 16, shingle_words: int = 3) -> DataFrame:
-    """LSH candidates verified by exact shingle-set Jaccard.
+                            bands: int = 16, shingle_words: int = 3,
+                            verify: str = "tokens") -> DataFrame:
+    """LSH candidates verified by an exact Jaccard.
 
+    ``verify='tokens'`` measures Jaccard over distinct word sets (cheap,
+    the historical default); ``verify='shingles'`` measures it over the
+    same word-shingle sets the MinHash signatures estimate — the
+    coherent choice when recall against a brute-force golden matters.
     Verification joins the candidate pairs back to the (distinct)
-    shingle sets — only candidate-pair rows are rescanned, not n².
+    token/shingle sets — only candidate-pair rows are rescanned, not n².
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     """
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_words)
-    toks = df.select(F.col(id_col), _tokens(text_col).alias("t"))
-    a = toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("t", "ta")
-    b = toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("t", "tb")
+    if verify == "shingles":
+        sets_df = shingle_sets(df, id_col, text_col, shingle_words).withColumnRenamed("sh", "t")
+    elif verify == "tokens":
+        sets_df = df.select(F.col(id_col), _tokens(text_col).alias("t"))
+    else:
+        raise ValueError(f"verify must be 'tokens' or 'shingles', got {verify!r}")
+    a = sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("t", "ta")
+    b = sets_df.withColumnRenamed(id_col, "id_b").withColumnRenamed("t", "tb")
     return (
         cands.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("ta", "tb"))
+             / F.size(F.array_union("ta", "tb")).cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def brute_force_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                              threshold: float = 0.7, shingle_words: int = 3) -> DataFrame:
+    """EXACT all-pairs shingle-Jaccard ≥ threshold — O(n²) self-join,
+    usable only at fixture/golden scale as the recall oracle for
+    minhash_near_duplicates (never on a real corpus; the LSH path above
+    is the scale shape). Returns (id_a, id_b, jaccard)."""
+    sets_df = shingle_sets(df, id_col, text_col, shingle_words)
+    a = sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "ta")
+    b = sets_df.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "tb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
             (F.size(F.array_intersect("ta", "tb"))

@@ -102,25 +102,43 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray):
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
-             n_planes: int = 8, seed: int = 42,
+             n_planes: int = 8, n_tables: int = 1, seed: int = 42,
              id_col: str = "id", vec_col: str = "embedding") -> DataFrame:
     """Approximate cosine top-k: random-hyperplane buckets, equi-join on
-    bucket, exact scoring within the bucket. Recall improves with fewer
-    planes (bigger buckets); n_planes=8 → 256 buckets. The bucket join
-    replaces the cross join — at 10^12 rows this is the only viable
-    shape, and the equi-join is AQE-skew-splittable."""
-    planes = random_hyperplanes(dim, n_planes, seed)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qe")
-    ).withColumn("bucket", lsh_bucket_expr("qe", planes)).withColumn("qn", _norm("qe"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce")
-    ).withColumn("bucket", lsh_bucket_expr("ce", planes)).withColumn("cn", _norm("ce"))
+    (table, bucket), exact scoring within the bucket. Recall is tuned on
+    two axes: fewer planes → bigger buckets; more tables (OR-
+    amplification) → a neighbor is a candidate if it collides in ANY of
+    the ``n_tables`` independent hyperplane sets, P(candidate) =
+    1−(1−(1−θ/π)^n_planes)^n_tables. The bucket join replaces the cross
+    join — at 10^12 rows this is the only viable shape, and the
+    equi-join is AQE-skew-splittable. Candidate pairs are deduped before
+    ranking so multi-table hits score once."""
+
+    def entries(df, out_id, vec_name, norm_name):
+        base = df.select(
+            F.col(id_col).alias(out_id), _as_double(vec_col).alias(vec_name)
+        ).withColumn(norm_name, _norm(vec_name))
+        tb = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket_expr(vec_name, random_hyperplanes(dim, n_planes, seed + 97 * t))
+                .alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+        return base.select(
+            out_id, vec_name, norm_name, F.explode(F.array(*tb)).alias("tb")
+        ).select(out_id, vec_name, norm_name, F.col("tb.tbl").alias("tbl"),
+                 F.col("tb.bucket").alias("bucket"))
+
+    q = entries(queries, "query_id", "qe", "qn")
+    c = entries(corpus, "neighbor_id", "ce", "cn")
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.join(F.broadcast(q), on=["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", _dot("qe", "ce") / (F.col("qn") * F.col("cn")))
         .select("query_id", "neighbor_id", "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

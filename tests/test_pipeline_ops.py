@@ -135,3 +135,40 @@ def test_resize_and_frames_plumbing(spark, media_df):
     frames = {r["id"]: r["frames"] for r in frame_sample_stub(media_df, "payload", every_n=5).collect()}
     assert frames[3] is None
     assert all(len(f) <= 5 for f in frames[1])
+
+
+def test_lsh_topk_or_amplification_improves_candidates(spark):
+    from pyspark.sql import functions as F
+    from deepchecks_spark.pipeline.similarity import brute_force_topk, lsh_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = df.selectExpr(
+        "vec_id",
+        "transform(sequence(0, 15), d -> CAST((CASE WHEN d = CAST(vec_id % 10 AS INT) "
+        "THEN 40 ELSE 2 END) + ((vec_id * 7 + d * 13) % 5) - 2 AS DOUBLE)) AS embedding",
+    )
+    queries = df.filter(F.col("vec_id") < 10)
+    truth = set(map(tuple, brute_force_topk(queries, df, k=3, id_col="vec_id")
+                    .select("query_id", "neighbor_id").collect()))
+    got1 = set(map(tuple, lsh_topk(queries, df, dim=16, k=3, n_tables=1, id_col="vec_id")
+                   .select("query_id", "neighbor_id").collect()))
+    got8 = set(map(tuple, lsh_topk(queries, df, dim=16, k=3, n_tables=8, id_col="vec_id")
+                   .select("query_id", "neighbor_id").collect()))
+    assert len(got8 & truth) >= len(got1 & truth)
+    assert got8 == truth  # full recall on clustered data with 8 tables
+
+
+def test_minhash_recall_is_total_on_planted_duplicates(spark):
+    from deepchecks_spark.pipeline.dedup import (
+        brute_force_jaccard_pairs,
+        minhash_near_duplicates,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    truth = set(map(tuple, brute_force_jaccard_pairs(df, "doc_id", "text", 0.7)
+                    .select("id_a", "id_b").collect()))
+    found = set(map(tuple, minhash_near_duplicates(df, "doc_id", "text", 0.7, verify="shingles")
+                    .select("id_a", "id_b").collect()))
+    assert truth, "fixture should contain planted near-duplicates"
+    assert truth <= found or truth == found
+    assert found <= truth  # verification keeps only true pairs → found == truth
