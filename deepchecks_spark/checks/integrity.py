@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from deepchecks_spark.core.checks import (
+    USE_DEFAULT,
     SingleDatasetCheck,
     format_number,
     format_percent,
@@ -56,8 +57,10 @@ class IsSingleValue(SingleDatasetCheck):
     nulls; the null-inclusive variant adds 1 when null_count > 0.
     """
 
+    DEFAULT_N_SAMPLES = 10_000_000
+
     def __init__(self, columns=None, ignore_columns=None, ignore_nan: bool = True,
-                 n_samples: int | None = 10_000_000, **kw):
+                 n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
         self.ignore_columns = ignore_columns
@@ -66,7 +69,7 @@ class IsSingleValue(SingleDatasetCheck):
     def compute(self, ctx, kind):
         ds = ctx.data(kind)
         cols = _select_cols(ds, self.columns, self.ignore_columns)
-        stats = ctx.stats(kind, tuple(ds.columns))
+        _, stats = self._effective_data(ctx, kind)
         value = {}
         for c in cols:
             st = stats.per_column[c]
@@ -100,7 +103,9 @@ class PercentOfNulls(SingleDatasetCheck):
     whole suite, avg(isNull) is algebraic → pure map-side partials).
     """
 
-    def __init__(self, columns=None, ignore_columns=None, n_samples: int | None = 100_000, **kw):
+    DEFAULT_N_SAMPLES = 100_000
+
+    def __init__(self, columns=None, ignore_columns=None, n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
         self.ignore_columns = ignore_columns
@@ -108,7 +113,7 @@ class PercentOfNulls(SingleDatasetCheck):
     def compute(self, ctx, kind):
         ds = ctx.data(kind)
         cols = _select_cols(ds, self.columns, self.ignore_columns)
-        stats = ctx.stats(kind, tuple(ds.columns))
+        _, stats = self._effective_data(ctx, kind)
         value = {c: float(stats.per_column[c]["percent_null"]) for c in cols}
         return value, None
 
@@ -144,8 +149,10 @@ class MixedNulls(SingleDatasetCheck):
     negligible; real-null counts come free from the fused stats pass.
     """
 
+    DEFAULT_N_SAMPLES = 10_000_000
+
     def __init__(self, columns=None, ignore_columns=None, null_string_list=None,
-                 n_samples: int | None = 10_000_000, **kw):
+                 n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
         self.ignore_columns = ignore_columns
@@ -154,13 +161,13 @@ class MixedNulls(SingleDatasetCheck):
     def compute(self, ctx, kind):
         ds = ctx.data(kind)
         cols = _select_cols(ds, self.columns, self.ignore_columns)
-        stats = ctx.stats(kind, tuple(ds.columns))
+        df, stats = self._effective_data(ctx, kind)
         n_rows = stats.n_rows
         value = {"n_samples": n_rows, "columns": {c: {} for c in cols}}
 
         str_cols = [c for c in cols if isinstance(ds.schema_of(c), T.StringType)]
         if str_cols and n_rows:
-            melted = melt_strings(ds.df, str_cols)
+            melted = melt_strings(df, str_cols)
             bf = baseform_expr(F.col("value"), allow_empty_result=False)
             rows = (
                 melted.filter(F.col("value").isNotNull() & bf.isin(*self.null_string_list))
@@ -221,7 +228,9 @@ class MixedDataTypes(SingleDatasetCheck):
     limit(3) scans only for the (rare) columns that actually mix.
     """
 
-    def __init__(self, columns=None, ignore_columns=None, n_samples: int | None = 10_000_000, **kw):
+    DEFAULT_N_SAMPLES = 10_000_000
+
+    def __init__(self, columns=None, ignore_columns=None, n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
         self.ignore_columns = ignore_columns
@@ -229,7 +238,7 @@ class MixedDataTypes(SingleDatasetCheck):
     def compute(self, ctx, kind):
         ds = ctx.data(kind)
         cols = _select_cols(ds, self.columns, self.ignore_columns)
-        stats = ctx.stats(kind, tuple(ds.columns))
+        df, stats = self._effective_data(ctx, kind)
         value = {}
         for c in cols:
             if not isinstance(ds.schema_of(c), T.StringType):
@@ -244,10 +253,10 @@ class MixedDataTypes(SingleDatasetCheck):
             qc = F.col(f"`{c}`")
             num_cond = qc.try_cast("double").isNotNull()
             numbers_examples = [
-                r[0] for r in ds.df.filter(qc.isNotNull() & num_cond).select(qc).limit(3).collect()
+                r[0] for r in df.filter(qc.isNotNull() & num_cond).select(qc).limit(3).collect()
             ]
             strings_examples = [
-                r[0] for r in ds.df.filter(qc.isNotNull() & ~num_cond).select(qc).limit(3).collect()
+                r[0] for r in df.filter(qc.isNotNull() & ~num_cond).select(qc).limit(3).collect()
             ]
             value[c] = {
                 "strings": (non_null - nums) / non_null,
@@ -293,8 +302,10 @@ class SpecialCharacters(SingleDatasetCheck):
     flagged columns.
     """
 
+    DEFAULT_N_SAMPLES = 10_000_000
+
     def __init__(self, columns=None, ignore_columns=None, n_most_common: int = 2,
-                 n_samples: int | None = 10_000_000, **kw):
+                 n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
         self.ignore_columns = ignore_columns
@@ -303,7 +314,7 @@ class SpecialCharacters(SingleDatasetCheck):
     def compute(self, ctx, kind):
         ds = ctx.data(kind)
         cols = _select_cols(ds, self.columns, self.ignore_columns)
-        stats = ctx.stats(kind, tuple(ds.columns))
+        _, stats = self._effective_data(ctx, kind)
         value = {}
         for c in cols:
             st = stats.per_column[c]
@@ -355,7 +366,9 @@ class ClassImbalance(SingleDatasetCheck):
     Spark: groupBy(label).count() — bounded output (#classes).
     """
 
-    def __init__(self, ignore_nan: bool = True, n_samples: int | None = 10_000_000, **kw):
+    DEFAULT_N_SAMPLES = 10_000_000
+
+    def __init__(self, ignore_nan: bool = True, n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.ignore_nan = ignore_nan
 
@@ -364,7 +377,7 @@ class ClassImbalance(SingleDatasetCheck):
         if ds.label_name is None:
             raise ValueError("ClassImbalance requires a dataset with a label")
         label = F.col(f"`{ds.label_name}`")
-        df = ds.df
+        df = self._effective_df(ctx, kind)
         if self.ignore_nan:
             df = df.filter(label.isNotNull())
         rows = (
@@ -405,8 +418,10 @@ class DataDuplicates(SingleDatasetCheck):
     default (null keys group together, like pandas dropna=False).
     """
 
+    DEFAULT_N_SAMPLES = 10_000_000
+
     def __init__(self, columns=None, ignore_columns=None, n_to_show: int = 5,
-                 n_samples: int | None = 10_000_000, **kw):
+                 n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
         self.ignore_columns = ignore_columns
@@ -417,7 +432,8 @@ class DataDuplicates(SingleDatasetCheck):
         cols = _select_cols(ds, self.columns, self.ignore_columns)
         if not cols:
             raise ValueError("no columns to check")
-        grouped = ds.df.groupBy(*[F.col(f"`{c}`") for c in cols]).count()
+        df = self._effective_df(ctx, kind)
+        grouped = df.groupBy(*[F.col(f"`{c}`") for c in cols]).count()
         agg = grouped.agg(
             F.count(F.lit(1)).alias("n_unique"), F.coalesce(F.sum("count"), F.lit(0)).alias("n_samples")
         ).first()
@@ -462,8 +478,10 @@ class ConflictingLabels(SingleDatasetCheck):
     aggs; salting additionally bounds the collect_set state per task.
     """
 
+    DEFAULT_N_SAMPLES = 10_000_000
+
     def __init__(self, columns=None, ignore_columns=None, n_to_show: int = 5,
-                 n_samples: int | None = 10_000_000, salt_buckets: int | None = None, **kw):
+                 n_samples=USE_DEFAULT, salt_buckets: int | None = None, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
         self.ignore_columns = ignore_columns
@@ -479,9 +497,10 @@ class ConflictingLabels(SingleDatasetCheck):
             raise ValueError("no feature columns to check")
         label = F.col(f"`{ds.label_name}`")
         fcols = [F.col(f"`{c}`") for c in features]
+        df = self._effective_df(ctx, kind)
         if self.salt_buckets:
             salted = (
-                ds.df.withColumn(
+                df.withColumn(
                     "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(self.salt_buckets))
                 )
                 .groupBy(*fcols, F.col("__salt"))
@@ -495,7 +514,7 @@ class ConflictingLabels(SingleDatasetCheck):
                 F.sum("n_part").alias("n_rows"),
             ).withColumn("n_labels", F.size("labels"))
         else:
-            grouped = ds.df.groupBy(*fcols).agg(
+            grouped = df.groupBy(*fcols).agg(
                 F.countDistinct(label).alias("n_labels"),
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sort_array(F.collect_set(label)).alias("labels"),
@@ -545,7 +564,9 @@ class StringMismatch(SingleDatasetCheck):
     stats pass.
     """
 
-    def __init__(self, columns=None, ignore_columns=None, n_samples: int | None = 1_000_000,
+    DEFAULT_N_SAMPLES = 1_000_000
+
+    def __init__(self, columns=None, ignore_columns=None, n_samples=USE_DEFAULT,
                  max_distinct_to_check: int = 10_000, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
@@ -558,7 +579,7 @@ class StringMismatch(SingleDatasetCheck):
         value = {c: {} for c in cols}
         if not cols:
             return value, None
-        stats = ctx.stats(kind, tuple(ds.columns))
+        df, stats = self._effective_data(ctx, kind)
         n_rows = stats.n_rows
         if self.max_distinct_to_check is not None:
             cols = [
@@ -567,7 +588,7 @@ class StringMismatch(SingleDatasetCheck):
             ]
             if not cols:
                 return value, None
-        melted = melt_strings(ds.df, cols).filter(F.col("value").isNotNull())
+        melted = melt_strings(df, cols).filter(F.col("value").isNotNull())
         per_variant = (
             melted.withColumn("base", baseform_expr(F.col("value"), allow_empty_result=False))
             .groupBy("column", "base", "value")
@@ -619,11 +640,13 @@ class StringLengthOutOfBounds(SingleDatasetCheck):
     on the compressed (length, count) histogram, never on raw rows.
     """
 
+    DEFAULT_N_SAMPLES = 10_000_000
+
     def __init__(self, columns=None, ignore_columns=None, num_percentiles: int = 1000,
                  inner_quantile_range: int = 94, outlier_factor: float = 4,
                  min_length_difference: int = 5, min_length_ratio_difference: float = 0.5,
                  min_unique_value_ratio: float = 0.01, min_unique_values: int = 100,
-                 n_samples: int | None = 10_000_000, **kw):
+                 n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
         self.ignore_columns = ignore_columns
@@ -643,7 +666,7 @@ class StringLengthOutOfBounds(SingleDatasetCheck):
         value = {}
         if not cols:
             return value, None
-        melted = melt_strings(ds.df, cols).filter(F.col("value").isNotNull())
+        melted = melt_strings(self._effective_df(ctx, kind), cols).filter(F.col("value").isNotNull())
         hist_rows = (
             melted.groupBy("column", F.length("value").alias("length")).count().collect()
         )

@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from deepchecks_spark.core.checks import SingleDatasetCheck, TrainTestCheck, format_number
+from deepchecks_spark.core.checks import (
+    USE_DEFAULT,
+    SingleDatasetCheck,
+    TrainTestCheck,
+    format_number,
+)
 from deepchecks_spark.core.result import ConditionCategory, ConditionResult
 from deepchecks_spark.ml.gbm import GradientBoostingBinary
 from deepchecks_spark.ml.metrics import roc_auc
@@ -40,8 +45,10 @@ class FeatureLabelCorrelation(SingleDatasetCheck):
     """PPS of each feature vs the label (reference data_integrity/
     feature_label_correlation.py:69-114 + ppscore). value = {feature: pps}."""
 
+    DEFAULT_N_SAMPLES = 100_000
+
     def __init__(self, ppscore_params: dict | None = None, n_top_features: int = 5,
-                 n_samples: int | None = 100_000, random_state: int = 42, **kw):
+                 n_samples=USE_DEFAULT, random_state: int = 42, **kw):
         super().__init__(n_samples=n_samples, random_state=random_state, **kw)
         self.ppscore_params = ppscore_params or {}
         self.n_top_features = n_top_features
@@ -78,7 +85,9 @@ class IdentifierLabelCorrelation(SingleDatasetCheck):
     """PPS of index/datetime columns vs label (reference data_integrity/
     identifier_label_correlation.py)."""
 
-    def __init__(self, ppscore_params: dict | None = None, n_samples: int | None = 100_000,
+    DEFAULT_N_SAMPLES = 100_000
+
+    def __init__(self, ppscore_params: dict | None = None, n_samples=USE_DEFAULT,
                  random_state: int = 42, **kw):
         super().__init__(n_samples=n_samples, random_state=random_state, **kw)
         self.ppscore_params = ppscore_params or {}
@@ -120,7 +129,9 @@ class FeatureLabelCorrelationChange(TrainTestCheck):
     train_test_validation/feature_label_correlation_change.py via
     core/check_utils/feature_label_correlation_utils.py:79-149)."""
 
-    def __init__(self, ppscore_params: dict | None = None, n_samples: int | None = 100_000,
+    DEFAULT_N_SAMPLES = 100_000
+
+    def __init__(self, ppscore_params: dict | None = None, n_samples=USE_DEFAULT,
                  random_state: int = 42, **kw):
         super().__init__(n_samples=n_samples, random_state=random_state, **kw)
         self.ppscore_params = ppscore_params or {}
@@ -183,8 +194,10 @@ class OutlierSampleDetection(SingleDatasetCheck):
     {'outlier_probabilities_quantiles': 1000-quantile vector,
     'n_samples': n}; violations = top-k outlier rows."""
 
+    DEFAULT_N_SAMPLES = 5_000
+
     def __init__(self, nearest_neighbors_percent: float = 0.01, extent_parameter: int = 3,
-                 n_to_show: int = 5, n_samples: int | None = 5_000, random_state: int = 42, **kw):
+                 n_to_show: int = 5, n_samples=USE_DEFAULT, random_state: int = 42, **kw):
         super().__init__(n_samples=n_samples, random_state=random_state, **kw)
         self.nearest_neighbors_percent = nearest_neighbors_percent
         self.extent_parameter = extent_parameter
@@ -233,9 +246,11 @@ class MultivariateDrift(TrainTestCheck):
     trees ×10, drift score = max(2·AUC−1, 0); permutation feature
     importance on the held-out split."""
 
+    DEFAULT_N_SAMPLES = 100_000
+
     def __init__(self, n_top_columns: int = 3, sample_size: int = 10_000,
                  test_size: float = 0.3, random_state: int = 42,
-                 n_samples: int | None = 100_000, **kw):
+                 n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, random_state=random_state, **kw)
         self.n_top_columns = n_top_columns
         self.sample_size = sample_size
@@ -324,7 +339,9 @@ class FeatureFeatureCorrelation(SingleDatasetCheck):
     state reaches the driver. value = nested dict {col: {col: corr}}.
     """
 
-    def __init__(self, n_samples: int | None = 100_000, **kw):
+    DEFAULT_N_SAMPLES = 100_000
+
+    def __init__(self, n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
 
     def compute(self, ctx, kind):

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from deepchecks_spark.core.checks import TrainTestCheck, format_number, format_percent
+from deepchecks_spark.core.checks import (
+    USE_DEFAULT,
+    TrainTestCheck,
+    format_number,
+    format_percent,
+)
 from deepchecks_spark.core.result import ConditionCategory, ConditionResult
 from deepchecks_spark.drift.spark import (
     calc_drift_score,
@@ -65,11 +70,13 @@ class FeatureDrift(TrainTestCheck):
     independent of the number of features.
     """
 
+    DEFAULT_N_SAMPLES = 100_000
+
     def __init__(self, columns=None, ignore_columns=None, sort_feature_by: str = "drift + importance",
                  margin_quantile_filter: float = 0.025, max_num_categories_for_drift: int | None = None,
                  min_category_size_ratio: float = 0.01, show_categories_by: str = "largest_difference",
                  numerical_drift_method: str = "KS", categorical_drift_method: str = "cramers_v",
-                 ignore_na: bool = True, min_samples: int = 10, n_samples: int | None = 100_000,
+                 ignore_na: bool = True, min_samples: int = 10, n_samples=USE_DEFAULT,
                  numeric_hist_mode: str = "auto", **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
@@ -104,7 +111,8 @@ class FeatureDrift(TrainTestCheck):
 
     def compute(self, ctx):
         cats, nums = self._common_columns(ctx)
-        train_df, test_df = ctx.train.df, ctx.test.df
+        train_df = self._effective_df(ctx, "train")
+        test_df = self._effective_df(ctx, "test")
         cat_train = categorical_histograms(train_df, cats, self.ignore_na)
         cat_test = categorical_histograms(test_df, cats, self.ignore_na)
         num_train = numeric_histograms(train_df, nums, self.numeric_hist_mode)
@@ -157,10 +165,12 @@ class LabelDrift(TrainTestCheck):
     """Drift of the label column (reference utils/abstracts/label_drift.py:25-105,
     tabular/.../label_drift.py). Condition default 0.15."""
 
+    DEFAULT_N_SAMPLES = 100_000
+
     def __init__(self, margin_quantile_filter: float = 0.025, max_num_categories_for_drift: int | None = None,
                  min_category_size_ratio: float = 0.01, numerical_drift_method: str = "KS",
                  categorical_drift_method: str = "cramers_v", balance_classes: bool = False,
-                 ignore_na: bool = True, min_samples: int = 10, n_samples: int | None = 100_000,
+                 ignore_na: bool = True, min_samples: int = 10, n_samples=USE_DEFAULT,
                  numeric_hist_mode: str = "auto", **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.margin_quantile_filter = margin_quantile_filter
@@ -187,13 +197,15 @@ class LabelDrift(TrainTestCheck):
             balance_classes=self.balance_classes,
             min_samples=self.min_samples,
         )
+        train_df = self._effective_df(ctx, "train")
+        test_df = self._effective_df(ctx, "test")
         if is_numeric:
-            h1 = numeric_histograms(ctx.train.df, [label], self.numeric_hist_mode)[label]
-            h2 = numeric_histograms(ctx.test.df, [label], self.numeric_hist_mode)[label]
+            h1 = numeric_histograms(train_df, [label], self.numeric_hist_mode)[label]
+            h2 = numeric_histograms(test_df, [label], self.numeric_hist_mode)[label]
             score, method = calc_drift_score("numerical", h1, h2, **kw)
         else:
-            h1 = categorical_histograms(ctx.train.df, [label], self.ignore_na)[label]
-            h2 = categorical_histograms(ctx.test.df, [label], self.ignore_na)[label]
+            h1 = categorical_histograms(train_df, [label], self.ignore_na)[label]
+            h2 = categorical_histograms(test_df, [label], self.ignore_na)[label]
             score, method = calc_drift_score("categorical", h1, h2, **kw)
         value = {"Drift score": None if score == "not_enough_samples" else score, "Method": method}
         return value, None
@@ -348,7 +360,9 @@ class NewCategoryTrainTest(TrainTestCheck):
     tiny collected histograms.
     """
 
-    def __init__(self, columns=None, ignore_columns=None, n_samples: int | None = 10_000_000, **kw):
+    DEFAULT_N_SAMPLES = 10_000_000
+
+    def __init__(self, columns=None, ignore_columns=None, n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
         self.ignore_columns = ignore_columns
@@ -424,7 +438,9 @@ class StringMismatchComparison(TrainTestCheck):
     variant map. One narrow approx_count_distinct agg per side.
     """
 
-    def __init__(self, columns=None, ignore_columns=None, n_samples: int | None = 1_000_000,
+    DEFAULT_N_SAMPLES = 1_000_000
+
+    def __init__(self, columns=None, ignore_columns=None, n_samples=USE_DEFAULT,
                  max_distinct_to_check: int = 10_000, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.columns = columns
@@ -488,7 +504,9 @@ class IndexTrainTestLeakage(TrainTestCheck):
     index_leakage.py). Spark: left_semi join on the index column — Catalyst
     picks broadcast vs sort-merge by the (distinct) train-side size."""
 
-    def __init__(self, n_index_to_show: int = 5, n_samples: int | None = 10_000_000, **kw):
+    DEFAULT_N_SAMPLES = 10_000_000
+
+    def __init__(self, n_index_to_show: int = 5, n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.n_index_to_show = n_index_to_show
 
@@ -523,7 +541,9 @@ class DateTrainTestLeakageDuplicates(TrainTestCheck):
     train_test_validation/date_train_test_leakage_duplicates.py).
     Spark: semi join on the datetime column (distinct train side)."""
 
-    def __init__(self, n_to_show: int = 5, n_samples: int | None = 10_000_000, **kw):
+    DEFAULT_N_SAMPLES = 10_000_000
+
+    def __init__(self, n_to_show: int = 5, n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.n_to_show = n_to_show
 
@@ -597,7 +617,9 @@ class TrainTestSamplesMix(TrainTestCheck):
     Zipf-skewed).
     """
 
-    def __init__(self, n_to_show: int = 5, n_samples: int | None = 10_000_000, **kw):
+    DEFAULT_N_SAMPLES = 10_000_000
+
+    def __init__(self, n_to_show: int = 5, n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.n_to_show = n_to_show
 

@@ -21,11 +21,42 @@ from deepchecks_spark.core.result import (
 )
 
 
-class BaseCheck:
-    """Parameterized computation over 1 or 2 datasets → CheckResult."""
+class _UseDefault:
+    """Sentinel: n_samples left at the check's reference default."""
 
-    def __init__(self, n_samples: int | None = None, random_state: int = 42, **params):
-        self.n_samples = n_samples
+    __slots__ = ()
+
+    def __repr__(self):  # pragma: no cover
+        return "USE_DEFAULT"
+
+
+USE_DEFAULT = _UseDefault()
+
+
+class BaseCheck:
+    """Parameterized computation over 1 or 2 datasets → CheckResult.
+
+    ``n_samples`` cap semantics (reference dataset.py:443-465 samples
+    EVERY check's input): by default this engine computes distributive
+    stats on the FULL data — the whole point of the fused Spark passes —
+    so the reference default caps are recorded but not enforced. When a
+    user passes n_samples EXPLICITLY, ``enforce_n_samples`` is set and
+    the scan-level checks honor the cap with a deterministic Bernoulli
+    sample (fraction = n/total, seeded; count is ~n, not exactly n — the
+    distributed-stable analogue of the reference's pandas .sample).
+    ML-kernel checks always apply their cap (they sample to the driver
+    by design, like the reference).
+    """
+
+    DEFAULT_N_SAMPLES: int | None = None  # the reference's per-check default cap
+
+    def __init__(self, n_samples=USE_DEFAULT, random_state: int = 42, **params):
+        if isinstance(n_samples, _UseDefault):
+            self.n_samples = self.DEFAULT_N_SAMPLES
+            self.enforce_n_samples = False
+        else:
+            self.n_samples = n_samples
+            self.enforce_n_samples = n_samples is not None
         self.random_state = random_state
         self.params = params
         self.conditions: list[Condition] = []
@@ -89,6 +120,7 @@ class BaseCheck:
             pass
         params.setdefault("n_samples", self.n_samples)
         params.setdefault("random_state", self.random_state)
+        params["enforce_n_samples"] = self.enforce_n_samples
         return {
             "check": type(self).__name__,
             "params": params,
@@ -97,6 +129,31 @@ class BaseCheck:
                 for c in self.conditions
             ],
         }
+
+    def _effective_df(self, ctx, kind: str):
+        """The dataset's DataFrame, Bernoulli-sampled to ~n_samples when
+        the cap was explicitly set and the data exceeds it. fraction-
+        based (no limit()) so the row set is stable across the multiple
+        jobs a check runs on it."""
+        ds = ctx.data(kind)
+        if not self.enforce_n_samples or self.n_samples is None:
+            return ds.df
+        total = ctx.n_rows(kind)
+        if total <= self.n_samples:
+            return ds.df
+        return ds.df.sample(False, self.n_samples / total, self.random_state)
+
+    def _effective_data(self, ctx, kind: str):
+        """(df, ColumnStats): the shared full-data fused pass by default;
+        a one-off stats pass over the sampled frame when an explicit
+        n_samples cap applies."""
+        ds = ctx.data(kind)
+        df = self._effective_df(ctx, kind)
+        if df is ds.df:
+            return df, ctx.stats(kind, tuple(ds.columns))
+        from deepchecks_spark.stats import compute_column_stats
+
+        return df, compute_column_stats(df, ds.columns)
 
     def _finalize(self, ctx, value, violations=None, t0: float | None = None) -> CheckResult:
         result = CheckResult(value=value, header=self.header(), check=self, violations=violations)

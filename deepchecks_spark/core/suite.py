@@ -120,7 +120,10 @@ class Suite:
         for c in conf["checks"]:
             check_cls = getattr(registry, c["check"])
             params = dict(c.get("params", {}))
+            enforce = params.pop("enforce_n_samples", None)
             check = check_cls(**params)
+            if enforce is not None:
+                check.enforce_n_samples = enforce
             for cond in c.get("conditions", []):
                 if isinstance(cond, str) or not cond.get("builder"):
                     name = cond if isinstance(cond, str) else cond.get("name")

@@ -358,3 +358,37 @@ def test_string_mismatch_comparison_gates_high_cardinality(spark):
     check = StringMismatchComparison(max_distinct_to_check=50)
     result = check.run(train, test)
     assert result.value == {"col1": {}}
+
+
+# -- explicit n_samples cap semantics (VERDICT r1 next-7) --
+
+def test_explicit_n_samples_caps_scan(spark):
+    import pytest as _pytest
+
+    rows = [(float(i), "x" * (i % 7 + 1)) for i in range(2000)]
+    ds = _ds(spark, rows, "num double, s string")
+    # default: full data (engine keeps fused full-scan semantics)
+    full = PercentOfNulls().run(ds)
+    assert full.value == {"num": 0.0, "s": 0.0}
+    # explicit cap smaller than data: computed on a ~200-row Bernoulli
+    # sample; deterministic across runs (same seed, same partitioning)
+    r1 = DataDuplicates(columns=["s"], n_samples=200).run(ds)
+    r2 = DataDuplicates(columns=["s"], n_samples=200).run(ds)
+    assert r1.value == _pytest.approx(r2.value)
+    full_dup = DataDuplicates(columns=["s"]).run(ds)
+    # 7 distinct values; both full and sampled see ~100% duplicates
+    assert full_dup.value == _pytest.approx(1 - 7 / 2000)
+    assert r1.value > 0.9
+    # stats-driven check on a sample: n_unique still correct on the sample
+    sv = IsSingleValue(n_samples=300).run(ds)
+    assert sv.value["s"] <= 7
+
+
+def test_default_n_samples_not_enforced():
+    check = PercentOfNulls()
+    assert check.n_samples == 100_000  # reference default recorded
+    assert check.enforce_n_samples is False
+    explicit = PercentOfNulls(n_samples=100_000)
+    assert explicit.enforce_n_samples is True
+    unlimited = PercentOfNulls(n_samples=None)
+    assert unlimited.enforce_n_samples is False
