@@ -1,5 +1,12 @@
+from deepchecks_spark.checks.deprecated import (
+    CategoryMismatchTrainTest,
+    TrainTestFeatureDrift,
+    TrainTestLabelDrift,
+    WholeDatasetDrift,
+)
 from deepchecks_spark.checks.integrity import (
     ClassImbalance,
+    ColumnsInfo,
     ConflictingLabels,
     DataDuplicates,
     IsSingleValue,
@@ -27,19 +34,22 @@ from deepchecks_spark.checks.traintest import (
     LabelDrift,
     NewCategoryTrainTest,
     NewLabelTrainTest,
+    PredictionDrift,
     StringMismatchComparison,
     TrainTestSamplesMix,
 )
 
 __all__ = [
-    "ClassImbalance", "ConflictingLabels", "DataDuplicates", "IsSingleValue",
-    "MixedDataTypes", "MixedNulls", "PercentOfNulls", "SpecialCharacters",
-    "StringLengthOutOfBounds", "StringMismatch",
+    "ClassImbalance", "ColumnsInfo", "ConflictingLabels", "DataDuplicates",
+    "IsSingleValue", "MixedDataTypes", "MixedNulls", "PercentOfNulls",
+    "SpecialCharacters", "StringLengthOutOfBounds", "StringMismatch",
     "FeatureFeatureCorrelation", "FeatureLabelCorrelation",
     "FeatureLabelCorrelationChange", "IdentifierLabelCorrelation",
     "MultivariateDrift", "OutlierSampleDetection",
     "DatasetsSizeComparison", "DateTrainTestLeakageDuplicates",
     "DateTrainTestLeakageOverlap", "FeatureDrift", "IndexTrainTestLeakage",
     "LabelDrift", "NewCategoryTrainTest", "NewLabelTrainTest",
-    "StringMismatchComparison", "TrainTestSamplesMix",
+    "PredictionDrift", "StringMismatchComparison", "TrainTestSamplesMix",
+    "WholeDatasetDrift", "CategoryMismatchTrainTest",
+    "TrainTestFeatureDrift", "TrainTestLabelDrift",
 ]

@@ -47,6 +47,31 @@ def melt_strings(df: DataFrame, cols: list) -> DataFrame:
     return df.selectExpr(f"stack({len(cols)}, {pairs}) as (column, value)")
 
 
+class ColumnsInfo(SingleDatasetCheck):
+    """Role and logical type of each column (reference
+    data_integrity/columns_info.py:21-56 + dataset.py:754-781).
+    value = {column: role}; pure metadata, no Spark jobs beyond the
+    Dataset's own categorical inference."""
+
+    def __init__(self, n_top_columns: int = 10, **kw):
+        super().__init__(**kw)
+        self.n_top_columns = n_top_columns
+
+    def compute(self, ctx, kind):
+        ds = ctx.data(kind)
+        info = ds.columns_info
+        fi = ctx.feature_importance or {}
+        if fi:
+            # feature-importance ordering (reference column_importance_
+            # sorter_dict): role columns first, then by importance desc
+            role_rank = {"index": 0, "date": 0, "label": 0}
+            info = dict(sorted(
+                info.items(),
+                key=lambda kv: (role_rank.get(kv[1], 1), -fi.get(kv[0], 0.0), kv[0]),
+            ))
+        return info, None
+
+
 class IsSingleValue(SingleDatasetCheck):
     """Per-column unique-value count; flags constant columns.
 

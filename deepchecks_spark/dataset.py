@@ -122,6 +122,33 @@ class Dataset:
     def schema_of(self, col: str) -> T.DataType:
         return self.df.schema[col].dataType
 
+    @property
+    def columns_info(self) -> dict:
+        """Role of each column (reference dataset.py:754-781): index /
+        date / label / categorical feature / numerical feature /
+        other feature / other."""
+        spec = self._spec
+        features = set(spec.features)
+        cats = set(spec.cat_features)
+        out = {}
+        for c in self.df.columns:
+            if c == spec.index_name:
+                out[c] = "index"
+            elif c == spec.datetime_name:
+                out[c] = "date"
+            elif c == spec.label:
+                out[c] = "label"
+            elif c in features:
+                if c in cats:
+                    out[c] = "categorical feature"
+                elif is_numeric_type(self.schema_of(c)):
+                    out[c] = "numerical feature"
+                else:
+                    out[c] = "other feature"
+            else:
+                out[c] = "other"
+        return out
+
     # -- row ops (reference dataset.py:443-537) -----------------------------
     def sample(self, n_samples: int | None, seed: int = 42) -> "Dataset":
         """Cap rows like reference Dataset.sample (dataset.py:443-465):

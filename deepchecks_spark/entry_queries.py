@@ -1079,6 +1079,33 @@ def q_feature_label_corr_change_events(spark, sf_dir):
         rows, "feature string, train_pps double, test_pps double, pps_diff double")
 
 
+def q_columns_info_orders(spark, sf_dir):
+    from deepchecks_spark.checks.integrity import ColumnsInfo
+
+    df = _t(spark, sf_dir, "orders")
+    ds = Dataset(df, label="o_orderstatus", datetime_name="o_orderdate",
+                 cat_features=["o_orderpriority"], infer_categorical=False)
+    value, _ = ColumnsInfo().compute(_ctx(ds), "train")
+    rows = sorted(value.items())
+    return spark.createDataFrame(rows, "column string, role string")
+
+
+def o_columns_info_orders():
+    # golden roles for the declared spec — validates the engine's
+    # role-assignment logic (reference dataset.py:754-781)
+    expected = [
+        ("o_custkey", "numerical feature"),
+        ("o_orderdate", "date"),
+        ("o_orderkey", "numerical feature"),
+        ("o_orderpriority", "categorical feature"),
+        ("o_orderstatus", "label"),
+        ("o_totalprice", "numerical feature"),
+    ]
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS column, '{r}' AS role" for c, r in expected
+    )
+
+
 # ---------------------------------------------------------------------------
 # quantified near-dup / ANN recall (VERDICT r1 next-6). MinHash recall is
 # measured against a brute-force shingle-Jaccard golden; LSH top-k runs on
@@ -1217,6 +1244,7 @@ QUERIES = {
     "feature_label_corr_change_events": q_feature_label_corr_change_events,
     "minhash_recall_documents": q_minhash_recall_documents,
     "lsh_topk_clustered_embeddings": q_lsh_topk_clustered_embeddings,
+    "columns_info_orders": q_columns_info_orders,
 }
 
 ORACLES = {
@@ -1257,6 +1285,7 @@ ORACLES = {
     "string_length_outliers_documents": o_string_length_outliers_documents(),
     "minhash_recall_documents": o_minhash_recall_documents(),
     "lsh_topk_clustered_embeddings": o_lsh_topk_clustered_embeddings(),
+    "columns_info_orders": o_columns_info_orders(),
     # pps/outlier/mvdrift/minhash/simhash/lsh/fingerprint + the two PPS
     # queries (identifier_label_correlation, feature_label_corr_change):
     # intentionally no oracle — seeded ML kernels and hash/LSH ops are not

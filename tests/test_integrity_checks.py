@@ -392,3 +392,48 @@ def test_default_n_samples_not_enforced():
     assert explicit.enforce_n_samples is True
     unlimited = PercentOfNulls(n_samples=None)
     assert unlimited.enforce_n_samples is False
+
+
+# -- ColumnsInfo + deprecated alias shims --
+
+def test_columns_info_roles(spark):
+    from deepchecks_spark.checks.integrity import ColumnsInfo
+    from deepchecks_spark.dataset import Dataset
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, "x")], "idx int, lab string, num double, txt string")
+    ds = Dataset(df, label="lab", index_name="idx", infer_categorical=False)
+    result = ColumnsInfo().run(ds)
+    assert result.value == {
+        "idx": "index", "lab": "label",
+        "num": "numerical feature", "txt": "other feature",
+    }
+
+
+def test_deprecated_aliases_warn_and_delegate():
+    import warnings
+
+    from deepchecks_spark.checks import (
+        CategoryMismatchTrainTest,
+        FeatureDrift,
+        LabelDrift,
+        MultivariateDrift,
+        NewCategoryTrainTest,
+        TrainTestFeatureDrift,
+        TrainTestLabelDrift,
+        WholeDatasetDrift,
+    )
+
+    pairs = [
+        (WholeDatasetDrift, MultivariateDrift),
+        (CategoryMismatchTrainTest, NewCategoryTrainTest),
+        (TrainTestFeatureDrift, FeatureDrift),
+        (TrainTestLabelDrift, LabelDrift),
+    ]
+    for old_cls, new_cls in pairs:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            check = old_cls()
+        assert isinstance(check, new_cls)
+        assert any(issubclass(w.category, DeprecationWarning) for w in caught)
+        assert new_cls.__name__ in str(caught[0].message)
