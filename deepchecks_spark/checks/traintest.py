@@ -115,8 +115,11 @@ class FeatureDrift(TrainTestCheck):
         test_df = self._effective_df(ctx, "test")
         cat_train = categorical_histograms(train_df, cats, self.ignore_na)
         cat_test = categorical_histograms(test_df, cats, self.ignore_na)
-        num_train = numeric_histograms(train_df, nums, self.numeric_hist_mode)
-        num_test = numeric_histograms(test_df, nums, self.numeric_hist_mode)
+        sketched: set = set()
+        num_train = numeric_histograms(train_df, nums, self.numeric_hist_mode,
+                                       sketched_out=sketched)
+        num_test = numeric_histograms(test_df, nums, self.numeric_hist_mode,
+                                      sketched_out=sketched)
         fi = ctx.feature_importance or {}
         value = {}
         kw = dict(
@@ -136,6 +139,12 @@ class FeatureDrift(TrainTestCheck):
             score, method = calc_drift_score("numerical", num_train[c], num_test[c], **kw)
             value[c] = {"Drift score": None if score == "not_enough_samples" else score,
                         "Method": method, "Importance": fi.get(c)}
+            if c in sketched and method == "Kolmogorov-Smirnov":
+                from deepchecks_spark.drift.spark import ks_sketch_bound
+
+                # sketch-mode KS is score ± ε (ROADMAP #4): report ε so
+                # threshold conditions near the bound can be flagged
+                value[c]["Drift score error bound"] = ks_sketch_bound()
         return value, None
 
     def add_condition_drift_score_less_than(self, max_allowed_categorical_score: float = 0.2,

@@ -29,6 +29,16 @@ from deepchecks_spark.drift.kernels import (
 # the GK quantile sketch (documented approximation; exact on fixtures).
 EXACT_HIST_MAX_DISTINCT = 100_000
 SKETCH_POINTS = 1000
+SKETCH_ACCURACY = 10_000  # percentile_approx GK accuracy (rank error ≤ 1/this)
+
+
+def ks_sketch_bound() -> float:
+    """Worst-case |KS_sketch − KS_exact| when both histograms come from
+    the sketch path: each side's reconstructed ECDF deviates from the
+    true ECDF by at most the quantile-grid resolution (1/SKETCH_POINTS)
+    plus the GK rank error (1/SKETCH_ACCURACY); the KS sup-difference
+    adds the two sides' deviations."""
+    return 2.0 * (1.0 / SKETCH_POINTS + 1.0 / SKETCH_ACCURACY)
 
 
 def _melt(df: DataFrame, cols: list, cast: str | None = None) -> DataFrame:
@@ -93,6 +103,7 @@ def numeric_histograms(
     cols: list,
     mode: str = "auto",
     distinct_counts: dict | None = None,
+    sketched_out: set | None = None,
 ) -> dict:
     """{col: (values ndarray, counts ndarray)}.
 
@@ -100,6 +111,8 @@ def numeric_histograms(
     mode='sketch': fused percentile_approx (GK, mergeable) — 1001
     equal-weight quantile samples per column.
     mode='auto': exact when the approx distinct count is small enough.
+    ``sketched_out``: pass a set to learn which columns took the sketch
+    path (so callers can attach ks_sketch_bound to their scores).
     """
     if not cols:
         return {}
@@ -111,6 +124,8 @@ def numeric_histograms(
             distinct_counts = row.asDict()
         exact_cols = [c for c in cols if (distinct_counts.get(c) or 0) <= EXACT_HIST_MAX_DISTINCT]
         sketch_cols = [c for c in cols if c not in set(exact_cols)]
+        if sketched_out is not None:
+            sketched_out.update(sketch_cols)
         out = numeric_histograms(df, exact_cols, "exact") if exact_cols else {}
         if sketch_cols:
             out.update(numeric_histograms(df, sketch_cols, "sketch"))
@@ -137,7 +152,7 @@ def numeric_histograms(
         for c in cols:
             col = F.col(f"`{c}`").cast("double")
             clean = F.when(~F.isnan(col), col)
-            aggs.append(F.percentile_approx(clean, qs, 10_000).alias(f"q::{c}"))
+            aggs.append(F.percentile_approx(clean, qs, SKETCH_ACCURACY).alias(f"q::{c}"))
             aggs.append(F.count(clean).alias(f"n::{c}"))
         row = df.agg(*aggs).first().asDict()
         out = {}

@@ -182,3 +182,46 @@ def test_yates_correction_capped_at_observed_expected_gap():
     c2 = {"a": 501, "b": 499}
     v = cramers_v_from_counts(c1, c2)
     assert v == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ks_sketch_error_bound_at_10m_rows(spark):
+    # |KS_sketch − KS_exact| ≤ ks_sketch_bound() on a 10M-row column
+    # (ROADMAP #4 / VERDICT r1 next-9). Values on a 100k-point grid so
+    # the exact path stays collectable; test side shifted by 0.05 →
+    # exact KS = 0.05.
+    from pyspark.sql import functions as F
+    from deepchecks_spark.drift import ks_from_hist
+    from deepchecks_spark.drift.spark import ks_sketch_bound, numeric_histograms
+
+    n = 10_000_000
+    base = spark.range(n).select(
+        ((F.col("id") * 2654435761) % 100_000 / 100_000.0).alias("x"),
+        (F.col("id") % 2).alias("side"),
+    )
+    train = base.filter("side = 0").select("x")
+    test = base.filter("side = 1").select((F.col("x") + 0.05).alias("x"))
+    ve1, ce1 = numeric_histograms(train, ["x"], "exact")["x"]
+    ve2, ce2 = numeric_histograms(test, ["x"], "exact")["x"]
+    exact = ks_from_hist(ve1, ce1, ve2, ce2)
+    vs1, cs1 = numeric_histograms(train, ["x"], "sketch")["x"]
+    vs2, cs2 = numeric_histograms(test, ["x"], "sketch")["x"]
+    sketch = ks_from_hist(vs1, cs1, vs2, cs2)
+    assert exact == pytest.approx(0.05, abs=1e-4)
+    assert abs(sketch - exact) <= ks_sketch_bound()
+
+
+def test_feature_drift_reports_sketch_bound(spark, monkeypatch):
+    import deepchecks_spark.drift.spark as dspark
+    from deepchecks_spark.checks.traintest import FeatureDrift
+    from deepchecks_spark.dataset import Dataset
+
+    # force the sketch path by lowering the exact-histogram gate
+    monkeypatch.setattr(dspark, "EXACT_HIST_MAX_DISTINCT", 10)
+    rows = [(float(i) / 7.0,) for i in range(2000)]
+    train = Dataset(spark.createDataFrame(rows[::2], "x double"), infer_categorical=False)
+    test = Dataset(spark.createDataFrame(rows[1::2], "x double"), infer_categorical=False)
+    result = FeatureDrift().run(train, test)
+    info = result.value["x"]
+    assert info["Method"] == "Kolmogorov-Smirnov"
+    assert info["Drift score error bound"] == dspark.ks_sketch_bound()
+    assert info["Drift score"] <= info["Drift score error bound"] + 0.01
