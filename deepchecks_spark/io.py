@@ -17,8 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime jars are on the session's classpath.
+    Must use Class.forName — a bare py4j package access (``spark._jvm.
+    org.apache.iceberg.Table``) returns a lazy JavaPackage and never
+    raises, reporting jars that aren't there."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
         return True
     except Exception:  # noqa: BLE001
         return False
