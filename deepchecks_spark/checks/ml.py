@@ -340,6 +340,11 @@ class FeatureFeatureCorrelation(SingleDatasetCheck):
     """
 
     DEFAULT_N_SAMPLES = 100_000
+    # Contingency gate: a Theil's U pair whose (approx) distinct-count
+    # product exceeds this would collect an unbounded joint histogram —
+    # skipped with value None (inferred categoricals are ≤150 uniques and
+    # never hit this; only a user-declared high-cardinality cat does).
+    MAX_CONTINGENCY_CELLS = 1_000_000
 
     def __init__(self, n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
@@ -363,6 +368,10 @@ class FeatureFeatureCorrelation(SingleDatasetCheck):
             if total > self.n_samples:
                 frac = min(1.0, self.n_samples / total * 1.1)
                 df = df.sample(False, frac, self.random_state).limit(self.n_samples)
+        cat_ndv = {}
+        if cats:
+            row = df.agg(*[F.approx_count_distinct(f"`{c}`").alias(c) for c in cats]).first()
+            cat_ndv = {c: row[c] or 0 for c in cats}
         for c in all_feats:
             value[c][c] = 1.0
         for i, a in enumerate(nums):
@@ -371,9 +380,16 @@ class FeatureFeatureCorrelation(SingleDatasetCheck):
                 value[a][b] = value[b][a] = r
         for i, a in enumerate(cats):
             for b in cats[i + 1:]:
+                if cat_ndv[a] * cat_ndv[b] > self.MAX_CONTINGENCY_CELLS:
+                    value[a][b] = value[b][a] = None  # gated, not collected
+                    continue
                 r = self._symmetric_theil_u(df, a, b)
                 value[a][b] = value[b][a] = r
         for a in cats:
+            if cat_ndv[a] > self.MAX_CONTINGENCY_CELLS // 10:
+                for b in nums:
+                    value[a][b] = value[b][a] = None
+                continue
             for b in nums:
                 r = self._correlation_ratio(df, a, b)
                 value[a][b] = value[b][a] = r

@@ -42,6 +42,22 @@ def python_baseform(value, allow_empty_result: bool = False):
     return stripped
 
 
+def is_string_column(df, col: str) -> bool:
+    """Spark twin of reference strings.py:306-317 is_string_column: a
+    column "is string" iff its schema type is string AND at least one
+    non-null value fails to parse as a number (the reference's
+    pd.to_numeric ValueError). Executed as an EXISTS — ``limit(1)`` lets
+    Spark stop scanning at the first non-numeric value, the distributed
+    analogue of the reference's short-circuiting single pass."""
+    from pyspark.sql import types as T
+
+    if not isinstance(df.schema[col].dataType, T.StringType):
+        return False
+    qc = F.col(f"`{col}`")
+    hit = df.filter(qc.isNotNull() & qc.try_cast("double").isNull()).limit(1).take(1)
+    return len(hit) > 0
+
+
 def is_null_string_expr(col: Column | str, max_len: int = 100) -> Column:
     """True where the *string* value is a null representation:
     baseform ∈ {'none','null','nan','na',''} (reference mixed_nulls.py:105-139).

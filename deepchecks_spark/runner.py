@@ -114,6 +114,39 @@ def mixed_nulls_partition_rows(df: DataFrame, string_cols: list, per_part: dict,
     return rows
 
 
+def duplicates_partition_rows(df: DataFrame, cols: list, max_ratio: float = 0.0,
+                              approx: bool = True) -> list:
+    """Per-partition DataDuplicates verdicts (ROADMAP #2): duplicate
+    ratio within each input partition, condition evaluated per partition.
+
+    Row identity is xxhash64 over the selected columns (the payload-hash
+    trick — KB-sized text never shuffles). ``approx=True`` (default, the
+    corpus-scale shape) counts distinct hashes with a mergeable HLL
+    sketch; exact countDistinct is available for fixture parity. Since
+    the group key contains the partition id, the heavy reduction is
+    map-side local either way.
+    """
+    from deepchecks_spark.core.checks import format_percent
+
+    h = F.xxhash64(*[F.col(f"`{c}`") for c in cols])
+    d_expr = F.approx_count_distinct("__h") if approx else F.countDistinct("__h")
+    per = (
+        df.withColumn("__pid", F.spark_partition_id()).withColumn("__h", h)
+        .groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"), d_expr.alias("d"))
+        .collect()
+    )
+    cond_name = f"Duplicate data ratio is less or equal to {format_percent(max_ratio)}"
+    rows = []
+    for r in sorted(per, key=lambda row: row["__pid"]):
+        # HLL can overcount slightly → clamp the ratio at 0
+        ratio = max(0.0, 1 - r["d"] / r["n"]) if r["n"] else 0.0
+        category = "PASS" if ratio <= max_ratio else "FAIL"
+        rows.append((r["__pid"], "Data Duplicates", cond_name, category,
+                     f"Found {format_percent(ratio)} duplicate data"))
+    return rows
+
+
 class _StatsOnlyContext:
     """Context facade that serves one partition's precomputed stats to the
     stats-driven checks (their compute() only touches ctx.data/ctx.stats)."""
@@ -325,6 +358,9 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
     def _partition_verdicts():
         rows = partition_verdicts(ds, stats_checks, _per_part())
         rows += mixed_nulls_partition_rows(ds.df, string_cols, _per_part())
+        # key-identity duplicates per partition: web corpora key on url
+        dup_cols = [c for c in ("url",) if c in ds.columns] or list(ds.columns)
+        rows += duplicates_partition_rows(ds.df, dup_cols, max_ratio=0.0)
         out = spark.createDataFrame(
             rows, "partition_id int, check string, condition string, category string, details string"
         )

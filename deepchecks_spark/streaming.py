@@ -97,6 +97,61 @@ def incremental_stats_query(stream_df: DataFrame, stats: IncrementalStats,
     return writer.start()
 
 
+class StreamingPsiMonitor:
+    """Windowed streaming drift monitor — the north star's "drift scoring
+    via PSI on streaming histograms".
+
+    Event-time windows with a watermark tolerate late data; the
+    categorical histogram per window is a streaming stateful aggregation
+    (mergeable partial counts — the streaming twin of the batch melted
+    histogram pass). Each micro-batch's UPDATE rows carry the latest
+    count per (window, category); they are folded into per-window
+    histograms driver-side and the touched windows are re-scored with
+    the exact batch PSI kernel, so a window's final streaming score
+    equals the batch score over the same rows by construction.
+
+    ``scores``: {window_start: {"psi": float, "n": int}} — always the
+    latest score per window.
+    """
+
+    def __init__(self, reference_hist: dict, min_category_size_ratio: float = 0.01):
+        self.reference_hist = dict(reference_hist)
+        self.min_category_size_ratio = min_category_size_ratio
+        self.scores: dict = {}
+        self._hists: dict = {}
+
+    def start(self, stream_df: DataFrame, col: str, time_col: str = "warc_ts",
+              window_duration: str = "1 hour", watermark: str = "30 minutes"):
+        from deepchecks_spark.drift.kernels import psi_from_counts
+
+        windowed = (
+            stream_df.withWatermark(time_col, watermark)
+            .groupBy(
+                F.window(F.col(time_col), window_duration).alias("w"),
+                F.col(f"`{col}`").cast("string").alias("value"),
+            )
+            .count()
+        )
+
+        def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+            touched = set()
+            for r in batch_df.collect():  # bounded: touched windows × categories
+                start = r["w"]["start"]
+                self._hists.setdefault(start, {})[r["value"]] = r["count"]
+                touched.add(start)
+            for start in touched:
+                hist = self._hists[start]
+                self.scores[start] = {
+                    "psi": psi_from_counts(
+                        self.reference_hist, hist,
+                        min_category_size_ratio=self.min_category_size_ratio,
+                    ),
+                    "n": int(sum(hist.values())),
+                }
+
+        return windowed.writeStream.outputMode("update").foreachBatch(_fold).start()
+
+
 def streaming_violations(stream_df: DataFrame, string_cols: list) -> DataFrame:
     """Stateless streaming violation detector: emits (check, column,
     offending_value) rows as data arrives — the same predicates as the

@@ -35,6 +35,7 @@ from deepchecks_spark.checks.traintest import (
     LabelDrift,
     NewCategoryTrainTest,
     NewLabelTrainTest,
+    PredictionDrift,
     StringMismatchComparison,
     TrainTestSamplesMix,
 )
@@ -84,6 +85,37 @@ def train_test_validation(label: bool = False, **kwargs) -> Suite:
             FeatureLabelCorrelationChange().add_condition_feature_pps_difference_less_than(),
         ]
     return Suite("Train Test Validation Suite", *checks)
+
+
+def production_suite(is_comparative: bool = True, prediction_column: str | None = None,
+                     **kwargs) -> Suite:
+    """In-scope subset of the reference production_suite
+    (default_suites.py:333-460). The model_evaluation members
+    (WeakSegmentsPerformance, RocReport, ConfusionMatrixReport,
+    RegressionErrorDistribution, *Performance) require a fitted sklearn
+    model and are out of scope (SURVEY.md scope note); every data-only
+    member is composed identically. PredictionDrift joins the
+    comparative set when a prediction column is named."""
+    checks = [PercentOfNulls().add_condition_percent_of_nulls_not_greater_than()]
+    if is_comparative:
+        checks += [
+            StringMismatchComparison().add_condition_no_new_variants(),
+            FeatureLabelCorrelationChange().add_condition_feature_pps_difference_less_than(),
+            FeatureDrift().add_condition_drift_score_less_than(),
+            MultivariateDrift().add_condition_overall_drift_value_less_than(),
+            LabelDrift(ignore_na=True).add_condition_drift_score_less_than(),
+            NewCategoryTrainTest().add_condition_new_category_ratio_less_or_equal(),
+        ]
+        if prediction_column:
+            checks.append(
+                PredictionDrift(prediction_column).add_condition_drift_score_less_than())
+    else:
+        checks += [
+            StringMismatch().add_condition_no_variants(),
+            FeatureLabelCorrelation().add_condition_feature_pps_less_than(),
+            FeatureFeatureCorrelation().add_condition_max_number_of_pairs_above_threshold(),
+        ]
+    return Suite("Production Suite", *checks)
 
 
 def full_suite(label: bool = False, **kwargs) -> Suite:

@@ -103,3 +103,23 @@ def test_format_percent_reference_parity():
     assert format_percent(0.000001) == "1.00E-4%"  # scientific notation
     assert format_percent(1e-8).endswith("E-6%")
     assert format_percent(0.25, add_positive_prefix=True) == "+25%"
+
+
+def test_production_suite_composition():
+    from deepchecks_spark.suites import production_suite
+
+    comparative = [type(c).__name__ for c in production_suite().checks]
+    assert comparative == [
+        "PercentOfNulls", "StringMismatchComparison", "FeatureLabelCorrelationChange",
+        "FeatureDrift", "MultivariateDrift", "LabelDrift", "NewCategoryTrainTest",
+    ]
+    with_pred = [type(c).__name__ for c in production_suite(prediction_column="pred").checks]
+    assert with_pred[-1] == "PredictionDrift"
+    solo = [type(c).__name__ for c in production_suite(is_comparative=False).checks]
+    assert solo == [
+        "PercentOfNulls", "StringMismatch", "FeatureLabelCorrelation",
+        "FeatureFeatureCorrelation",
+    ]
+    # every check carries at least one default condition except the
+    # report-style PercentOfNulls... which here has one too
+    assert all(c.conditions for c in production_suite().checks)

@@ -79,3 +79,15 @@ def test_format_helpers_extra():
 
     assert format_datetime(datetime.datetime(2025, 1, 2)) == "2025-01-02"
     assert format_datetime(datetime.datetime(2025, 1, 2, 3, 4, 5)) == "2025-01-02 03:04:05"
+
+
+def test_is_string_column(spark):
+    from deepchecks_spark.functions.strings import is_string_column
+
+    df = spark.createDataFrame(
+        [("abc", "1.5", 3.0, None), ("def", "2", 4.0, "7")],
+        "s string, numlike string, d double, mixed string")
+    assert is_string_column(df, "s") is True          # real text
+    assert is_string_column(df, "numlike") is False   # all values parse as numbers
+    assert is_string_column(df, "d") is False         # numeric dtype
+    assert is_string_column(df, "mixed") is False     # nulls ignored, '7' parses

@@ -238,3 +238,18 @@ def test_feature_feature_correlation_applies_n_samples_cap(spark):
     # check neither errors nor scans everything; correlation stays high
     res = FeatureFeatureCorrelation(n_samples=100).run(ds)
     assert 0.2 < res.value["a"]["b"] <= 1.0
+
+
+def test_feature_feature_correlation_gates_high_cardinality_cats(spark, monkeypatch):
+    monkeypatch.setattr(FeatureFeatureCorrelation, "MAX_CONTINGENCY_CELLS", 100)
+    rows = [(f"a{i}", f"b{i % 8}", float(i)) for i in range(500)]
+    ds = Dataset(spark.createDataFrame(rows, "c1 string, c2 string, n double"),
+                 cat_features=["c1", "c2"], infer_categorical=False)
+    result = FeatureFeatureCorrelation().run(ds)
+    # c1 (~500 distinct) x c2 (8) > 100 cells → gated pair, not collected
+    assert result.value["c1"]["c2"] is None
+    assert result.value["c2"]["c1"] is None
+    # c1 also exceeds the eta gate (100//10) → num pairs gated too
+    assert result.value["c1"]["n"] is None
+    # c2 (8 distinct ≤ cells//10) is small enough for eta
+    assert result.value["c2"]["n"] is not None

@@ -137,3 +137,24 @@ def test_mixed_nulls_partition_parity(spark, tmp_path, corpus_parquet):
         ds = Dataset(part, cat_features=["lang"], infer_categorical=False)
         res = MixedNulls().add_condition_different_nulls_less_equal_to(1).run(ds)
         assert got[pid] == res.conditions_results[0].category.value, f"pid {pid}"
+
+
+def test_duplicates_partition_rows_exact_parity(spark):
+    from deepchecks_spark.runner import duplicates_partition_rows
+
+    # 2 real partitions via parallelize slices: first half gets planted
+    # duplicates, second half is all-distinct (LocalRelation unions get
+    # constant-folded to one partition, so parallelize is load-bearing)
+    data = [(i % 10,) for i in range(100)] + [(1000 + i,) for i in range(100)]
+    rdd = spark.sparkContext.parallelize(data, 2)
+    df = spark.createDataFrame(rdd, "k long")
+    rows = duplicates_partition_rows(df, ["k"], max_ratio=0.0, approx=False)
+    assert len(rows) == 2
+    by_cat = {r[0]: (r[3], r[4]) for r in rows}
+    cats = sorted(v[0] for v in by_cat.values())
+    assert cats == ["FAIL", "PASS"]  # the duplicate-heavy partition fails
+    failing = [v for v in by_cat.values() if v[0] == "FAIL"][0]
+    assert "90%" in failing[1]  # 100 rows, 10 distinct → 90% duplicates
+    # approx mode agrees at this cardinality (HLL exact at small n)
+    approx_rows = duplicates_partition_rows(df, ["k"], max_ratio=0.0, approx=True)
+    assert sorted(r[3] for r in approx_rows) == ["FAIL", "PASS"]

@@ -60,3 +60,47 @@ def test_streaming_violations_match_batch(spark, stream_dir):
     want_total = sum(r["count"] for r in want if r["check"] == "MixedNulls")
     got_total = sum(1 for r in got if r["check"] == "MixedNulls")
     assert got_total == want_total > 0
+
+
+def test_streaming_psi_matches_batch_kernel(spark, tmp_path):
+    """Two event-time windows, second drifted; final streaming PSI per
+    window equals the batch kernel over the same rows."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.drift.kernels import psi_from_counts
+    from deepchecks_spark.streaming import StreamingPsiMonitor
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(400):
+        # window 1 (hour 0): balanced a/b; window 2 (hour 1): mostly b
+        hour = i % 2
+        cat = ("a" if i % 4 < 2 else "b") if hour == 0 else ("a" if i % 10 == 0 else "b")
+        rows.append((base + datetime.timedelta(hours=hour, seconds=i // 2), cat))
+    df = spark.createDataFrame(rows, "ts timestamp, cat string")
+    path = str(tmp_path / "psi_in")
+    df.repartition(4).write.parquet(path)
+
+    reference = {"a": 200, "b": 200}
+    mon = StreamingPsiMonitor(reference)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    q = mon.start(stream, "cat", time_col="ts", window_duration="1 hour",
+                  watermark="10 minutes")
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(mon.scores) == 2
+    batch_hists = {}
+    for r in (df.groupBy(F.window("ts", "1 hour").alias("w"), "cat").count().collect()):
+        batch_hists.setdefault(r["w"]["start"], {})[r["cat"]] = r["count"]
+    for start, hist in batch_hists.items():
+        want = psi_from_counts(reference, hist, min_category_size_ratio=0.01)
+        assert mon.scores[start]["psi"] == pytest.approx(want)
+        assert mon.scores[start]["n"] == sum(hist.values())
+    # the drifted window scores materially higher
+    s = sorted(mon.scores.items())
+    assert s[1][1]["psi"] > s[0][1]["psi"] + 0.1
