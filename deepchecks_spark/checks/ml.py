@@ -402,7 +402,7 @@ class FeatureFeatureCorrelation(SingleDatasetCheck):
     RANK_BUCKETS = 64
 
     @classmethod
-    def _avg_rank_map(cls, sub, col: str, rank_name: str):
+    def _avg_rank_map(cls, sub, col: str, rank_name: str, ndv: int | None = None):
         """(value → average rank) map from the distinct-value histogram.
 
         Spearman average rank of value v = (#rows < v) + (count(v)+1)/2,
@@ -420,7 +420,8 @@ class FeatureFeatureCorrelation(SingleDatasetCheck):
         """
         spark = sub.sparkSession
         hist = sub.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
-        ndv = sub.agg(F.approx_count_distinct(col).alias("d")).first()["d"] or 0
+        if ndv is None:
+            ndv = sub.agg(F.approx_count_distinct(col).alias("d")).first()["d"] or 0
         if ndv <= cls.RANK_MAP_MAX_COLLECT:
             rows = sorted(hist.collect(), key=lambda r: r[col])
             out, before = [], 0
@@ -470,8 +471,10 @@ class FeatureFeatureCorrelation(SingleDatasetCheck):
             .dropna()
             .filter(~F.isnan("x") & ~F.isnan("y"))  # pandas dropna drops NaN too
         )
-        rx_map = cls._avg_rank_map(sub, "x", "rx")
-        ry_map = cls._avg_rank_map(sub, "y", "ry")
+        ndvs = sub.agg(F.approx_count_distinct("x").alias("dx"),
+                       F.approx_count_distinct("y").alias("dy")).first()
+        rx_map = cls._avg_rank_map(sub, "x", "rx", ndv=ndvs["dx"] or 0)
+        ry_map = cls._avg_rank_map(sub, "y", "ry", ndv=ndvs["dy"] or 0)
         ranked = sub.join(rx_map, on="x").join(ry_map, on="y")
         r = ranked.agg(F.corr("rx", "ry")).first()[0]
         return float(r) if r is not None else 0.0
