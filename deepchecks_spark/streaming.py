@@ -152,6 +152,53 @@ class StreamingPsiMonitor:
         return windowed.writeStream.outputMode("update").foreachBatch(_fold).start()
 
 
+def stateful_column_monitor(stream_df: DataFrame, key_col: str, value_col: str):
+    """Custom stateful streaming operator (applyInPandasWithState): per-key
+    running integrity counters that survive across micro-batches.
+
+    State per key = (n_rows, n_null_reprs, n_special): the same
+    MixedNulls / SpecialCharacters predicates as the batch engine,
+    evaluated with the exact-python baseform twin
+    (functions/strings.py::python_baseform) over Arrow batches — so the
+    running totals converge to the batch pass's counts on the same data.
+    Emits the updated totals per key on every micro-batch (update mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from deepchecks_spark.functions.strings import NULL_BASEFORMS, python_baseform
+
+    out_schema = f"{key_col} string, n_rows long, n_null_reprs long, n_special long"
+    state_schema = "n_rows long, n_null_reprs long, n_special long"
+
+    def _fn(key, pdf_iter, state: GroupState):
+        n, nn, sp = state.get if state.exists else (0, 0, 0)
+        for pdf in pdf_iter:
+            vals = pdf[value_col]
+            n += len(pdf)
+            nonnull = vals.dropna().astype(str)
+            if len(nonnull):
+                bf = nonnull.map(python_baseform)  # fallback-to-original semantics
+                nn += int(bf.isin(NULL_BASEFORMS).sum())
+                # special-only: non-empty and baseform(allow_empty) empty —
+                # i.e. the fallback kicked in on a non-empty string
+                stripped = nonnull.map(
+                    lambda v: "".join(ch for ch in v if ch.isalnum()))
+                sp += int(((nonnull.str.len() > 0) & (stripped.str.len() == 0)).sum())
+        state.update((int(n), int(nn), int(sp)))
+        yield pd.DataFrame(
+            [{key_col: key[0], "n_rows": int(n), "n_null_reprs": int(nn), "n_special": int(sp)}]
+        )
+
+    return (
+        stream_df.select(F.col(f"`{key_col}`").cast("string").alias(key_col), f"`{value_col}`")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def streaming_violations(stream_df: DataFrame, string_cols: list) -> DataFrame:
     """Stateless streaming violation detector: emits (check, column,
     offending_value) rows as data arrives — the same predicates as the

@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+the engine's design depends on, asserted via explain() so a future edit
+that silently reintroduces an Expand, drops a broadcast, or breaks scan
+pruning fails CI instead of surfacing as a 10x slowdown at corpus scale.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    return df
+
+
+def test_fused_stats_pass_has_no_expand(lineitem):
+    # the Expand trap: countDistinct mixed into the wide agg replicates
+    # every row N+1 times (stats.py docstring; memory: 12x slowdown)
+    from deepchecks_spark.stats import _agg_exprs
+
+    agg = lineitem.agg(*_agg_exprs(lineitem, lineitem.columns))
+    assert "Expand" not in _plan(agg)
+
+
+def test_melted_scan_prunes_to_selected_columns(lineitem):
+    from deepchecks_spark.checks.integrity import melt_strings
+
+    melted = melt_strings(lineitem, ["l_returnflag", "l_linestatus"])
+    plan = _plan(melted)
+    scan = plan[plan.find("ReadSchema"):][:200]
+    assert "l_returnflag" in scan and "l_linestatus" in scan
+    assert "l_extendedprice" not in scan  # unrelated columns pruned
+
+
+def test_brute_force_topk_broadcasts_queries(spark):
+    from deepchecks_spark.pipeline.similarity import brute_force_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = brute_force_topk(df.filter(F.col("vec_id") < 5), df, k=3, id_col="vec_id")
+    assert "BroadcastNestedLoopJoin" in _plan(out) or "BroadcastExchange" in _plan(out)
+
+
+def test_data_duplicates_has_mapside_partial_agg(lineitem):
+    # two-stage hash aggregation: partial_count before the exchange
+    grouped = lineitem.groupBy("l_orderkey", "l_partkey").count()
+    plan = _plan(grouped)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_semi_join_on_tiny_distinct_side_broadcasts(spark):
+    # NewLabel/IndexLeakage shape: left_semi against a small distinct set
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    small = df.select("o_orderstatus").distinct()
+    joined = df.join(small, on="o_orderstatus", how="left_semi")
+    joined.collect()  # let AQE finalize
+    final = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in final
+
+
+def test_spearman_rank_windows_are_partitioned(spark, monkeypatch):
+    from deepchecks_spark.checks.ml import FeatureFeatureCorrelation
+
+    monkeypatch.setattr(FeatureFeatureCorrelation, "RANK_MAP_MAX_COLLECT", 1)
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sub = df.selectExpr("cast(l_extendedprice as double) as x")
+    rank_map = FeatureFeatureCorrelation._avg_rank_map(sub, "x", "rx", ndv=10_000_000)
+    plan = _plan(rank_map)
+    # every Window operator must carry a partition spec (the __bkt bucket)
+    for seg in plan.split("Window ")[1:]:
+        assert "__bkt" in seg[:400]

@@ -104,3 +104,45 @@ def test_streaming_psi_matches_batch_kernel(spark, tmp_path):
     # the drifted window scores materially higher
     s = sorted(mon.scores.items())
     assert s[1][1]["psi"] > s[0][1]["psi"] + 0.1
+
+
+def test_stateful_column_monitor_converges_to_batch_counts(spark, stream_dir):
+    """applyInPandasWithState per-key totals after draining the stream
+    equal the batch predicates over the same data."""
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.functions.strings import (
+        is_null_string_expr,
+        is_special_only_expr,
+    )
+    from deepchecks_spark.streaming import stateful_column_monitor
+
+    batch = spark.read.parquet(stream_dir).selectExpr(
+        "cast(pmod(xxhash64(url), 3) as string) AS grp", "lang")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stream_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .selectExpr("cast(pmod(xxhash64(url), 3) as string) AS grp", "lang")
+    )
+    out = stateful_column_monitor(stream, key_col="grp", value_col="lang")
+    q = (out.writeStream.format("memory").queryName("stateful_out")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    q.stop()
+    got_df = spark.sql(
+        "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY grp "
+        "ORDER BY n_rows DESC) rn FROM stateful_out) WHERE rn = 1"
+    )
+    got = {r["grp"]: (r["n_rows"], r["n_null_reprs"], r["n_special"])
+           for r in got_df.collect()}
+    want_rows = (
+        batch.groupBy(F.col("grp")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_null_string_expr(F.col("lang"), max_len=None).cast("long")).alias("nn"),
+            F.sum(is_special_only_expr(F.col("lang")).cast("long")).alias("sp"),
+        ).collect()
+    )
+    want = {r["grp"]: (r["n"], r["nn"] or 0, r["sp"] or 0) for r in want_rows}
+    assert got == want
+    assert sum(v[1] for v in want.values()) > 0  # fixture has planted null reprs
