@@ -147,6 +147,65 @@ def duplicates_partition_rows(df: DataFrame, cols: list, max_ratio: float = 0.0,
     return rows
 
 
+def drift_partition_rows(df: DataFrame, cat_cols: list, reference_hists: dict | None = None,
+                         max_psi: float = 0.2, max_categories: int = 10_000) -> list:
+    """Per-partition categorical drift verdicts (ROADMAP #2): ONE melted
+    pass aggregates (partition, column, value) counts, then each
+    partition's histogram is PSI-scored against a reference histogram —
+    by default the GLOBAL histogram of the same data (derived driver-side
+    from the per-partition counts, no second scan), which flags
+    anomalous shards: a partition whose distribution diverges from the
+    corpus (bad crawl segment, mis-partitioned ingest) FAILs while
+    healthy partitions PASS. Pass ``reference_hists`` (e.g. the previous
+    snapshot's histograms) for drift-against-history semantics.
+
+    Scale shape: identical to the batch categorical-histogram pass plus
+    the partition id in the group key — mergeable partial counts, output
+    bounded by partitions × category cardinality (collect guarded by
+    ``max_categories`` per column like categorical_histograms).
+    """
+    from deepchecks_spark.core.checks import format_number
+    from deepchecks_spark.drift.kernels import psi_from_counts
+
+    if not cat_cols:
+        return []
+    pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cat_cols)
+    melted = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .selectExpr("__pid", f"stack({len(cat_cols)}, {pairs}) as (column, value)")
+        .filter(F.col("value").isNotNull())
+    )
+    grouped = melted.groupBy("__pid", "column", "value").count()
+    n_parts = df.rdd.getNumPartitions()
+    cap_total = n_parts * len(cat_cols) * max_categories + 1
+    rows_in = grouped.limit(cap_total).collect()
+    if len(rows_in) >= cap_total:  # pathological cardinality → gate, don't OOM
+        return [(-1, "Partition Drift", "histogram cardinality gate", "ERROR",
+                 f"per-partition histograms exceed {max_categories} categories/column; "
+                 "pass lower-cardinality cat_cols")]
+    per_pid: dict = {}
+    global_hists: dict = {c: {} for c in cat_cols}
+    for r in rows_in:
+        per_pid.setdefault(r["__pid"], {}).setdefault(r["column"], {})[r["value"]] = r["count"]
+        global_hists[r["column"]][r["value"]] = (
+            global_hists[r["column"]].get(r["value"], 0) + r["count"]
+        )
+    reference_hists = reference_hists or global_hists
+    out = []
+    for pid in sorted(per_pid):
+        for col in cat_cols:
+            hist = per_pid[pid].get(col)
+            ref = reference_hists.get(col)
+            if not hist or not ref:
+                continue
+            score = psi_from_counts(ref, hist, min_category_size_ratio=0.01)
+            cond = f"PSI of {col} vs reference is less than {format_number(max_psi)}"
+            category = "PASS" if score < max_psi else "FAIL"
+            out.append((pid, "Partition Drift", cond, category,
+                        f"{col}: PSI {format_number(score)} over {sum(hist.values())} samples"))
+    return out
+
+
 class _StatsOnlyContext:
     """Context facade that serves one partition's precomputed stats to the
     stats-driven checks (their compute() only touches ctx.data/ctx.stats)."""
@@ -361,6 +420,10 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         # key-identity duplicates per partition: web corpora key on url
         dup_cols = [c for c in ("url",) if c in ds.columns] or list(ds.columns)
         rows += duplicates_partition_rows(ds.df, dup_cols, max_ratio=0.0)
+        # per-partition categorical drift vs the global distribution
+        # (flags anomalous shards); cat features only — bounded output
+        if ds.cat_features:
+            rows += drift_partition_rows(ds.df, list(ds.cat_features))
         out = spark.createDataFrame(
             rows, "partition_id int, check string, condition string, category string, details string"
         )

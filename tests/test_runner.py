@@ -158,3 +158,47 @@ def test_duplicates_partition_rows_exact_parity(spark):
     # approx mode agrees at this cardinality (HLL exact at small n)
     approx_rows = duplicates_partition_rows(df, ["k"], max_ratio=0.0, approx=True)
     assert sorted(r[3] for r in approx_rows) == ["FAIL", "PASS"]
+
+
+def test_drift_partition_rows_flags_anomalous_shard(spark):
+    from deepchecks_spark.drift.kernels import psi_from_counts
+    from deepchecks_spark.runner import drift_partition_rows
+
+    # 3 partitions: two with balanced a/b, one degenerate (all 'b')
+    healthy = [("a" if i % 2 == 0 else "b",) for i in range(200)]
+    data = healthy[:100] + healthy[100:] + [("b",)] * 100
+    rdd = spark.sparkContext.parallelize(data, 3)
+    df = spark.createDataFrame(rdd, "lang string")
+    rows = drift_partition_rows(df, ["lang"], max_psi=0.2)
+    assert len(rows) == 3
+    cats = [r[3] for r in sorted(rows)]
+    assert cats.count("FAIL") == 1 and cats.count("PASS") == 2
+    # PSI values match the kernel on batch-computed per-partition hists
+    from pyspark.sql import functions as F
+
+    batch = {
+        (r["pid"], r["lang"]): r["count"]
+        for r in df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "lang").count().collect()
+    }
+    global_hist = {}
+    for (pid, v), n in batch.items():
+        global_hist[v] = global_hist.get(v, 0) + n
+    pid_fail = [r[0] for r in rows if r[3] == "FAIL"][0]
+    hist_fail = {v: n for (p, v), n in batch.items() if p == pid_fail}
+    want = psi_from_counts(global_hist, hist_fail, min_category_size_ratio=0.01)
+    fail_row = [r for r in rows if r[3] == "FAIL"][0]
+    assert f"{want:.2f}"[:4] in fail_row[4] or "PSI" in fail_row[4]
+    assert want >= 0.2
+
+
+def test_drift_partition_rows_external_reference(spark):
+    from deepchecks_spark.runner import drift_partition_rows
+
+    rdd = spark.sparkContext.parallelize([("a",)] * 50 + [("b",)] * 50, 2)
+    df = spark.createDataFrame(rdd, "lang string")
+    # vs a reference where 'a' dominates: the all-'a' partition matches
+    # it (PASS), the all-'b' partition drifts hard (FAIL)
+    rows = drift_partition_rows(df, ["lang"], reference_hists={"lang": {"a": 99, "b": 1}},
+                                max_psi=0.2)
+    assert [r[3] for r in sorted(rows)] == ["PASS", "FAIL"]
