@@ -139,12 +139,14 @@ class FeatureDrift(TrainTestCheck):
             score, method = calc_drift_score("numerical", num_train[c], num_test[c], **kw)
             value[c] = {"Drift score": None if score == "not_enough_samples" else score,
                         "Method": method, "Importance": fi.get(c)}
-            if c in sketched and method == "Kolmogorov-Smirnov":
-                from deepchecks_spark.drift.spark import ks_sketch_bound
+            if c in sketched and method is not None:
+                from deepchecks_spark.drift.spark import emd_sketch_bound, ks_sketch_bound
 
-                # sketch-mode KS is score ± ε (ROADMAP #4): report ε so
+                # sketch-mode score is score ± ε (ROADMAP #4): report ε so
                 # threshold conditions near the bound can be flagged
-                value[c]["Drift score error bound"] = ks_sketch_bound()
+                value[c]["Drift score error bound"] = (
+                    ks_sketch_bound() if method == "Kolmogorov-Smirnov" else emd_sketch_bound()
+                )
         return value, None
 
     def add_condition_drift_score_less_than(self, max_allowed_categorical_score: float = 0.2,

@@ -41,6 +41,16 @@ def ks_sketch_bound() -> float:
     return 2.0 * (1.0 / SKETCH_POINTS + 1.0 / SKETCH_ACCURACY)
 
 
+def emd_sketch_bound() -> float:
+    """Worst-case |EMD_sketch − EMD_exact| on sketch-path histograms:
+    after joint min-max scaling to [0,1], W1 = ∫|F1−F2| dx over a unit
+    range, and |∫|F̂1−F̂2| − ∫|F1−F2|| ≤ ∫(|F̂1−F1| + |F̂2−F2|) ≤ 2·ε_side
+    with the same per-side CDF deviation as the KS bound. (The scale
+    endpoints q0/q1 are themselves GK-approximate, which perturbs the
+    [0,1] mapping by O(ε) — covered by the same ε_side term.)"""
+    return 2.0 * (1.0 / SKETCH_POINTS + 1.0 / SKETCH_ACCURACY)
+
+
 def _melt(df: DataFrame, cols: list, cast: str | None = None) -> DataFrame:
     expr = f"`{{c}}`" if cast is None else f"cast(`{{c}}` as {cast})"
     pairs = ", ".join(f"'{c}', " + expr.format(c=c) for c in cols)

@@ -225,3 +225,25 @@ def test_feature_drift_reports_sketch_bound(spark, monkeypatch):
     assert info["Method"] == "Kolmogorov-Smirnov"
     assert info["Drift score error bound"] == dspark.ks_sketch_bound()
     assert info["Drift score"] <= info["Drift score error bound"] + 0.01
+
+
+def test_emd_sketch_error_bound_at_10m_rows(spark):
+    from pyspark.sql import functions as F
+    from deepchecks_spark.drift import emd_from_hist
+    from deepchecks_spark.drift.spark import emd_sketch_bound, numeric_histograms
+
+    n = 10_000_000
+    base = spark.range(n).select(
+        ((F.col("id") * 2654435761) % 100_000 / 100_000.0).alias("x"),
+        (F.col("id") % 2).alias("side"),
+    )
+    train = base.filter("side = 0").select("x")
+    test = base.filter("side = 1").select((F.col("x") * 0.9 + 0.05).alias("x"))
+    ve1, ce1 = numeric_histograms(train, ["x"], "exact")["x"]
+    ve2, ce2 = numeric_histograms(test, ["x"], "exact")["x"]
+    exact = emd_from_hist(ve1, ce1, ve2, ce2, margin_quantile_filter=0.0)
+    vs1, cs1 = numeric_histograms(train, ["x"], "sketch")["x"]
+    vs2, cs2 = numeric_histograms(test, ["x"], "sketch")["x"]
+    sketch = emd_from_hist(vs1, cs1, vs2, cs2, margin_quantile_filter=0.0)
+    assert exact > 0.01  # genuinely drifted
+    assert abs(sketch - exact) <= emd_sketch_bound()
