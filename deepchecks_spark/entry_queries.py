@@ -1187,6 +1187,76 @@ def o_lsh_topk_clustered_embeddings():
     """
 
 
+def q_streaming_psi_events(spark, sf_dir):
+    """Structured Streaming in the correctness gate: daily event-time
+    windows of event_type (watermarked), PSI per window against the
+    even-key reference histogram, drained synchronously; the final
+    streaming scores must equal the batch SQL oracle per window."""
+    from deepchecks_spark.drift.spark import categorical_histograms
+    from deepchecks_spark.streaming import StreamingPsiMonitor
+
+    import os
+
+    batch = _t(spark, sf_dir, "events")
+    ref = categorical_histograms(
+        batch.filter(F.col("event_id") % 2 == 0), ["event_type"])["event_type"]
+    mon = StreamingPsiMonitor(ref)
+    # the sf tables are single parquet FILES; the streaming file source
+    # needs a directory → stage a multi-file copy once (deterministic)
+    import hashlib
+
+    stage_dir = "/tmp/spark_graft_stream/events_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        batch.repartition(8).write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage_dir)
+        # watermarks need TIMESTAMP (tz-aware); parquet stores NTZ —
+        # session TZ is pinned UTC so the cast is value-preserving
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    # staged files replay in arbitrary time order, so the lateness bound
+    # must cover the whole corpus span (30 days) or early windows would
+    # be evicted mid-replay; a live pipeline with in-order arrival would
+    # use hours here
+    q = mon.start(stream, "event_type", time_col="ts",
+                  window_duration="1 day", watermark="40 days")
+    q.processAllAvailable()
+    q.stop()
+    rows = [
+        (start.strftime("%Y-%m-%d"), round(float(v["psi"]), 6), int(v["n"]))
+        for start, v in sorted(mon.scores.items())
+    ]
+    return spark.createDataFrame(rows, "window_start string, psi double, n long")
+
+
+def o_streaming_psi_events():
+    # batch twin of the streaming windows: daily histograms vs the
+    # even-key reference, PSI with the 0.01 floor. All 5 event types are
+    # ≥1% on both sides in every window, so the Other roll-up never
+    # triggers and the plain floor formula is exact.
+    return """
+    WITH ref AS (SELECT event_type v, count(*)::double n FROM events
+                 WHERE event_id % 2 = 0 AND event_type IS NOT NULL GROUP BY v),
+         h AS (SELECT date_trunc('day', ts) w, event_type v, count(*)::double n
+               FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+         wins AS (SELECT DISTINCT w FROM h),
+         cats AS (SELECT DISTINCT v FROM ref),
+         grid AS (SELECT w, v FROM wins CROSS JOIN cats),
+         cells AS (SELECT g.w, g.v, coalesce(ref.n, 0) rn, coalesce(h.n, 0) hn
+                   FROM grid g LEFT JOIN ref ON ref.v = g.v
+                   LEFT JOIN h ON h.w = g.w AND h.v = g.v),
+         tots AS (SELECT w, sum(rn) rt, sum(hn) ht FROM cells GROUP BY w)
+    SELECT strftime(c.w, '%Y-%m-%d') AS window_start,
+           round(sum((greatest(rn / t.rt, 0.01) - greatest(hn / t.ht, 0.01))
+                     * ln(greatest(rn / t.rt, 0.01) / greatest(hn / t.ht, 0.01))), 6) AS psi,
+           cast(sum(hn) AS BIGINT) AS n
+    FROM cells c JOIN tots t ON c.w = t.w
+    GROUP BY c.w
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1245,6 +1315,7 @@ QUERIES = {
     "minhash_recall_documents": q_minhash_recall_documents,
     "lsh_topk_clustered_embeddings": q_lsh_topk_clustered_embeddings,
     "columns_info_orders": q_columns_info_orders,
+    "streaming_psi_events": q_streaming_psi_events,
 }
 
 ORACLES = {
@@ -1286,6 +1357,7 @@ ORACLES = {
     "minhash_recall_documents": o_minhash_recall_documents(),
     "lsh_topk_clustered_embeddings": o_lsh_topk_clustered_embeddings(),
     "columns_info_orders": o_columns_info_orders(),
+    "streaming_psi_events": o_streaming_psi_events(),
     # pps/outlier/mvdrift/minhash/simhash/lsh/fingerprint + the two PPS
     # queries (identifier_label_correlation, feature_label_corr_change):
     # intentionally no oracle — seeded ML kernels and hash/LSH ops are not
