@@ -1257,6 +1257,50 @@ def o_streaming_psi_events():
     """
 
 
+def q_multimodal_features_documents(spark, sf_dir):
+    """Multimodal plumbing in the correctness gate: documents.text cast to
+    an opaque binary payload, typed metadata JVM-side, and the
+    deterministic fake decode→feature-extract through the REAL
+    mapInPandas Arrow path. The fake features are sha256-derived, which
+    DuckDB reproduces exactly — so the whole binary-column pipeline
+    (schema, batching, null propagation) is oracle-verified."""
+    from deepchecks_spark.pipeline.multimodal import decode_features, with_media_metadata
+
+    df = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "CAST(text AS BINARY) AS payload")
+    df = with_media_metadata(df, "payload")
+    df = decode_features(df, "payload", decoder="fake")
+    return df.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.magic").alias("magic"),
+        F.round(F.col("features")[0], 6).alias("f0"),
+        F.round(F.col("features")[7], 6).alias("f7"),
+    )
+
+
+def o_multimodal_features_documents():
+    # fake feature i = little-endian uint32 of sha256(payload) bytes
+    # [4i..4i+3] / 2^32; DuckDB's sha256(VARCHAR) hashes the utf-8 bytes,
+    # identical to the payload (CAST(text AS BINARY) is utf-8)
+    def feat(i):
+        terms = " + ".join(
+            f"CAST(concat('0x', substr(h, {8 * i + 2 * j + 1}, 2)) AS BIGINT) * {256 ** j}"
+            for j in range(4)
+        )
+        return f"round(({terms}) / 4294967296.0, 6)"
+
+    return f"""
+    WITH d AS (SELECT doc_id, text, sha256(text) AS h FROM documents)
+    SELECT doc_id,
+           octet_length(text::BLOB)::BIGINT AS n_bytes,
+           substr(hex(text::BLOB), 1, 8) AS magic,
+           {feat(0)} AS f0,
+           {feat(7)} AS f7
+    FROM d
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1316,6 +1360,7 @@ QUERIES = {
     "lsh_topk_clustered_embeddings": q_lsh_topk_clustered_embeddings,
     "columns_info_orders": q_columns_info_orders,
     "streaming_psi_events": q_streaming_psi_events,
+    "multimodal_features_documents": q_multimodal_features_documents,
 }
 
 ORACLES = {
@@ -1358,6 +1403,7 @@ ORACLES = {
     "lsh_topk_clustered_embeddings": o_lsh_topk_clustered_embeddings(),
     "columns_info_orders": o_columns_info_orders(),
     "streaming_psi_events": o_streaming_psi_events(),
+    "multimodal_features_documents": o_multimodal_features_documents(),
     # pps/outlier/mvdrift/minhash/simhash/lsh/fingerprint + the two PPS
     # queries (identifier_label_correlation, feature_label_corr_change):
     # intentionally no oracle — seeded ML kernels and hash/LSH ops are not
