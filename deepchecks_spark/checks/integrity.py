@@ -19,6 +19,7 @@ from deepchecks_spark.core.checks import (
     SingleDatasetCheck,
     format_number,
     format_percent,
+    get_condition_passed_message,
 )
 from deepchecks_spark.core.result import ConditionCategory, ConditionResult
 from deepchecks_spark.functions.strings import (
@@ -116,7 +117,7 @@ class IsSingleValue(SingleDatasetCheck):
                     ConditionCategory.FAIL,
                     f"Found {len(single)} out of {len(result)} columns with a single value: {single}",
                 )
-            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+            return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
 
         return self.add_condition("Does not contain only a single value", condition)
 
@@ -150,7 +151,7 @@ class PercentOfNulls(SingleDatasetCheck):
                     ConditionCategory.FAIL,
                     f"Found {len(failing)} out of {len(result)} columns with null ratio above threshold: {failing}",
                 )
-            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+            return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
 
         return self.add_condition(
             f"Percent of null values in each column is not greater than {format_percent(threshold)}", condition
@@ -232,7 +233,7 @@ class MixedNulls(SingleDatasetCheck):
                     f"above threshold: {failing}",
                 )
             return ConditionResult(
-                ConditionCategory.PASS, f"Passed for {len(result['columns'])} relevant columns"
+                ConditionCategory.PASS, get_condition_passed_message(result['columns'])
             )
 
         return self.add_condition(
@@ -308,7 +309,7 @@ class MixedDataTypes(SingleDatasetCheck):
                     f"Found {len(failing)} out of {len(result)} columns with non-negligible quantities of "
                     f"samples with a different data type from the majority of samples: {failing}",
                 )
-            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+            return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
 
         return self.add_condition(
             f"Rare data types in column are either more than {format_percent(ratio_range[1])} or less than "
@@ -374,7 +375,7 @@ class SpecialCharacters(SingleDatasetCheck):
                     f"Found {len(failing)} out of {len(result)} relevant columns with ratio above threshold: "
                     f"{failing}",
                 )
-            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+            return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
 
         return self.add_condition(
             f"Ratio of samples containing solely special character is less or equal to {format_percent(max_ratio)}",
@@ -642,7 +643,7 @@ class StringMismatch(SingleDatasetCheck):
                     ConditionCategory.WARN,
                     f"Found {len(failing)} out of {len(result)} columns with string variants: {failing}",
                 )
-            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+            return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
 
         return self.add_condition("No string variants", condition)
 
@@ -847,7 +848,7 @@ class StringLengthOutOfBounds(SingleDatasetCheck):
                     f"Found {len(failing)} out of {len(result)} relevant columns with outliers ratio above "
                     f"threshold: {failing}",
                 )
-            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+            return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
 
         return self.add_condition(
             f"Ratio of string length outliers is less or equal to {format_percent(max_ratio)}", condition

@@ -20,6 +20,7 @@ from deepchecks_spark.core.checks import (
     SingleDatasetCheck,
     TrainTestCheck,
     format_number,
+    get_condition_passed_message,
 )
 from deepchecks_spark.core.result import ConditionCategory, ConditionResult
 from deepchecks_spark.ml.gbm import GradientBoostingBinary
@@ -75,7 +76,7 @@ class FeatureLabelCorrelation(SingleDatasetCheck):
                     ConditionCategory.FAIL,
                     f"Found {len(failing)} out of {len(result)} features with PPS above threshold: {failing}",
                 )
-            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+            return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
 
         return self.add_condition(f"Features' Predictive Power Score is less than {format_number(threshold)}",
                                   condition)
@@ -118,7 +119,7 @@ class IdentifierLabelCorrelation(SingleDatasetCheck):
                     ConditionCategory.FAIL,
                     f"Found {len(failing)} out of {len(result)} identifiers with PPS above threshold: {failing}",
                 )
-            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+            return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
 
         return self.add_condition(f"Identifier columns PPS is less or equal to {format_number(max_pps)}",
                                   condition)
@@ -167,7 +168,7 @@ class FeatureLabelCorrelationChange(TrainTestCheck):
                     f"threshold: {failing}",
                 )
             return ConditionResult(ConditionCategory.PASS,
-                                   f"Passed for {len(result['train'])} relevant columns")
+                                   get_condition_passed_message(result['train']))
 
         return self.add_condition(f"Train-Test features' Predictive Power Score difference is less than "
                                   f"{format_number(threshold)}", condition)
@@ -182,7 +183,7 @@ class FeatureLabelCorrelationChange(TrainTestCheck):
                     f"above threshold: {failing}",
                 )
             return ConditionResult(ConditionCategory.PASS,
-                                   f"Passed for {len(result['train'])} relevant columns")
+                                   get_condition_passed_message(result['train']))
 
         return self.add_condition(f"Train features' Predictive Power Score is less than "
                                   f"{format_number(threshold)}", condition)

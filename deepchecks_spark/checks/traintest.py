@@ -17,6 +17,7 @@ from deepchecks_spark.core.checks import (
     TrainTestCheck,
     format_number,
     format_percent,
+    get_condition_passed_message,
 )
 from deepchecks_spark.core.result import ConditionCategory, ConditionResult
 from deepchecks_spark.drift.spark import (
@@ -410,7 +411,7 @@ class NewCategoryTrainTest(TrainTestCheck):
                     f"Found {len(failing)} out of {len(result)} columns with number of new categories above "
                     f"threshold: {failing}",
                 )
-            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+            return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
 
         return self.add_condition(f"Number of new category values is less or equal to {max_new}", condition)
 
@@ -427,7 +428,7 @@ class NewCategoryTrainTest(TrainTestCheck):
                     f"Found {len(failing)} out of {len(result)} columns with ratio of new category samples "
                     f"above threshold: {failing}",
                 )
-            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+            return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
 
         return self.add_condition(
             f"Ratio of samples with a new category is less or equal to {format_percent(max_ratio)}", condition
@@ -505,7 +506,7 @@ class StringMismatchComparison(TrainTestCheck):
                     ConditionCategory.WARN,
                     f"Found {len(failing)} out of {len(result)} columns with new variants in test data: {failing}",
                 )
-            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} relevant columns")
+            return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
 
         return self.add_condition("No new variants allowed in test data", condition)
 

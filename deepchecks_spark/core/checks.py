@@ -240,6 +240,19 @@ def format_percent(ratio: float, floating_point: int = 2,
     return prefix + result
 
 
+def get_condition_passed_message(sized, feature: bool = False) -> str:
+    """Reference tabular/utils/messages.py:17-32, byte-identical: PASS
+    details with singular/plural and the zero-columns special case."""
+    verb = "feature" if feature else "column"
+    num = sized if isinstance(sized, int) else len(sized)
+    if num == 0:
+        return f"No relevant {verb}s to check were found"
+    message = f"Passed for {num} relevant {verb}"
+    if num > 1:
+        message += "s"
+    return message
+
+
 def format_number(x, floating_point: int = 5) -> str:
     """Reference utils/strings.py format_number."""
     if isinstance(x, (int,)) or (isinstance(x, float) and x == int(x)):

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from deepchecks_spark.core.checks import get_condition_passed_message
 from deepchecks_spark.core.context import Context
 from deepchecks_spark.core.result import CheckFailure
 from deepchecks_spark.dataset import Dataset
@@ -110,7 +111,7 @@ def mixed_nulls_partition_rows(df: DataFrame, string_cols: list, per_part: dict,
                          f"null types above threshold: {failing}"))
         else:
             rows.append((pid, "Mixed Nulls", cond_name, "PASS",
-                         f"Passed for {len(stats.per_column)} relevant columns"))
+                         get_condition_passed_message(stats.per_column)))
     return rows
 
 

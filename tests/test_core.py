@@ -123,3 +123,13 @@ def test_production_suite_composition():
     # every check carries at least one default condition except the
     # report-style PercentOfNulls... which here has one too
     assert all(c.conditions for c in production_suite().checks)
+
+
+def test_condition_passed_message_reference_parity():
+    from deepchecks_spark.core.checks import get_condition_passed_message
+
+    assert get_condition_passed_message(0) == "No relevant columns to check were found"
+    assert get_condition_passed_message(1) == "Passed for 1 relevant column"
+    assert get_condition_passed_message(2) == "Passed for 2 relevant columns"
+    assert get_condition_passed_message({"a": 1}) == "Passed for 1 relevant column"
+    assert get_condition_passed_message(3, feature=True) == "Passed for 3 relevant features"
