@@ -474,11 +474,13 @@ class DataDuplicates(SingleDatasetCheck):
         )
         return percent_duplicate, violations
 
-    def add_condition_ratio_less_or_equal(self, max_ratio: float = 0.0):
+    def add_condition_ratio_less_or_equal(self, max_ratio: float = 0.05):
+        """reference utils/abstracts/data_duplicates.py:30-50 — category
+        WARN (not FAIL), default max_ratio 0.05."""
         def condition(result):
             details = f"Found {format_percent(result)} duplicate data"
             if result > max_ratio:
-                return ConditionResult(ConditionCategory.FAIL, details)
+                return ConditionResult(ConditionCategory.WARN, details)
             return ConditionResult(ConditionCategory.PASS, details)
 
         return self.add_condition(
@@ -636,16 +638,41 @@ class StringMismatch(SingleDatasetCheck):
         return value, None
 
     def add_condition_no_variants(self):
+        """reference string_mismatch.py:150-153 → _condition_variants_number
+        with num_max_variants=0, category WARN."""
         def condition(result):
             failing = {c: sorted(bases.keys()) for c, bases in result.items() if bases}
             if failing:
                 return ConditionResult(
                     ConditionCategory.WARN,
-                    f"Found {len(failing)} out of {len(result)} columns with string variants: {failing}",
+                    f"Found {len(failing)} out of {len(result)} columns with amount of variants "
+                    f"above threshold: {failing}",
                 )
             return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
 
         return self.add_condition("No string variants", condition)
+
+    def add_condition_ratio_variants_less_or_equal(self, max_ratio: float = 0.01):
+        """reference string_mismatch.py:155-179 — FAIL when the summed
+        variant percent in any column exceeds max_ratio."""
+        def condition(result):
+            failing = {}
+            for col, bases in result.items():
+                pct = sum(info["percent"] for variants in bases.values()
+                          for info in variants.values())
+                if pct > max_ratio:
+                    failing[col] = format_percent(pct)
+            if failing:
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"Found {len(failing)} out of {len(result)} relevant columns with variants "
+                    f"ratio above threshold: {failing}",
+                )
+            return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
+
+        return self.add_condition(
+            f"Ratio of variants is less or equal to {format_percent(max_ratio)}", condition
+        )
 
 
 class StringLengthOutOfBounds(SingleDatasetCheck):
@@ -833,6 +860,27 @@ class StringLengthOutOfBounds(SingleDatasetCheck):
             if higher_dist < min_diff:
                 upper -= min_diff - higher_dist
         return lower, upper
+
+    def add_condition_number_of_outliers_less_or_equal(self, max_outliers: int = 0):
+        """reference string_length_out_of_bounds.py:215-240 — FAIL when any
+        column's total outlier count exceeds max_outliers."""
+        def condition(result):
+            failing = {}
+            for c, info in result.items():
+                total = sum(o["n_samples"] for o in info["outliers"])
+                if total > max_outliers:
+                    failing[c] = total
+            if failing:
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"Found {len(failing)} out of {len(result)} columns with number of outliers "
+                    f"above threshold: {failing}",
+                )
+            return ConditionResult(ConditionCategory.PASS, f"Passed for {len(result)} columns")
+
+        return self.add_condition(
+            f"Number of string length outliers is less or equal to {max_outliers}", condition
+        )
 
     def add_condition_ratio_of_outliers_less_or_equal(self, max_ratio: float = 0.0):
         def condition(result):

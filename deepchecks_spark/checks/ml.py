@@ -551,9 +551,10 @@ class FeatureFeatureCorrelation(SingleDatasetCheck):
                     if a != b and v is not None and abs(v) >= threshold:
                         pairs.add(tuple(sorted((a, b))))
             if len(pairs) > n_pairs:
+                # reference feature_feature_correlation.py:133 — FAIL
                 return ConditionResult(
-                    ConditionCategory.WARN,
-                    f"Correlated features: {sorted(pairs)}",
+                    ConditionCategory.FAIL,
+                    f"Correlation is greater than {threshold} for pairs {sorted(pairs)}",
                 )
             return ConditionResult(ConditionCategory.PASS,
                                    f"All correlations are less than {threshold} except pairs {sorted(pairs)}")

@@ -502,8 +502,9 @@ class StringMismatchComparison(TrainTestCheck):
         def condition(result):
             failing = {c: sorted(bases) for c, bases in result.items() if bases}
             if failing:
+                # reference string_mismatch_comparison.py:179 — FAIL
                 return ConditionResult(
-                    ConditionCategory.WARN,
+                    ConditionCategory.FAIL,
                     f"Found {len(failing)} out of {len(result)} columns with new variants in test data: {failing}",
                 )
             return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
@@ -649,10 +650,15 @@ class TrainTestSamplesMix(TrainTestCheck):
         violations = mixed.limit(self.n_to_show)
         return value, violations
 
-    def add_condition_duplicates_ratio_less_or_equal(self, max_ratio: float = 0.1):
+    def add_condition_duplicates_ratio_less_or_equal(self, max_ratio: float = 0.05):
+        """reference utils/abstracts/train_test_samples_mix.py:28-45."""
         def condition(result):
             ratio = result["ratio"]
-            details = f"Percent of test data samples that appear in train data: {format_percent(ratio)}"
+            details = (
+                f"Percent of test data samples that appear in train data: {format_percent(ratio)}"
+                if ratio
+                else "No samples mix found"
+            )
             if ratio > max_ratio:
                 return ConditionResult(ConditionCategory.FAIL, details)
             return ConditionResult(ConditionCategory.PASS, details)

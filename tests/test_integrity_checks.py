@@ -81,7 +81,8 @@ def test_data_duplicates_single_column(spark, dup_ds):
 
 def test_data_duplicates_condition_pass_fail(spark, dup_ds):
     check = DataDuplicates().add_condition_ratio_less_or_equal(0.0)
-    assert check.run(dup_ds).conditions_results[0].category == ConditionCategory.FAIL
+    # reference abstracts/data_duplicates.py: failing category is WARN
+    assert check.run(dup_ds).conditions_results[0].category == ConditionCategory.WARN
     check2 = DataDuplicates().add_condition_ratio_less_or_equal(0.5)
     assert check2.run(dup_ds).conditions_results[0].category == ConditionCategory.PASS
 
@@ -437,3 +438,21 @@ def test_deprecated_aliases_warn_and_delegate():
         assert isinstance(check, new_cls)
         assert any(issubclass(w.category, DeprecationWarning) for w in caught)
         assert new_cls.__name__ in str(caught[0].message)
+
+
+def test_string_mismatch_ratio_variants_condition(spark):
+    rows = [("OK",)] * 50 + [("ok",)] * 50 + [("other",)] * 900
+    ds = _ds(spark, rows, "col1 string")
+    strict = StringMismatch().add_condition_ratio_variants_less_or_equal(0.01)
+    assert strict.run(ds).conditions_results[0].category == ConditionCategory.FAIL
+    loose = StringMismatch().add_condition_ratio_variants_less_or_equal(0.2)
+    assert loose.run(ds).conditions_results[0].category == ConditionCategory.PASS
+
+
+def test_string_length_number_of_outliers_condition(spark):
+    rows = [("x" * (20 + i),) for i in range(110)] * 4 + [("x" * 5000,)] * 3
+    ds = _ds(spark, rows, "col1 string")
+    strict = StringLengthOutOfBounds().add_condition_number_of_outliers_less_or_equal(0)
+    assert strict.run(ds).conditions_results[0].category == ConditionCategory.FAIL
+    loose = StringLengthOutOfBounds().add_condition_number_of_outliers_less_or_equal(10)
+    assert loose.run(ds).conditions_results[0].category == ConditionCategory.PASS

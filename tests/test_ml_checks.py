@@ -175,7 +175,8 @@ def test_feature_feature_correlation(spark):
     assert result.value["n1"]["n2"] > 0.99   # Spearman ~1
     assert result.value["c1"]["c2"] > 0.99   # Theil's U = 1 (deterministic map)
     assert 0 <= result.value["c1"]["n1"] < 0.3  # cat independent of num
-    assert result.conditions_results[0].category == ConditionCategory.WARN
+    # reference feature_feature_correlation.py:133: failing category is FAIL
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
 
 
 def test_spearman_matches_numpy(spark):

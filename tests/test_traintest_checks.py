@@ -69,7 +69,8 @@ def test_string_mismatch_comparison(spark):
     result = check.run(train, test)
     assert "deep" in result.value["col"]
     assert result.value["col"]["deep"]["variants_only_in_test"] == ["DEEP"]
-    assert result.conditions_results[0].category == ConditionCategory.WARN
+    # reference string_mismatch_comparison.py:179: failing category is FAIL
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
 
 
 def test_index_leakage(spark):
