@@ -437,12 +437,15 @@ class NewCategoryTrainTest(TrainTestCheck):
 
 class StringMismatchComparison(TrainTestCheck):
     """Baseforms shared by train & test where test has variant strings
-    train lacks (reference train_test_validation/string_mismatch_comparison.py).
+    train lacks (reference train_test_validation/string_mismatch_comparison.py:95-121).
 
-    Spark: per-dataset melted ``groupBy(column, baseform) →
-    collect_set(value)`` over distinct values, inner join on
-    (column, baseform), ``array_except`` for the test-only variants —
-    only distinct-value-level data shuffles.
+    value per (column, baseform) mirrors the reference: commons /
+    variants_only_in_test / variants_only_in_train plus the two percent
+    fields (counts over the dataset's row count). Spark: per-dataset
+    melted ``groupBy(column, baseform, value).count()`` rolled up to a
+    per-baseform (value → count) map, inner join on (column, baseform) —
+    only distinct-value-level data shuffles; set ops + percents run on
+    the tiny joined rows driver-side.
 
     ``max_distinct_to_check`` (engine addition, same policy as
     StringMismatch): columns whose approx distinct count exceeds the
@@ -475,41 +478,70 @@ class StringMismatchComparison(TrainTestCheck):
             if not cols:
                 return value, None
 
-        def baseform_variants(df):
+        def baseform_variant_counts(df, out_name):
             melted = melt_strings(df, cols).filter(F.col("value").isNotNull())
             return (
                 melted.withColumn("base", baseform_expr(F.col("value"), allow_empty_result=False))
+                .groupBy("column", "base", "value")
+                .count()
                 .groupBy("column", "base")
-                .agg(F.sort_array(F.collect_set("value")).alias("variants"))
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct("value", "count"))).alias(out_name))
             )
 
-        train_v = baseform_variants(ctx.train.df).withColumnRenamed("variants", "train_variants")
-        test_v = baseform_variants(ctx.test.df).withColumnRenamed("variants", "test_variants")
-        joined = (
-            test_v.join(train_v, on=["column", "base"], how="inner")
-            .withColumn("only_in_test", F.array_except("test_variants", "train_variants"))
-            .filter(F.size("only_in_test") > 0)
-            .collect()
-        )
+        train_v = baseform_variant_counts(ctx.train.df, "train_counts")
+        test_v = baseform_variant_counts(ctx.test.df, "test_counts")
+        joined = test_v.join(train_v, on=["column", "base"], how="inner").collect()
+        n_train = ctx.n_rows("train")
+        n_test = ctx.n_rows("test")
         for r in joined:
+            tv, bv = dict(r["test_counts"]), dict(r["train_counts"])
+            only_test = sorted(set(tv) - set(bv))
+            if not only_test:
+                continue
+            only_train = sorted(set(bv) - set(tv))
             value[r["column"]][r["base"]] = {
-                "train_variants": list(r["train_variants"]),
-                "variants_only_in_test": list(r["only_in_test"]),
+                "commons": sorted(set(tv) & set(bv)),
+                "variants_only_in_test": only_test,
+                "variants_only_in_train": only_train,
+                "percent_variants_only_in_test":
+                    (sum(tv[v] for v in only_test) / n_test) if n_test else 0.0,
+                "percent_variants_in_train":
+                    (sum(bv[v] for v in only_train) / n_train) if n_train else 0.0,
+                # engine back-compat alias (pre-round-2 key)
+                "train_variants": sorted(bv),
             }
         return value, None
 
-    def add_condition_no_new_variants(self):
+    @staticmethod
+    def _percent_limit_condition(ratio: float):
+        """reference string_mismatch_comparison.py:167-180."""
         def condition(result):
-            failing = {c: sorted(bases) for c, bases in result.items() if bases}
+            failing = {}
+            for col, baseforms in result.items():
+                sum_percent = sum(
+                    info["percent_variants_only_in_test"] for info in baseforms.values())
+                if sum_percent > ratio:
+                    failing[col] = format_percent(sum_percent)
             if failing:
-                # reference string_mismatch_comparison.py:179 — FAIL
                 return ConditionResult(
                     ConditionCategory.FAIL,
-                    f"Found {len(failing)} out of {len(result)} columns with new variants in test data: {failing}",
+                    f"Found {len(failing)} out of {len(result)} relevant columns with ratio of "
+                    f"variants above threshold: {failing}",
                 )
             return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
 
-        return self.add_condition("No new variants allowed in test data", condition)
+        return condition
+
+    def add_condition_no_new_variants(self):
+        return self.add_condition("No new variants allowed in test data",
+                                  self._percent_limit_condition(0))
+
+    def add_condition_ratio_new_variants_less_or_equal(self, ratio: float):
+        return self.add_condition(
+            f"Ratio of new variants in test data is less or equal to {format_percent(ratio)}",
+            self._percent_limit_condition(ratio),
+        )
 
 
 class IndexTrainTestLeakage(TrainTestCheck):

@@ -116,3 +116,21 @@ def test_train_test_samples_mix(spark):
     # (1,a) and (None,n) appear in train → 2/5 (null-safe equality)
     assert result.value["ratio"] == pytest.approx(0.4)
     assert result.conditions_results[0].category == ConditionCategory.FAIL
+
+
+def test_string_mismatch_comparison_full_value_shape(spark):
+    """Reference string_mismatch_comparison.py:95-121 value fields."""
+    train = _ds(spark, [("deep",), ("deep!",), ("shallow",), ("x",)], "col string")
+    test = _ds(spark, [("DEEP",), ("deep",), ("deep",), ("shallow",)], "col string")
+    result = StringMismatchComparison().run(train, test)
+    info = result.value["col"]["deep"]
+    assert info["variants_only_in_test"] == ["DEEP"]
+    assert info["variants_only_in_train"] == ["deep!"]
+    assert info["commons"] == ["deep"]
+    assert info["percent_variants_only_in_test"] == pytest.approx(1 / 4)  # 1 'DEEP' of 4 test rows
+    assert info["percent_variants_in_train"] == pytest.approx(1 / 4)      # 1 'deep!' of 4 train rows
+    # ratio condition (reference :155-164)
+    loose = StringMismatchComparison().add_condition_ratio_new_variants_less_or_equal(0.5)
+    assert loose.run(train, test).conditions_results[0].category == ConditionCategory.PASS
+    strict = StringMismatchComparison().add_condition_ratio_new_variants_less_or_equal(0.1)
+    assert strict.run(train, test).conditions_results[0].category == ConditionCategory.FAIL
