@@ -148,6 +148,41 @@ def duplicates_partition_rows(df: DataFrame, cols: list, max_ratio: float = 0.0,
     return rows
 
 
+def conflicting_labels_partition_rows(df: DataFrame, feature_cols: list, label_col: str,
+                                      max_ratio: float = 0.0) -> list:
+    """Per-partition ConflictingLabels verdicts (ROADMAP #2, last item):
+    within each input partition, the fraction of rows in feature-groups
+    carrying more than one distinct label. The group key contains the
+    partition id, so the two-stage aggregation's heavy reduction is
+    map-side local; only (pid, features)-level rows shuffle."""
+    from deepchecks_spark.core.checks import format_percent
+
+    fcols = [F.col(f"`{c}`") for c in feature_cols]
+    grouped = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy(F.col("__pid"), *fcols)
+        .agg(F.countDistinct(F.col(f"`{label_col}`")).alias("n_labels"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+    per = (
+        grouped.groupBy("__pid")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("n_labels") > 1, F.col("n_rows"))), F.lit(0))
+            .alias("ambiguous"),
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("total"),
+        )
+        .collect()
+    )
+    cond_name = f"Ambiguous sample ratio is less or equal to {format_percent(max_ratio)}"
+    rows = []
+    for r in sorted(per, key=lambda row: row["__pid"]):
+        ratio = (r["ambiguous"] / r["total"]) if r["total"] else 0.0
+        category = "PASS" if ratio <= max_ratio else "FAIL"
+        rows.append((r["__pid"], "Conflicting Labels", cond_name, category,
+                     f"Ratio of samples with conflicting labels: {format_percent(ratio)}"))
+    return rows
+
+
 def drift_partition_rows(df: DataFrame, cat_cols: list, reference_hists: dict | None = None,
                          max_psi: float = 0.2, max_categories: int = 10_000) -> list:
     """Per-partition categorical drift verdicts (ROADMAP #2): ONE melted
@@ -425,6 +460,9 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         # (flags anomalous shards); cat features only — bounded output
         if ds.cat_features:
             rows += drift_partition_rows(ds.df, list(ds.cat_features))
+        if ds.label_name:
+            rows += conflicting_labels_partition_rows(
+                ds.df, [c for c in ds.features if c != ds.label_name], ds.label_name)
         out = spark.createDataFrame(
             rows, "partition_id int, check string, condition string, category string, details string"
         )

@@ -202,3 +202,27 @@ def test_drift_partition_rows_external_reference(spark):
     rows = drift_partition_rows(df, ["lang"], reference_hists={"lang": {"a": 99, "b": 1}},
                                 max_psi=0.2)
     assert [r[3] for r in sorted(rows)] == ["PASS", "FAIL"]
+
+
+def test_conflicting_labels_partition_rows_parity(spark):
+    from deepchecks_spark import Dataset
+    from deepchecks_spark.checks.integrity import ConflictingLabels
+    from deepchecks_spark.runner import conflicting_labels_partition_rows
+
+    # partition 0: feature-key 1 carries two labels; partition 1 clean
+    data = ([(1, "a")] * 30 + [(1, "b")] * 10 + [(2, "a")] * 10) + [(i + 10, "a") for i in range(50)]
+    rdd = spark.sparkContext.parallelize(data, 2)
+    df = spark.createDataFrame(rdd, "f long, label string")
+    rows = conflicting_labels_partition_rows(df, ["f"], "label")
+    assert [r[3] for r in sorted(rows)] == ["FAIL", "PASS"]
+    # per-partition value equals running the check on each slice
+    from pyspark.sql import functions as F
+
+    for pid, _, _, category, details in rows:
+        part = (df.withColumn("__pid", F.spark_partition_id())
+                .filter(F.col("__pid") == pid).drop("__pid"))
+        ds = Dataset(part, label="label", infer_categorical=False)
+        res = ConflictingLabels().run(ds)
+        want = res.value["percent"]
+        got_category = "PASS" if want <= 0.0 else "FAIL"
+        assert category == got_category
