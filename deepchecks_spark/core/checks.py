@@ -60,32 +60,52 @@ class BaseCheck:
         self.random_state = random_state
         self.params = params
         self.conditions: list[Condition] = []
+        self._builder_ctx = None  # (builder_name, bound_kwargs) while one runs
+
+    def __init_subclass__(cls, **kw):
+        """Auto-wrap every ``add_condition_*`` builder so its CALL
+        arguments (bound via inspect.signature — not frame locals, which
+        drift if the builder rebinds a parameter or delegates through a
+        helper, ADVICE r2) are recorded for config() round-trips."""
+        super().__init_subclass__(**kw)
+        import functools
+        import inspect
+
+        for attr, fn in list(cls.__dict__.items()):
+            if not (attr.startswith("add_condition_") and callable(fn)):
+                continue
+            sig = inspect.signature(fn)
+
+            def _wrap(fn=fn, sig=sig, attr=attr):
+                @functools.wraps(fn)
+                def wrapper(self, *a, **k):
+                    bound = sig.bind(self, *a, **k)
+                    bound.apply_defaults()
+                    kwargs = {p: v for p, v in bound.arguments.items() if p != "self"}
+                    prev = getattr(self, "_builder_ctx", None)
+                    self._builder_ctx = (attr, kwargs)
+                    try:
+                        return fn(self, *a, **k)
+                    finally:
+                        self._builder_ctx = prev
+
+                return wrapper
+
+            setattr(cls, attr, _wrap())
 
     # -- reference core/checks.py:93-109 -----------------------------------
     def add_condition(self, name: str, condition_func, **params) -> "BaseCheck":
-        """Attach a condition. When called from inside a default
-        ``add_condition_*`` builder method, the builder's name and
-        arguments are recorded on the Condition so config() round-trips
-        re-create it exactly (reference serializes condition objects in
-        core/suite.py:604-683; here the builder call is the config unit)."""
-        import inspect
-        import sys
-
+        """Attach a condition. When called (directly or via any helper)
+        during a default ``add_condition_*`` builder, the builder's name
+        and its BOUND call arguments are recorded on the Condition so
+        config() round-trips re-create it exactly (reference serializes
+        condition objects in core/suite.py:604-683; here the builder call
+        is the config unit)."""
         builder = None
         builder_kwargs = None
-        caller = sys._getframe(1)
-        fn_name = caller.f_code.co_name
-        if fn_name.startswith("add_condition_") and hasattr(type(self), fn_name):
-            try:
-                sig = inspect.signature(getattr(type(self), fn_name))
-                builder_kwargs = {
-                    k: caller.f_locals[k]
-                    for k in sig.parameters
-                    if k != "self" and k in caller.f_locals
-                }
-                builder = fn_name
-            except (TypeError, ValueError):  # pragma: no cover - exotic builders
-                pass
+        ctx = getattr(self, "_builder_ctx", None)
+        if ctx is not None:
+            builder, builder_kwargs = ctx
         self.conditions.append(Condition(name, condition_func, params,
                                          builder=builder, builder_kwargs=builder_kwargs))
         return self

@@ -152,14 +152,22 @@ class Dataset:
     # -- row ops (reference dataset.py:443-537) -----------------------------
     def sample(self, n_samples: int | None, seed: int = 42) -> "Dataset":
         """Cap rows like reference Dataset.sample (dataset.py:443-465):
-        no-op when the data is already smaller (tests stay exact)."""
+        no-op when the data is already smaller (tests stay exact).
+
+        Pure Bernoulli ``sample(False, frac, seed)`` with NO ``.limit``:
+        a sampled lineage is re-evaluated by every action a check runs,
+        and ``limit(n)`` takes whichever partitions answer first — a
+        different row subset per action (VERDICT r2 §wrong-1). Bernoulli
+        sampling is a deterministic per-row coin flip, so every action
+        sees the identical subset; the cap is approximate (±O(√n)),
+        matching the statistical intent of the reference's cap."""
         if n_samples is None:
             return self
         total = self.df.count()
         if total <= n_samples:
             return self
-        frac = min(1.0, n_samples / total * 1.1)
-        sampled = self.df.sample(False, frac, seed).limit(n_samples)
+        frac = min(1.0, n_samples / total)
+        sampled = self.df.sample(False, frac, seed)
         return self._with_df(sampled)
 
     def drop_na_labels(self) -> "Dataset":

@@ -44,6 +44,10 @@ VIOLATIONS_SCHEMA = (
     "percent double, partition_id int"
 )
 
+# Hard ceiling on rows any per-partition histogram pass may collect to
+# the driver, regardless of partition count (ADVICE r2, runner.py:216).
+ABS_DRIFT_COLLECT_CAP = 2_000_000
+
 
 # ---------------------------------------------------------------------------
 # per-partition verdicts
@@ -130,6 +134,13 @@ def duplicates_partition_rows(df: DataFrame, cols: list, max_ratio: float = 0.0,
     from deepchecks_spark.core.checks import format_percent
 
     h = F.xxhash64(*[F.col(f"`{c}`") for c in cols])
+    # A zero tolerance needs an EXACT distinct count: the HLL sketch's
+    # ±rsd (5%) can undercount a duplicate-free partition → spurious
+    # FAIL, or mask up to ~5% real duplicates as PASS (ADVICE r2).
+    # countDistinct stays map-side local here — __pid is in the group
+    # key and only 16-byte hashes shuffle.
+    if max_ratio == 0.0:
+        approx = False
     d_expr = F.approx_count_distinct("__h") if approx else F.countDistinct("__h")
     per = (
         df.withColumn("__pid", F.spark_partition_id()).withColumn("__h", h)
@@ -213,12 +224,16 @@ def drift_partition_rows(df: DataFrame, cat_cols: list, reference_hists: dict | 
     )
     grouped = melted.groupBy("__pid", "column", "value").count()
     n_parts = df.rdd.getNumPartitions()
-    cap_total = n_parts * len(cat_cols) * max_categories + 1
+    # Absolute driver-memory bound: the per-partition formula grows
+    # linearly with partition count, so at corpus scale (thousands of
+    # partitions) it would itself permit a multi-GB collect before the
+    # gate trips (ADVICE r2). 2M rows ≈ low hundreds of MB worst case.
+    cap_total = min(n_parts * len(cat_cols) * max_categories, ABS_DRIFT_COLLECT_CAP) + 1
     rows_in = grouped.limit(cap_total).collect()
     if len(rows_in) >= cap_total:  # pathological cardinality → gate, don't OOM
         return [(-1, "Partition Drift", "histogram cardinality gate", "ERROR",
-                 f"per-partition histograms exceed {max_categories} categories/column; "
-                 "pass lower-cardinality cat_cols")]
+                 f"per-partition histograms exceed {max_categories} categories/column "
+                 f"(or {ABS_DRIFT_COLLECT_CAP} total rows); pass lower-cardinality cat_cols")]
     per_pid: dict = {}
     global_hists: dict = {c: {} for c in cat_cols}
     for r in rows_in:

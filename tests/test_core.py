@@ -133,3 +133,43 @@ def test_condition_passed_message_reference_parity():
     assert get_condition_passed_message(2) == "Passed for 2 relevant columns"
     assert get_condition_passed_message({"a": 1}) == "Passed for 1 relevant column"
     assert get_condition_passed_message(3, feature=True) == "Passed for 3 relevant features"
+
+
+def test_dataset_sample_stable_across_actions(spark):
+    # VERDICT r2 §wrong-1: sample() must return the same row subset for
+    # every action run against it (no `.limit()` in the lineage).
+    df = spark.range(0, 5000).selectExpr("id", "id * 2 as v")
+    ds = Dataset(df, infer_categorical=False).sample(500, seed=7)
+    ids_a = sorted(r["id"] for r in ds.df.select("id").collect())
+    n = ds.df.count()
+    s = ds.df.agg({"id": "sum"}).first()[0]
+    ids_b = sorted(r["id"] for r in ds.df.select("id").collect())
+    assert ids_a == ids_b
+    assert n == len(ids_a)
+    assert s == sum(ids_a)
+    # approximate cap: Bernoulli fraction targets n_samples statistically
+    assert 350 <= n <= 650
+
+
+def test_add_condition_records_builder_kwargs_through_helper(spark):
+    # ADVICE r2 core/checks.py:60 — kwargs come from signature binding,
+    # not frame locals, so delegation through a helper and local rebinds
+    # can't corrupt the config round-trip.
+    from deepchecks_spark.core.checks import SingleDatasetCheck
+
+    def _helper(check, name, fn):
+        return check.add_condition(name, fn)
+
+    class _DemoCheck(SingleDatasetCheck):
+        def compute(self, ctx, kind):
+            return 1, None
+
+        def add_condition_value_less_than(self, threshold: float = 0.5):
+            original = threshold
+            threshold = threshold * 0  # rebind the local — must not leak into config
+            return _helper(self, f"value < {original}", lambda v: None)
+
+    c = _DemoCheck().add_condition_value_less_than(0.25)
+    cond = c.conditions[0]
+    assert cond.builder == "add_condition_value_less_than"
+    assert cond.builder_kwargs == {"threshold": 0.25}

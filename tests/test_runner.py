@@ -226,3 +226,27 @@ def test_conflicting_labels_partition_rows_parity(spark):
         want = res.value["percent"]
         got_category = "PASS" if want <= 0.0 else "FAIL"
         assert category == got_category
+
+
+def test_duplicates_partition_zero_tolerance_is_exact(spark):
+    # ADVICE r2 (medium): with max_ratio=0 the distinct count must be
+    # EXACT — HLL ±5% on a duplicate-free partition would fabricate a
+    # FAIL. 20k distinct rows across partitions: every verdict PASS.
+    from deepchecks_spark.runner import duplicates_partition_rows
+
+    df = spark.range(0, 20000).selectExpr("id", "cast(id as string) as s").repartition(8)
+    rows = duplicates_partition_rows(df, ["id", "s"], max_ratio=0.0, approx=True)
+    assert rows and all(r[3] == "PASS" for r in rows)
+    assert all("0%" in r[4] for r in rows)
+
+
+def test_drift_partition_rows_absolute_collect_cap(spark, monkeypatch):
+    # ADVICE r2: the collect guard must hold regardless of partition
+    # count — force the absolute cap below the histogram size.
+    import deepchecks_spark.runner as runner_mod
+
+    monkeypatch.setattr(runner_mod, "ABS_DRIFT_COLLECT_CAP", 10)
+    df = spark.range(0, 5000).selectExpr("cast(id % 97 as string) as c").repartition(4)
+    rows = runner_mod.drift_partition_rows(df, ["c"])
+    assert len(rows) == 1 and rows[0][3] == "ERROR"
+    assert "cardinality gate" in rows[0][2]

@@ -134,3 +134,27 @@ def test_string_mismatch_comparison_full_value_shape(spark):
     assert loose.run(train, test).conditions_results[0].category == ConditionCategory.PASS
     strict = StringMismatchComparison().add_condition_ratio_new_variants_less_or_equal(0.1)
     assert strict.run(train, test).conditions_results[0].category == ConditionCategory.FAIL
+
+
+def test_new_label_gates_near_unique_label(spark):
+    import pytest as _pytest
+    from deepchecks_spark.checks.traintest import NewLabelTrainTest
+
+    df = spark.range(0, 3000).selectExpr("id", "cast(id as string) as lbl")
+    ds = Dataset(df, label="lbl", infer_categorical=False)
+    check = NewLabelTrainTest()
+    check.MAX_LABEL_CARDINALITY = 100
+    with _pytest.raises(ValueError, match="distinct values"):
+        check.run(ds, ds)
+
+
+def test_traintest_checks_honor_explicit_n_samples(spark):
+    # ADVICE r2: an explicitly-passed n_samples must cap the scan for the
+    # join/set-op checks too (Bernoulli fraction — count is ~n).
+    from deepchecks_spark.checks.traintest import NewLabelTrainTest
+
+    df = spark.range(0, 4000).selectExpr("id", "cast(id % 7 as string) as lbl")
+    ds = Dataset(df, label="lbl", infer_categorical=False)
+    value = NewLabelTrainTest(n_samples=400).run(ds, ds).value
+    assert value["n_samples"] < 2000  # sampled side, not the full 4000
+    assert value["new_labels"] == {}
