@@ -654,43 +654,103 @@ def o_correlation_ratio_orders():
 
 
 # ---------------------------------------------------------------------------
-# sampled ML kernels + approximate pipeline ops — rows-only (no SQL oracle:
-# seeded tree/GBM/LoOP kernels and LSH are not SQL-expressible; the driver
-# records the weaker rows-only check, unit tests cover exact semantics)
+# sampled ML kernels — oracle strategy (VERDICT r2 next-1): derive fixtures
+# whose PROVABLE outcomes the kernels must reproduce exactly. The ppscore
+# case table (reference ppscore.py:237-294) pins id-like → 0, constant → 0;
+# a perfectly-predictive feature pins the FULL kernel path (sampling, CV,
+# weighted-F1, baseline normalization) to exactly 1.0, because per-fold
+# F1 = 1 ⇒ (1−b)/(1−b). The DuckDB oracle VERIFIES each premise on the
+# actual data (uniqueness / determinism / disjointness) and emits the
+# provable score — a broken fixture or a broken kernel both go red.
 # ---------------------------------------------------------------------------
+
+_SPARK_PPS_FEATS = [
+    "cast(event_id as string) AS id_str",                      # feature_is_id → 0
+    "'k' AS const_feat",                                        # constant → 0
+    "concat('c_', event_type) AS cat_copy",                     # injective cat → 1
+    # injective NUMERIC encoding of the label → numeric-path 1
+    "CAST(ascii(substring(event_type, 1, 1)) * 100 + length(event_type) AS DOUBLE) AS num_code",
+]
+_DUCK_PPS_PREMISES = """
+    prem AS (SELECT
+        (SELECT count(DISTINCT event_id) = count(*) FROM events) AS id_ok,
+        (SELECT count(DISTINCT event_type) FROM events) >= 2 AS multi,
+        (SELECT max(c) = 1 FROM (
+            SELECT count(DISTINCT event_type) c FROM events
+            GROUP BY ascii(substring(event_type, 1, 1)) * 100 + length(event_type))) AS num_det)
+"""
+
 
 def q_pps_feature_label_events(spark, sf_dir):
     from deepchecks_spark.checks.ml import FeatureLabelCorrelation
     from deepchecks_spark.core.context import Context
 
-    df = _t(spark, sf_dir, "events").select("value", "user_id", "event_type")
+    df = _t(spark, sf_dir, "events").selectExpr(*_SPARK_PPS_FEATS, "event_type")
     ds = Dataset(df, label="event_type", infer_categorical=False)
     value, _ = FeatureLabelCorrelation().compute(Context(train=ds), "train")
     rows = [(c, round(float(v), 6)) for c, v in sorted(value.items())]
     return spark.createDataFrame(rows, "feature string, pps double")
 
 
+def o_pps_feature_label_events():
+    return f"""
+    WITH {_DUCK_PPS_PREMISES}
+    SELECT feature, pps FROM (
+        SELECT 'cat_copy' AS feature, CASE WHEN multi THEN 1.0 ELSE -1.0 END AS pps FROM prem
+        UNION ALL SELECT 'const_feat', CASE WHEN multi THEN 0.0 ELSE -1.0 END FROM prem
+        UNION ALL SELECT 'id_str', CASE WHEN id_ok THEN 0.0 ELSE -1.0 END FROM prem
+        UNION ALL SELECT 'num_code', CASE WHEN num_det AND multi THEN 1.0 ELSE -1.0 END FROM prem
+    )
+    """
+
+
 def q_outlier_detection_events(spark, sf_dir):
+    """Planted single extreme outlier: every non-planted row lies in a
+    tight 2-D lattice (x ∈ [0,100), y unique ascending), the planted row
+    (event_id = 8) sits at x = 10^6 — its Gower distance to everything
+    dwarfs all other pairwise distances, so the LoOP argmax must be the
+    planted row (the oracle pins the argmax identity; probability values
+    themselves are kernel-specific)."""
     from deepchecks_spark.checks.ml import OutlierSampleDetection
     from deepchecks_spark.core.context import Context
 
-    df = _t(spark, sf_dir, "events").select("value", "event_type")
-    ds = Dataset(df, cat_features=["event_type"], infer_categorical=False)
-    value, _ = OutlierSampleDetection(n_samples=2000).compute(Context(train=ds), "train")
-    q = value["outlier_probabilities_quantiles"]
+    df = _t(spark, sf_dir, "events").filter("event_id % 8 = 0").selectExpr(
+        "CASE WHEN event_id = 8 THEN CAST(1000000 AS DOUBLE) "
+        "ELSE CAST(event_id % 100 AS DOUBLE) END AS x",
+        "CAST(event_id AS DOUBLE) AS y",
+    )
+    ds = Dataset(df, infer_categorical=False)
+    value, violations = OutlierSampleDetection(n_samples=10_000_000).compute(
+        Context(train=ds), "train")
+    top = violations.orderBy(F.desc("outlier_probability")).limit(1).first()
     return spark.createDataFrame(
-        [(int(value["n_samples"]), round(float(max(q)), 4), int(sum(1 for p in q if p >= 0.7)))],
-        "n_samples long, max_prob double, n_quantiles_above_07 long",
+        [(int(value["n_samples"]), float(top["x"]))],
+        "n_samples long, top_outlier_x double",
     )
 
 
+def o_outlier_detection_events():
+    return """
+    SELECT (SELECT count(*) FROM events WHERE event_id % 8 = 0)::BIGINT AS n_samples,
+           CASE WHEN EXISTS (SELECT 1 FROM events WHERE event_id = 8)
+                THEN 1000000.0 ELSE -1.0 END AS top_outlier_x
+    """
+
+
 def q_multivariate_drift_orders(spark, sf_dir):
+    """Separable fixture: train (even keys) and test (odd keys) live in
+    disjoint ranges of the derived feature, so the domain classifier's
+    eval predictions are perfectly ordered ⇒ AUC = 1.0 and drift score
+    = max(2·AUC−1, 0) = 1.0 EXACTLY — through the full GBM path."""
     from deepchecks_spark.checks.ml import MultivariateDrift
     from deepchecks_spark.core.context import Context
 
-    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
-    mk = lambda d: Dataset(d.drop("o_orderkey"), cat_features=["o_orderpriority"],  # noqa: E731
-                           infer_categorical=False)
+    df = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST((o_orderkey % 1000) + CASE WHEN o_orderkey % 2 = 1 THEN 100000 ELSE 0 END "
+        "AS DOUBLE) AS sep",
+    )
+    mk = lambda d: Dataset(d.drop("o_orderkey"), infer_categorical=False)  # noqa: E731
     ctx = Context(train=mk(df.filter(F.col("o_orderkey") % 2 == 0)),
                   test=mk(df.filter(F.col("o_orderkey") % 2 == 1)))
     value, _ = MultivariateDrift().compute(ctx)
@@ -701,29 +761,170 @@ def q_multivariate_drift_orders(spark, sf_dir):
     )
 
 
+def o_multivariate_drift_orders():
+    # premise: the two sides are separable (disjoint derived-feature
+    # ranges) ⇒ AUC and drift score are provably exactly 1.0
+    return """
+    WITH s AS (SELECT o_orderkey % 2 AS side,
+                      (o_orderkey % 1000) + CASE WHEN o_orderkey % 2 = 1 THEN 100000 ELSE 0 END v
+               FROM orders)
+    SELECT CASE WHEN (SELECT max(v) FROM s WHERE side = 0) < (SELECT min(v) FROM s WHERE side = 1)
+                THEN 1.0 ELSE -1.0 END AS auc,
+           CASE WHEN (SELECT max(v) FROM s WHERE side = 0) < (SELECT min(v) FROM s WHERE side = 1)
+                THEN 1.0 ELSE -1.0 END AS drift_score
+    """
+
+
+# ---------------------------------------------------------------------------
+# hash-based pipeline ops — planted-duplicate oracles (VERDICT r2 next-1a):
+# rows with doc_id ≡ 7 (mod 10) are rewritten to one of three planted
+# texts. Identical text ⇒ identical shingle set / signature / simhash /
+# fingerprint ⇒ the banded bucket joins MUST surface every planted pair
+# (recall = 1 by construction) — the queries return the pairs restricted
+# to text-equality, which DuckDB reproduces with a plain self-join; a
+# missed pair (broken recall) or a split group (nondeterministic hash)
+# breaks the value-hash match.
+# ---------------------------------------------------------------------------
+
+_SPARK_PLANTED_DUP = (
+    "CASE WHEN doc_id % 10 = 7 THEN concat('planted duplicate corpus segment alpha beta gamma "
+    "delta epsilon zeta eta theta group ', CAST(CAST(FLOOR((doc_id % 30) / 10) AS INT) AS STRING)) "
+    "ELSE text END"
+)
+_DUCK_PLANTED_DUP = (
+    "CASE WHEN doc_id % 10 = 7 THEN 'planted duplicate corpus segment alpha beta gamma "
+    "delta epsilon zeta eta theta group ' || CAST(CAST(FLOOR((doc_id % 30) / 10) AS INT) AS VARCHAR) "
+    "ELSE text END"
+)
+
+_DUCK_PLANTED_PAIRS = f"""
+    WITH d AS (SELECT doc_id, {_DUCK_PLANTED_DUP} AS text FROM documents)
+    SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
+    FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
+def _planted_docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SPARK_PLANTED_DUP} AS text")
+
+
+def _restrict_to_text_equal_pairs(pairs, docs):
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    return (
+        pairs.join(ta, "id_a").join(tb, "id_b")
+        .filter(F.col("__ta") == F.col("__tb"))
+        .select("id_a", "id_b")
+    )
+
+
 def q_minhash_near_duplicates_documents(spark, sf_dir):
     from deepchecks_spark.pipeline.dedup import minhash_near_duplicates
 
-    df = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(df, "doc_id", "text", threshold=0.5).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    docs = _planted_docs(spark, sf_dir)
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.999,
+                                    verify="shingles")
+    return _restrict_to_text_equal_pairs(pairs, docs)
+
+
+def o_minhash_near_duplicates_documents():
+    return _DUCK_PLANTED_PAIRS
 
 
 def q_simhash_documents(spark, sf_dir):
-    from deepchecks_spark.pipeline.dedup import simhash
+    from deepchecks_spark.pipeline.dedup import simhash_near_duplicates
 
-    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = _planted_docs(spark, sf_dir)
+    pairs = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=0)
+    return _restrict_to_text_equal_pairs(pairs, docs)
+
+
+def o_simhash_documents():
+    return _DUCK_PLANTED_PAIRS
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    """Winnowing fingerprints over the planted-duplicate corpus: every
+    group of identical texts must collapse to exactly one distinct
+    (fingerprint, fingerprint_exact) pair — DuckDB can't reproduce the
+    xxhash values, but it CAN prove how many distinct values each group
+    must have."""
+    from deepchecks_spark.pipeline.textstats import document_fingerprint
+
+    docs = _planted_docs(spark, sf_dir)
+    fp = document_fingerprint(docs, "text")
+    return (
+        fp.groupBy("text")
+        .agg(F.min("doc_id").alias("group_id"),
+             F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("fingerprint", "fingerprint_exact").alias("n_distinct_fp"))
+        .filter(F.col("n_docs") > 1)
+        .select("group_id", "n_docs", "n_distinct_fp")
+    )
+
+
+def o_fingerprint_documents():
+    return f"""
+    WITH d AS (SELECT doc_id, {_DUCK_PLANTED_DUP} AS text FROM documents)
+    SELECT min(doc_id)::BIGINT AS group_id, count(*)::BIGINT AS n_docs,
+           1::BIGINT AS n_distinct_fp
+    FROM d GROUP BY text HAVING count(*) > 1
+    """
 
 
 def q_lsh_topk_embeddings(spark, sf_dir):
-    from deepchecks_spark.pipeline.similarity import lsh_topk
-
-    df = _t(spark, sf_dir, "embeddings")
-    queries = df.filter(F.col("vec_id") < 10)
-    return lsh_topk(queries, df, dim=64, k=5, id_col="vec_id").select(
-        "query_id", "neighbor_id", "rank"
+    """Cross-engine-deterministic LSH top-k: embeddings are quantized to
+    integers (floor(x·1000) — IEEE-exact in doubles on any engine) and
+    bucketed with INTEGER hyperplanes from a closed-form LCG, so DuckDB
+    reproduces the exact bucket assignment, candidate set, and cosine
+    ordering — the approximate index itself is under the value-hash."""
+    from deepchecks_spark.pipeline.similarity import (
+        deterministic_int_hyperplanes,
+        lsh_topk,
     )
+
+    planes = deterministic_int_hyperplanes(n_tables=2, n_planes=6, dim=64)
+    df = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS DOUBLE)) AS embedding",
+    )
+    queries = df.filter(F.col("vec_id") < 10)
+    return lsh_topk(queries, df, dim=64, k=5, id_col="vec_id",
+                    hyperplanes=planes).select("query_id", "neighbor_id", "rank")
+
+
+def o_lsh_topk_embeddings():
+    from deepchecks_spark.pipeline.similarity import deterministic_int_hyperplanes
+
+    planes = deterministic_int_hyperplanes(n_tables=2, n_planes=6, dim=64)
+    tables = []
+    for t, tbl in enumerate(planes):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, CAST({list(plane)} AS DOUBLE[])) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p, plane in enumerate(tbl)
+        )
+        tables.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket, e FROM v")
+    buckets = " UNION ALL ".join(tables)
+    return f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS DOUBLE)) e
+               FROM embeddings),
+         b AS ({buckets}),
+         q AS (SELECT * FROM b WHERE vec_id < 10),
+         cand AS (SELECT DISTINCT q.vec_id qid, c.vec_id nid
+                  FROM q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                  WHERE q.vec_id != c.vec_id),
+         scored AS (SELECT qid, nid,
+                           list_dot_product(a.e, c.e)
+                           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))) s
+                    FROM cand JOIN v a ON a.vec_id = cand.qid JOIN v c ON c.vec_id = cand.nid),
+         ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid ASC) r
+                    FROM scored)
+    SELECT qid::BIGINT AS query_id, nid::BIGINT AS neighbor_id, r::BIGINT AS rank
+    FROM ranked WHERE r <= 5
+    """
 
 
 def q_language_id_documents(spark, sf_dir):
@@ -766,14 +967,6 @@ def o_bpe_token_count_documents():
            len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_subtokens
     FROM documents
     """
-
-
-def q_fingerprint_documents(spark, sf_dir):
-    from deepchecks_spark.pipeline.textstats import document_fingerprint
-
-    return document_fingerprint(_t(spark, sf_dir, "documents"), "text").select(
-        "doc_id", "fingerprint", "fingerprint_exact"
-    )
 
 
 # planted length distribution: lengths 20..118 (5 rows each) plus five
@@ -1053,20 +1246,43 @@ def o_label_drift_embeddings():
 
 
 def q_identifier_label_correlation_events(spark, sf_dir):
+    """A string-typed unique identifier hits ppscore's feature_is_id
+    case (reference ppscore.py:288-295) ⇒ PPS exactly 0 — the oracle
+    verifies uniqueness on the data and pins the case decision."""
     from deepchecks_spark.checks.ml import IdentifierLabelCorrelation
 
-    df = _t(spark, sf_dir, "events").select("event_id", "event_type")
-    ds = Dataset(df, label="event_type", index_name="event_id", infer_categorical=False)
+    df = _t(spark, sf_dir, "events").selectExpr(
+        "cast(event_id as string) AS ident", "event_type")
+    ds = Dataset(df, label="event_type", index_name="ident", infer_categorical=False)
     value, _ = IdentifierLabelCorrelation().compute(_ctx(ds), "train")
     rows = [(c, round(float(v), 6)) for c, v in sorted(value.items())]
     return spark.createDataFrame(rows, "identifier string, pps double")
 
 
+def o_identifier_label_correlation_events():
+    return """
+    SELECT 'ident' AS identifier,
+           CASE WHEN (SELECT count(DISTINCT event_id) = count(*) FROM events)
+                THEN 0.0 ELSE -1.0 END AS pps
+    """
+
+
 def q_feature_label_corr_change_events(spark, sf_dir):
+    """Provable PPS-change fixture over the even/odd split: cat_copy is
+    an injective label recode on BOTH sides (1 → 1, diff 0); switch is
+    the label recode on train but CONSTANT on test (1 → 0, diff 1);
+    const_feat is constant on both (0 → 0). The oracle verifies each
+    premise per split and emits the provable scores."""
     from deepchecks_spark.checks.ml import FeatureLabelCorrelationChange
     from deepchecks_spark.core.context import Context
 
-    df = _t(spark, sf_dir, "events").select("event_id", "value", "user_id", "event_type")
+    df = _t(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "concat('c_', event_type) AS cat_copy",
+        "CASE WHEN event_id % 2 = 0 THEN concat('s_', event_type) ELSE 'z' END AS switch",
+        "'k' AS const_feat",
+        "event_type",
+    )
     mk = lambda d: Dataset(d.drop("event_id"), label="event_type",  # noqa: E731
                            infer_categorical=False)
     ctx = Context(train=mk(df.filter(F.col("event_id") % 2 == 0)),
@@ -1077,6 +1293,25 @@ def q_feature_label_corr_change_events(spark, sf_dir):
             for f in sorted(value["train"])]
     return spark.createDataFrame(
         rows, "feature string, train_pps double, test_pps double, pps_diff double")
+
+
+def o_feature_label_corr_change_events():
+    return """
+    WITH prem AS (SELECT
+        (SELECT count(DISTINCT event_type) FROM events WHERE event_id % 2 = 0) >= 2 AS multi_tr,
+        (SELECT count(DISTINCT event_type) FROM events WHERE event_id % 2 = 1) >= 2 AS multi_te)
+    SELECT feature, train_pps, test_pps, train_pps - test_pps AS pps_diff FROM (
+        SELECT 'cat_copy' AS feature,
+               CASE WHEN multi_tr THEN 1.0 ELSE -1.0 END AS train_pps,
+               CASE WHEN multi_te THEN 1.0 ELSE -1.0 END AS test_pps FROM prem
+        UNION ALL SELECT 'const_feat',
+               CASE WHEN multi_tr THEN 0.0 ELSE -1.0 END,
+               CASE WHEN multi_te THEN 0.0 ELSE -1.0 END FROM prem
+        UNION ALL SELECT 'switch',
+               CASE WHEN multi_tr THEN 1.0 ELSE -1.0 END,
+               CASE WHEN multi_te THEN 0.0 ELSE -1.0 END FROM prem
+    )
+    """
 
 
 def q_columns_info_orders(spark, sf_dir):
@@ -1404,8 +1639,18 @@ ORACLES = {
     "columns_info_orders": o_columns_info_orders(),
     "streaming_psi_events": o_streaming_psi_events(),
     "multimodal_features_documents": o_multimodal_features_documents(),
-    # pps/outlier/mvdrift/minhash/simhash/lsh/fingerprint + the two PPS
-    # queries (identifier_label_correlation, feature_label_corr_change):
-    # intentionally no oracle — seeded ML kernels and hash/LSH ops are not
-    # SQL-expressible; the driver records rows-only checks for these.
+    # round-3: the formerly rows-only kernels, oracled via provable
+    # fixtures — ppscore case-table decisions (id/constant → 0, perfect
+    # predictor → 1), planted LoOP argmax, separable-domain AUC = 1,
+    # planted-duplicate recall for MinHash/SimHash/fingerprint, and a
+    # fully cross-engine-deterministic integer LSH index.
+    "pps_feature_label_events": o_pps_feature_label_events(),
+    "outlier_detection_events": o_outlier_detection_events(),
+    "multivariate_drift_orders": o_multivariate_drift_orders(),
+    "minhash_near_duplicates_documents": o_minhash_near_duplicates_documents(),
+    "simhash_documents": o_simhash_documents(),
+    "lsh_topk_embeddings": o_lsh_topk_embeddings(),
+    "fingerprint_documents": o_fingerprint_documents(),
+    "identifier_label_correlation_events": o_identifier_label_correlation_events(),
+    "feature_label_corr_change_events": o_feature_label_corr_change_events(),
 }

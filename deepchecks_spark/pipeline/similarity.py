@@ -86,6 +86,23 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def deterministic_int_hyperplanes(n_tables: int, n_planes: int, dim: int) -> list:
+    """INTEGER-valued hyperplanes from a pure-integer LCG formula — the
+    same literals can be embedded in ANSI SQL, so an external engine
+    (the DuckDB correctness oracle) can reproduce the exact bucket
+    assignment: integer dot products are IEEE-exact in doubles, making
+    the whole LSH pipeline cross-engine deterministic. Returns
+    [table][plane][dim] ints in [-1024, 1024]."""
+    return [
+        [
+            [((1103515245 * (t * 1009 + p * 131 + d) + 12345) % 2049) - 1024
+             for d in range(dim)]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
 def lsh_bucket_expr(vec_col: str, planes: np.ndarray):
     """Sign-of-projection LSH bucket id as a JVM-side expression: bit i =
     sign(v · plane_i); planes are baked into the plan as literals."""
@@ -103,7 +120,8 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray):
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
              n_planes: int = 8, n_tables: int = 1, seed: int = 42,
-             id_col: str = "id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "id", vec_col: str = "embedding",
+             hyperplanes: list | None = None) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane buckets, equi-join on
     (table, bucket), exact scoring within the bucket. Recall is tuned on
     two axes: fewer planes → bigger buckets; more tables (OR-
@@ -112,7 +130,17 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
     1−(1−(1−θ/π)^n_planes)^n_tables. The bucket join replaces the cross
     join — at 10^12 rows this is the only viable shape, and the
     equi-join is AQE-skew-splittable. Candidate pairs are deduped before
-    ranking so multi-table hits score once."""
+    ranking so multi-table hits score once.
+
+    ``hyperplanes`` (optional): explicit [table][plane][dim] values —
+    pass deterministic_int_hyperplanes(...) for a cross-engine-
+    reproducible bucket assignment (the correctness oracle path)."""
+    if hyperplanes is not None:
+        planes_by_table = [np.asarray(h, dtype=float) for h in hyperplanes]
+        n_tables = len(planes_by_table)
+    else:
+        planes_by_table = [random_hyperplanes(dim, n_planes, seed + 97 * t)
+                           for t in range(n_tables)]
 
     def entries(df, out_id, vec_name, norm_name):
         base = df.select(
@@ -121,8 +149,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
         tb = [
             F.struct(
                 F.lit(t).alias("tbl"),
-                lsh_bucket_expr(vec_name, random_hyperplanes(dim, n_planes, seed + 97 * t))
-                .alias("bucket"),
+                lsh_bucket_expr(vec_name, planes_by_table[t]).alias("bucket"),
             )
             for t in range(n_tables)
         ]
