@@ -1536,6 +1536,93 @@ def o_multimodal_features_documents():
     """
 
 
+def q_streaming_dedup_events(spark, sf_dir):
+    """Second streaming contract row (VERDICT r2 next-7): within-
+    watermark duplicate detection per daily event-time window. The key
+    contains the window day, so the drained streaming counts equal the
+    batch GROUP BY regardless of file-replay order."""
+    import hashlib
+    import os
+
+    from deepchecks_spark.streaming import StreamingDedupMonitor
+
+    batch = _t(spark, sf_dir, "events")
+    stage_dir = "/tmp/spark_graft_stream/events_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        batch.repartition(8).write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    mon = StreamingDedupMonitor()
+    q = mon.start(stream, ["user_id", "event_type"], time_col="ts",
+                  window_duration="1 day", watermark="40 days")
+    q.processAllAvailable()
+    q.stop()
+    rows = [
+        (start.strftime("%Y-%m-%d"), v["n"], v["n_distinct"], v["n_dup"])
+        for start, v in sorted(mon.counts.items())
+    ]
+    return spark.createDataFrame(
+        rows, "window_start string, n_rows long, n_distinct long, n_dup long")
+
+
+def o_streaming_dedup_events():
+    return """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT CAST(user_id AS VARCHAR) || '#' || event_type)::BIGINT AS n_distinct,
+           (count(*) - count(DISTINCT CAST(user_id AS VARCHAR) || '#' || event_type))::BIGINT AS n_dup
+    FROM events GROUP BY 1
+    """
+
+
+def q_multimodal_dims_documents(spark, sf_dir):
+    """REAL header parsing in the correctness gate (VERDICT r2 next-6):
+    valid PNG / GIF / JPEG header bytes are constructed in Spark SQL
+    from doc_id arithmetic (unhex of the spec'd magic + dimension
+    fields, including a JPEG APP0 segment the SOF scan must skip), then
+    parsed back by the stdlib-struct parser through the Arrow
+    mapInPandas path. The oracle recomputes the planted dimensions
+    arithmetically — a parser endianness/offset bug goes red."""
+    from deepchecks_spark.pipeline.multimodal import with_media_dimensions
+
+    w = "16 + doc_id % 800"
+    h = "16 + (doc_id * 7) % 600"
+    payload = f"""
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN unhex(concat('89504E470D0A1A0A', '0000000D', '49484452',
+                               lpad(hex({w}), 8, '0'), lpad(hex({h}), 8, '0'),
+                               '0806000000'))
+      WHEN 1 THEN unhex(concat('474946383961',
+                               lpad(hex(({w}) % 256), 2, '0'),
+                               lpad(hex(CAST(({w}) / 256 AS INT)), 2, '0'),
+                               lpad(hex(({h}) % 256), 2, '0'),
+                               lpad(hex(CAST(({h}) / 256 AS INT)), 2, '0'),
+                               'F70000'))
+      ELSE unhex(concat('FFD8', 'FFE000104A46494600010100000100010000',
+                        'FFC00011', '08',
+                        lpad(hex({h}), 4, '0'), lpad(hex({w}), 4, '0'), '03'))
+    END
+    """
+    df = _t(spark, sf_dir, "documents").selectExpr("doc_id", f"{payload} AS payload")
+    return with_media_dimensions(df, "payload").select(
+        "doc_id", "media_width", "media_height", "media_format")
+
+
+def o_multimodal_dims_documents():
+    return """
+    SELECT doc_id,
+           (16 + doc_id % 800)::INT AS media_width,
+           (16 + (doc_id * 7) % 600)::INT AS media_height,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                ELSE 'jpeg' END AS media_format
+    FROM documents
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1596,6 +1683,8 @@ QUERIES = {
     "columns_info_orders": q_columns_info_orders,
     "streaming_psi_events": q_streaming_psi_events,
     "multimodal_features_documents": q_multimodal_features_documents,
+    "multimodal_dims_documents": q_multimodal_dims_documents,
+    "streaming_dedup_events": q_streaming_dedup_events,
 }
 
 ORACLES = {
@@ -1653,4 +1742,6 @@ ORACLES = {
     "fingerprint_documents": o_fingerprint_documents(),
     "identifier_label_correlation_events": o_identifier_label_correlation_events(),
     "feature_label_corr_change_events": o_feature_label_corr_change_events(),
+    "multimodal_dims_documents": o_multimodal_dims_documents(),
+    "streaming_dedup_events": o_streaming_dedup_events(),
 }

@@ -95,6 +95,11 @@ def pps_score(df: pd.DataFrame, x: str, y: str, sample: int = 5_000,
         task = "classification"
     elif pd.api.types.is_numeric_dtype(sub[y]):
         task = "regression"
+    elif (pd.api.types.is_datetime64_any_dtype(sub[y])
+          or pd.api.types.is_timedelta64_dtype(sub[y])):
+        # reference ppscore.py:268-275: datetime targets are their own
+        # invalid case (convert to string for a usable score)
+        return _result(x, y, 0.0, "target_is_datetime", 0, 0, valid=False)
     else:
         return _result(x, y, 0.0, "target_data_type_not_supported", 0, 0, valid=False)
 

@@ -152,6 +152,56 @@ class StreamingPsiMonitor:
         return windowed.writeStream.outputMode("update").foreachBatch(_fold).start()
 
 
+class StreamingDedupMonitor:
+    """Within-watermark streaming duplicate detection (VERDICT r2
+    next-7): per event-time window, how many rows share an identity key
+    with an earlier row of the SAME window.
+
+    The stateful streaming aggregation groupBy(window, key).count() is
+    the scale shape — its state lives executor-side and is mergeable,
+    the watermark bounds it, and hot keys are ordinary agg skew. This
+    monitor folds the per-(window, key) UPDATE rows into per-window
+    (n_rows, n_distinct, n_dup) driver-side, which is bounded by
+    touched-windows × keys-per-window — the fixture-scale convenience;
+    a production corpus (urls per day) would instead sink the update
+    stream to a table and re-aggregate there. Because the key contains
+    the window, the final counts after a full drain are independent of
+    arrival order — they equal the batch GROUP BY exactly.
+
+    ``counts``: {window_start: {"n": int, "n_distinct": int, "n_dup": int}}
+    """
+
+    def __init__(self):
+        self.counts: dict = {}
+        self._hists: dict = {}
+
+    def start(self, stream_df: DataFrame, key_cols: list, time_col: str = "warc_ts",
+              window_duration: str = "1 day", watermark: str = "30 minutes"):
+        windowed = (
+            stream_df.withWatermark(time_col, watermark)
+            .groupBy(
+                F.window(F.col(time_col), window_duration).alias("w"),
+                *[F.col(f"`{c}`") for c in key_cols],
+            )
+            .count()
+        )
+
+        def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+            touched = set()
+            for r in batch_df.collect():  # bounded: touched windows × keys
+                start = r["w"]["start"]
+                key = tuple(r[c] for c in key_cols)
+                self._hists.setdefault(start, {})[key] = r["count"]
+                touched.add(start)
+            for start in touched:
+                hist = self._hists[start]
+                n = int(sum(hist.values()))
+                d = len(hist)
+                self.counts[start] = {"n": n, "n_distinct": d, "n_dup": n - d}
+
+        return windowed.writeStream.outputMode("update").foreachBatch(_fold).start()
+
+
 def stateful_column_monitor(stream_df: DataFrame, key_col: str, value_col: str):
     """Custom stateful streaming operator (applyInPandasWithState): per-key
     running integrity counters that survive across micro-batches.

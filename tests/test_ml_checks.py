@@ -326,3 +326,54 @@ def test_ffcorr_condition_signed_strict(spark):
     result = check.run(ds)
     assert result.value["a"]["b"] < -0.99
     assert result.conditions_results[0].category == ConditionCategory.PASS
+
+
+def test_pps_case_detection_parity_with_reference():
+    # VERDICT r2 next-9: enumerate the reference ppscore case table
+    # (reference ppscore.py:237-294) and assert our kernel makes the
+    # same case decision + pinned score for every branch.
+    n = 60
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "id_str": [f"row{i}" for i in range(n)],            # categorical, all unique
+        "id_num": np.arange(n, dtype=float),                 # numeric unique — NOT an id
+        "const": ["k"] * n,
+        "cat": [f"c{i % 3}" for i in range(n)],
+        "num": rng.normal(0, 1, n),
+        "y_const": [1] * n,
+        "y_id": [f"t{i}" for i in range(n)],
+        "y_cat": [f"y{i % 4}" for i in range(n)],
+        "y_num": rng.normal(0, 1, n),
+        "y_bool": [bool(i % 2) for i in range(n)],
+        "y_dt": pd.date_range("2025-01-01", periods=n),
+        "all_nan": [np.nan] * n,
+    })
+
+    def case(x, y):
+        return pps_score(df, x, y)
+
+    # predict_itself — pps exactly 1 (ppscore.py:172-183)
+    r = case("cat", "cat")
+    assert (r["case"], r["ppscore"]) == ("predict_itself", 1.0)
+    # empty after dropna (ppscore.py:245-251)
+    r = case("all_nan", "y_cat")
+    assert r["case"] == "empty_dataframe_after_dropping_na" and not r["is_valid_score"]
+    # feature_is_id: CATEGORICAL unique only (ppscore.py:288-295), and it
+    # takes precedence over every target case (checked first, :255-256)
+    assert case("id_str", "y_cat")["case"] == "feature_is_id"
+    assert case("id_str", "y_cat")["ppscore"] == 0.0
+    assert case("id_str", "y_id")["case"] == "feature_is_id"
+    # numeric unique feature is NOT an id (:289-290 dtype gate)
+    assert case("id_num", "y_cat")["case"] == "classification"
+    # target_is_constant before target_is_id (:258-264)
+    r = case("num", "y_const")
+    assert (r["case"], r["ppscore"]) == ("target_is_constant", 0.0)
+    r = case("num", "y_id")
+    assert (r["case"], r["ppscore"]) == ("target_is_id", 0.0)
+    # task selection: categorical/bool → classification, numeric →
+    # regression, datetime → its own invalid case (:266-275)
+    assert case("num", "y_cat")["case"] == "classification"
+    assert case("num", "y_bool")["case"] == "classification"
+    assert case("cat", "y_num")["case"] == "regression"
+    r = case("num", "y_dt")
+    assert r["case"] == "target_is_datetime" and not r["is_valid_score"]

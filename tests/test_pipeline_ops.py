@@ -172,3 +172,48 @@ def test_minhash_recall_is_total_on_planted_duplicates(spark):
     assert truth, "fixture should contain planted near-duplicates"
     assert truth <= found or truth == found
     assert found <= truth  # verification keeps only true pairs → found == truth
+
+
+def test_parse_media_header_known_formats():
+    import struct
+    from deepchecks_spark.pipeline.multimodal import parse_media_header
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00")
+    assert parse_media_header(png) == (640, 480, "png")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    assert parse_media_header(gif) == (320, 200, "gif")
+    # JPEG with an APP0 segment before the SOF0 frame header
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 600, 800) + b"\x03"
+    assert parse_media_header(b"\xff\xd8" + app0 + sof0) == (800, 600, "jpeg")
+    # progressive JPEG (SOF2) also carries dimensions
+    sof2 = b"\xff\xc2" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 10, 20) + b"\x03"
+    assert parse_media_header(b"\xff\xd8" + sof2) == (20, 10, "jpeg")
+
+
+def test_parse_media_header_rejects_garbage():
+    from deepchecks_spark.pipeline.multimodal import parse_media_header
+
+    assert parse_media_header(None) is None
+    assert parse_media_header(b"") is None
+    assert parse_media_header(b"plain text payload") is None
+    assert parse_media_header(b"\x89PNG\r\n\x1a\n1234NOPE") is None  # not IHDR
+    assert parse_media_header(b"\xff\xd8\xff\xdb\x00\x04\x00\x00") is None  # no SOF
+    # DHT (C4) must NOT be treated as a frame header
+    assert parse_media_header(b"\xff\xd8\xff\xc4\x00\x04\x00\x00") is None
+
+
+def test_with_media_dimensions_arrow_path(spark):
+    import struct
+    from deepchecks_spark.pipeline.multimodal import with_media_dimensions
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 33, 44) + b"\x08\x06\x00\x00\x00")
+    rows = [(1, bytearray(png)), (2, bytearray(b"not an image")), (3, None)]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    got = {r["id"]: (r["media_width"], r["media_height"], r["media_format"])
+           for r in with_media_dimensions(df, "payload").collect()}
+    assert got[1] == (33, 44, "png")
+    assert got[2] == (None, None, None)
+    assert got[3] == (None, None, None)
