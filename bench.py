@@ -129,6 +129,43 @@ def bench_similarity(spark):
     return emb.count()
 
 
+def _ensure_corpus(spark, rows: int) -> str:
+    """Stage the north-rule webtext corpus once (datagen is NOT part of
+    the timed run; rows are a pure function of (seed, index))."""
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_SCALE_DATA", "/tmp/spark_graft_scale"),
+        f"webpages_{rows}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from deepchecks_spark.corpus import generate_corpus_distributed
+
+        generate_corpus_distributed(spark, rows, seed=42, partitions=max(CPUS, 8)) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+CORPUS_ROWS = int(os.environ.get("SPARK_GRAFT_CORPUS_ROWS", "1000000"))
+
+
+def bench_corpus_runner(spark):
+    """The north-rule workload itself (VERDICT r2 next-10): the full
+    runner job — global verdicts, per-partition verdicts, violations,
+    metrics — over the staged webtext corpus. BENCH_rNN now tracks the
+    same job bench_scaling.py measures for the scaling evidence."""
+    import shutil
+    import tempfile
+
+    from deepchecks_spark.runner import run_job
+
+    path = _ensure_corpus(spark, CORPUS_ROWS)
+    out = tempfile.mkdtemp(prefix="bench_corpus_out_")
+    try:
+        run_job(spark, path, out, cat_features=["lang"], resume=False)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return CORPUS_ROWS
+
+
 def bench_textstats(spark):
     from deepchecks_spark.pipeline.textstats import (
         document_fingerprint,
@@ -150,6 +187,7 @@ BENCHES = {
     "dedup_documents": bench_dedup,
     "similarity_embeddings": bench_similarity,
     "textstats_documents": bench_textstats,
+    "corpus_runner_webpages": bench_corpus_runner,
 }
 
 
@@ -158,6 +196,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM/codegen path so timings measure the engine, not startup
     spark.range(1000).count()
+    _ensure_corpus(spark, CORPUS_ROWS)  # datagen outside the timed loop
     timings = {}
     rows = {}
     for name, fn in BENCHES.items():
@@ -173,6 +212,8 @@ def main():
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "rows_per_sec_integrity": round(suite_rows / timings["integrity_suite_lineitem"], 1),
+        "docs_per_sec_corpus": round(CORPUS_ROWS / timings["corpus_runner_webpages"], 1),
+        "corpus_rows": CORPUS_ROWS,
         "cpus": CPUS,
     }
     print(json.dumps(out))

@@ -79,21 +79,33 @@ def main():
     parser.add_argument("--worker", action="store_true")
     parser.add_argument("--cores", type=int)
     parser.add_argument("--input")
+    parser.add_argument("--no-pin", action="store_true",
+                        help="disable taskset CPU pinning of workers")
     args = parser.parse_args()
     if args.worker:
         worker(args.cores, args.input)
         return
     path = ensure_corpus(args.rows)
+    import shutil as _shutil
+
+    pin = not args.no_pin and _shutil.which("taskset") is not None
     results = {}
     for cores in [int(s) for s in args.scales.split(",")]:
+        # Pin the N-core worker to exactly N CPUs (ROADMAP #3): without
+        # pinning, an 8-thread JVM drifts across all 32 CPUs — more
+        # aggregate cache and a flattering 8-core time, i.e. an unfairly
+        # DEFLATED efficiency ratio. Pinned, each level measures a true
+        # N-CPU machine.
+        prefix = ["taskset", "-c", f"0-{cores - 1}"] if pin else []
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             "--cores", str(cores), "--input", path],
+            prefix + [sys.executable, os.path.abspath(__file__), "--worker",
+                      "--cores", str(cores), "--input", path],
             capture_output=True, text=True, timeout=3600,
         )
         line = proc.stdout.strip().splitlines()[-1]
         results[cores] = json.loads(line)
-        print(line)
+        results[cores]["pinned"] = pin
+        print(json.dumps(results[cores]))
     scales = sorted(results)
     if len(scales) == 2:
         small, big = scales

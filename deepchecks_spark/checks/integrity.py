@@ -598,8 +598,11 @@ class StringMismatch(SingleDatasetCheck):
 
     Reference: data_integrity/string_mismatch.py:76-121 — per string
     column, group distinct values by string_baseform; baseforms with
-    more than one variant are violations. value = {col: {baseform:
-    {variant: {count, percent}}}}.
+    more than one variant are violations. value matches the reference
+    shape exactly: {'n_samples': n, 'columns': {col: {baseform:
+    [{'variant', 'count', 'percent'}, ...]}}} (string_mismatch.py:86-108;
+    variant lists are sorted by variant here — the reference emits
+    pandas uniques order, which has no distributed equivalent).
 
     Spark: one melted pass → groupBy(column, baseform, value).count()
     (two-stage partial agg) → per-(column, baseform) variant counts via
@@ -625,11 +628,11 @@ class StringMismatch(SingleDatasetCheck):
     def compute(self, ctx, kind):
         ds = ctx.data(kind)
         cols = _string_columns(ds, self.columns, self.ignore_columns)
-        value = {c: {} for c in cols}
-        if not cols:
-            return value, None
         df, stats = self._effective_data(ctx, kind)
         n_rows = stats.n_rows
+        value = {"n_samples": n_rows, "columns": {c: {} for c in cols}}
+        if not cols:
+            return value, None
         if self.max_distinct_to_check is not None:
             cols = [
                 c for c in cols
@@ -651,45 +654,72 @@ class StringMismatch(SingleDatasetCheck):
             .filter(F.col("n_variants") > 1)
             .collect()
         )
-        for r in mismatched:
-            value[r["column"]].setdefault(r["base"], {})[r["value"]] = {
+        for r in sorted(mismatched, key=lambda r: (r["column"], r["base"], r["value"])):
+            value["columns"][r["column"]].setdefault(r["base"], []).append({
+                "variant": r["value"],
                 "count": r["count"],
                 "percent": r["count"] / n_rows,
-            }
+            })
         return value, None
 
-    def add_condition_no_variants(self):
-        """reference string_mismatch.py:150-153 → _condition_variants_number
-        with num_max_variants=0, category WARN."""
-        def condition(result):
-            failing = {c: sorted(bases.keys()) for c, bases in result.items() if bases}
-            if failing:
-                return ConditionResult(
-                    ConditionCategory.WARN,
-                    f"Found {len(failing)} out of {len(result)} columns with amount of variants "
-                    f"above threshold: {failing}",
-                )
-            return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
+    @staticmethod
+    def _condition_variants_number(result, num_max_variants: int,
+                                   max_cols_to_show: int = 5, max_forms_to_show: int = 5):
+        """reference string_mismatch.py:183-195, byte-identical details —
+        including the reference's PASS message quirk (it passes the
+        literal list ['columns'], so PASS always reads '1 relevant
+        column')."""
+        import itertools
 
-        return self.add_condition("No string variants", condition)
+        not_passing: dict = {}
+        for col, baseforms in result["columns"].items():
+            for base_form, variants_list in baseforms.items():
+                if len(variants_list) > num_max_variants:
+                    forms = not_passing.setdefault(col, [])
+                    if len(forms) < max_forms_to_show:
+                        forms.append(base_form)
+        if not_passing:
+            variants_to_show = dict(itertools.islice(not_passing.items(), max_cols_to_show))
+            return ConditionResult(
+                ConditionCategory.WARN,
+                f"Found {len(not_passing)} out of {len(result['columns'])} columns with amount of "
+                f"variants above threshold: {variants_to_show}",
+            )
+        return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(["columns"]))
+
+    def add_condition_number_variants_less_or_equal(self, num_max_variants: int):
+        """reference string_mismatch.py:138-147."""
+        return self.add_condition(
+            f"Number of string variants is less or equal to {num_max_variants}",
+            lambda result: self._condition_variants_number(result, num_max_variants),
+        )
+
+    def add_condition_no_variants(self):
+        """reference string_mismatch.py:149-152 → _condition_variants_number
+        with num_max_variants=0, category WARN."""
+        return self.add_condition(
+            "No string variants",
+            lambda result: self._condition_variants_number(result, 0),
+        )
 
     def add_condition_ratio_variants_less_or_equal(self, max_ratio: float = 0.01):
-        """reference string_mismatch.py:155-179 — FAIL when the summed
+        """reference string_mismatch.py:154-179 — FAIL when the summed
         variant percent in any column exceeds max_ratio."""
         def condition(result):
             failing = {}
-            for col, bases in result.items():
-                pct = sum(info["percent"] for variants in bases.values()
-                          for info in variants.values())
+            for col, bases in result["columns"].items():
+                pct = sum(v["percent"] for variants_list in bases.values()
+                          for v in variants_list)
                 if pct > max_ratio:
                     failing[col] = format_percent(pct)
             if failing:
                 return ConditionResult(
                     ConditionCategory.FAIL,
-                    f"Found {len(failing)} out of {len(result)} relevant columns with variants "
-                    f"ratio above threshold: {failing}",
+                    f"Found {len(failing)} out of {len(result['columns'])} relevant columns with "
+                    f"variants ratio above threshold: {failing}",
                 )
-            return ConditionResult(ConditionCategory.PASS, get_condition_passed_message(result))
+            return ConditionResult(ConditionCategory.PASS,
+                                   get_condition_passed_message(result["columns"]))
 
         return self.add_condition(
             f"Ratio of variants is less or equal to {format_percent(max_ratio)}", condition

@@ -1149,10 +1149,10 @@ def q_string_mismatch_documents(spark, sf_dir):
     ds = Dataset(df, infer_categorical=False)
     value, _ = StringMismatch().compute(_ctx(ds), "train")
     rows = []
-    for col, bases in sorted(value.items()):
-        for base, variants in sorted(bases.items()):
-            for variant, info in sorted(variants.items()):
-                rows.append((col, base, variant, int(info["count"]),
+    for col, bases in sorted(value["columns"].items()):
+        for base, variants_list in sorted(bases.items()):
+            for info in variants_list:
+                rows.append((col, base, info["variant"], int(info["count"]),
                              round(float(info["percent"]), 6)))
     return spark.createDataFrame(
         rows, "column string, base string, variant string, count long, percent double")

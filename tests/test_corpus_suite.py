@@ -37,9 +37,9 @@ def test_mixed_nulls_detects_planted_string_nulls(spark, corpus_ds):
 
 def test_string_mismatch_detects_lang_variants(spark, corpus_ds):
     result = StringMismatch(columns=["lang"]).add_condition_no_variants().run(corpus_ds)
-    bases = result.value["lang"]
+    bases = result.value["columns"]["lang"]
     assert "en" in bases  # "EN"/"en "/"e-n" all share baseform 'en'
-    variants = set(bases["en"])
+    variants = {v["variant"] for v in bases["en"]}
     assert variants & set(_LANG_VARIANTS["en"]) | {"en"}
     assert result.conditions_results[0].is_pass is False
 

@@ -202,10 +202,14 @@ def test_string_mismatch(spark):
     rows = [("OK",), ("ok",), ("OK.",), ("ok!",), ("other",)]
     ds = _ds(spark, rows, "col1 string")
     result = StringMismatch().run(ds)
-    variants = result.value["col1"]["ok"]
-    assert set(variants) == {"OK", "ok", "OK.", "ok!"}
-    assert variants["OK"]["count"] == 1
-    assert variants["OK"]["percent"] == pytest.approx(0.2)
+    # reference value shape (string_mismatch.py:86-108): list of
+    # {variant, count, percent} per baseform under 'columns'
+    assert result.value["n_samples"] == 5
+    variants = result.value["columns"]["col1"]["ok"]
+    assert {v["variant"] for v in variants} == {"OK", "ok", "OK.", "ok!"}
+    by_name = {v["variant"]: v for v in variants}
+    assert by_name["OK"]["count"] == 1
+    assert by_name["OK"]["percent"] == pytest.approx(0.2)
 
 
 def test_string_mismatch_condition(spark):
@@ -345,10 +349,10 @@ def test_string_mismatch_gates_high_cardinality(spark):
     rows = [(f"Value{i}",) for i in range(500)]
     ds = _ds(spark, rows, "col1 string")
     result = StringMismatch(max_distinct_to_check=100).run(ds)
-    assert result.value == {"col1": {}}  # gated, not collected
+    assert result.value["columns"] == {"col1": {}}  # gated, not collected
     # and the gate is off when None
     open_result = StringMismatch(max_distinct_to_check=None).run(ds)
-    assert open_result.value["col1"] == {}  # no actual variants in fixture
+    assert open_result.value["columns"]["col1"] == {}  # no actual variants in fixture
 
 
 def test_string_mismatch_comparison_gates_high_cardinality(spark):
