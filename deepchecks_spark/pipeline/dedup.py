@@ -96,7 +96,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     mergeable.
     """
     shingles = shingle_sets(df, id_col, text_col, shingle_words)
-    exploded = shingles.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    # Generate child must NOT be a bare attribute: Catalyst's
+    # InferFiltersFromGenerate fires on attribute children, inferring a
+    # size(sh) > 0 pre-filter that projection-pushdown re-expands into
+    # the FULL shingle expression below the scan — the whole KB-text
+    # shingle build then runs twice per row (~1.9 s, +30% on the dedup
+    # bench; found bisecting the r2 regression, BENCH/BASELINE.md r3).
+    # Wrapping in an (idempotent) array_distinct makes the child a
+    # non-attribute expression, which the rule skips; the array is
+    # already distinct so the extra pass is O(|sh|) per row.
+    exploded = shingles.select(
+        F.col(id_col), F.explode(F.array_distinct("sh")).alias("shingle"))
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
     ]
