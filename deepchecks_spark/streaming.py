@@ -112,16 +112,36 @@ class StreamingPsiMonitor:
 
     ``scores``: {window_start: {"psi": float, "n": int}} — always the
     latest score per window.
+
+    Resumability (north rule): pass ``checkpoint_dir`` to start() so the
+    streaming aggregation state + source offsets survive a restart, and
+    ``state_path`` to the constructor so the driver-side window
+    histograms do too. The fold is an idempotent upsert (update-mode
+    rows carry absolute counts per (window, category)), so the
+    replayed-last-batch semantics of checkpoint recovery converge to
+    the same scores.
     """
 
-    def __init__(self, reference_hist: dict, min_category_size_ratio: float = 0.01):
+    def __init__(self, reference_hist: dict, min_category_size_ratio: float = 0.01,
+                 state_path: str | None = None):
         self.reference_hist = dict(reference_hist)
         self.min_category_size_ratio = min_category_size_ratio
+        self.state_path = state_path
         self.scores: dict = {}
         self._hists: dict = {}
+        if state_path:
+            loaded = _load_monitor_state(state_path)
+            if loaded is not None:
+                import datetime
+
+                self._hists = {
+                    datetime.datetime.fromisoformat(k): dict(v)
+                    for k, v in loaded["hists"].items()
+                }
 
     def start(self, stream_df: DataFrame, col: str, time_col: str = "warc_ts",
-              window_duration: str = "1 hour", watermark: str = "30 minutes"):
+              window_duration: str = "1 hour", watermark: str = "30 minutes",
+              checkpoint_dir: str | None = None):
         from deepchecks_spark.drift.kernels import psi_from_counts
 
         windowed = (
@@ -133,6 +153,19 @@ class StreamingPsiMonitor:
             .count()
         )
 
+        def _rescore(start) -> None:
+            hist = self._hists[start]
+            self.scores[start] = {
+                "psi": psi_from_counts(
+                    self.reference_hist, hist,
+                    min_category_size_ratio=self.min_category_size_ratio,
+                ),
+                "n": int(sum(hist.values())),
+            }
+
+        for start in self._hists:  # restored state → rebuild scores
+            _rescore(start)
+
         def _fold(batch_df: DataFrame, epoch_id: int) -> None:
             touched = set()
             for r in batch_df.collect():  # bounded: touched windows × categories
@@ -140,16 +173,36 @@ class StreamingPsiMonitor:
                 self._hists.setdefault(start, {})[r["value"]] = r["count"]
                 touched.add(start)
             for start in touched:
-                hist = self._hists[start]
-                self.scores[start] = {
-                    "psi": psi_from_counts(
-                        self.reference_hist, hist,
-                        min_category_size_ratio=self.min_category_size_ratio,
-                    ),
-                    "n": int(sum(hist.values())),
-                }
+                _rescore(start)
+            if self.state_path and touched:
+                _save_monitor_state(self.state_path, {
+                    "hists": {k.isoformat(): v for k, v in self._hists.items()},
+                })
 
-        return windowed.writeStream.outputMode("update").foreachBatch(_fold).start()
+        writer = windowed.writeStream.outputMode("update").foreachBatch(_fold)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
+
+
+def _load_monitor_state(path: str):
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _save_monitor_state(path: str, state: dict) -> None:
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)  # atomic on POSIX — no torn state on crash
 
 
 class StreamingDedupMonitor:
@@ -169,14 +222,37 @@ class StreamingDedupMonitor:
     arrival order — they equal the batch GROUP BY exactly.
 
     ``counts``: {window_start: {"n": int, "n_distinct": int, "n_dup": int}}
+
+    Same resumability contract as StreamingPsiMonitor: ``checkpoint_dir``
+    persists streaming state/offsets, ``state_path`` the driver-side
+    fold; the fold is an idempotent upsert.
     """
 
-    def __init__(self):
+    def __init__(self, state_path: str | None = None):
+        self.state_path = state_path
         self.counts: dict = {}
         self._hists: dict = {}
+        if state_path:
+            loaded = _load_monitor_state(state_path)
+            if loaded is not None:
+                import datetime
+
+                self._hists = {
+                    datetime.datetime.fromisoformat(k): {tuple(kk): c for kk, c in v}
+                    for k, v in loaded["hists"].items()
+                }
+                for start in self._hists:
+                    self._recount(start)
+
+    def _recount(self, start) -> None:
+        hist = self._hists[start]
+        n = int(sum(hist.values()))
+        d = len(hist)
+        self.counts[start] = {"n": n, "n_distinct": d, "n_dup": n - d}
 
     def start(self, stream_df: DataFrame, key_cols: list, time_col: str = "warc_ts",
-              window_duration: str = "1 day", watermark: str = "30 minutes"):
+              window_duration: str = "1 day", watermark: str = "30 minutes",
+              checkpoint_dir: str | None = None):
         windowed = (
             stream_df.withWatermark(time_col, watermark)
             .groupBy(
@@ -194,12 +270,19 @@ class StreamingDedupMonitor:
                 self._hists.setdefault(start, {})[key] = r["count"]
                 touched.add(start)
             for start in touched:
-                hist = self._hists[start]
-                n = int(sum(hist.values()))
-                d = len(hist)
-                self.counts[start] = {"n": n, "n_distinct": d, "n_dup": n - d}
+                self._recount(start)
+            if self.state_path and touched:
+                _save_monitor_state(self.state_path, {
+                    "hists": {
+                        k.isoformat(): [[list(kk), c] for kk, c in v.items()]
+                        for k, v in self._hists.items()
+                    },
+                })
 
-        return windowed.writeStream.outputMode("update").foreachBatch(_fold).start()
+        writer = windowed.writeStream.outputMode("update").foreachBatch(_fold)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
 
 
 def stateful_column_monitor(stream_df: DataFrame, key_col: str, value_col: str):

@@ -75,3 +75,23 @@ def test_spearman_rank_windows_are_partitioned(spark, monkeypatch):
     # every Window operator must carry a partition spec (the __bkt bucket)
     for seg in plan.split("Window ")[1:]:
         assert "__bkt" in seg[:400]
+
+
+def test_minhash_plan_does_not_duplicate_shingle_build(spark):
+    # Round-3 regression guard: if the explode's child is a bare
+    # attribute, InferFiltersFromGenerate infers a size()>0 filter that
+    # pushdown re-expands into the FULL shingle expression below the
+    # scan — the KB-text shingle build then runs twice per row (+30% on
+    # the dedup bench). The executed plan must contain NO Filter that
+    # re-evaluates the shingle construction.
+    from deepchecks_spark.pipeline.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(i, "some words repeated here for shingling tests %d" % i) for i in range(20)],
+        "doc_id long, text string")
+    sig = minhash_signatures(df, "doc_id", "text", num_hashes=8)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    # the shingle transform may appear exactly once (the projection
+    # feeding the explode) — a second occurrence means a duplicated
+    # evaluation in an inferred filter
+    assert plan.count("lambdafunction(array_join(slice(") == 1, plan

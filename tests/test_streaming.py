@@ -146,3 +146,103 @@ def test_stateful_column_monitor_converges_to_batch_counts(spark, stream_dir):
     want = {r["grp"]: (r["n"], r["nn"] or 0, r["sp"] or 0) for r in want_rows}
     assert got == want
     assert sum(v[1] for v in want.values()) > 0  # fixture has planted null reprs
+
+
+def test_streaming_dedup_monitor_resumes_from_checkpoint(spark, tmp_path):
+    # North-rule resumability, streaming side: drain phase-1 files with a
+    # checkpoint + persisted fold state, STOP, build a FRESH monitor from
+    # the saved state and the same checkpoint, add phase-2 files, drain —
+    # final per-window counts must equal the batch GROUP BY over ALL data.
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.streaming import StreamingDedupMonitor
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state.json")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    phase1 = events.filter(F.col("event_id") % 2 == 0)
+    phase2 = events.filter(F.col("event_id") % 2 == 1)
+    phase1.repartition(2).write.mode("overwrite").parquet(src)
+
+    def run_monitor():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        mon = StreamingDedupMonitor(state_path=state)
+        q = mon.start(stream, ["user_id", "event_type"], time_col="ts",
+                      window_duration="1 day", watermark="60 days",
+                      checkpoint_dir=ckpt)
+        q.processAllAvailable()
+        q.stop()
+        return mon
+
+    run_monitor()  # phase 1, then the query and monitor object are gone
+    phase2.repartition(2).write.mode("append").parquet(src)
+    mon = run_monitor()  # fresh monitor: restores fold state, resumes offsets
+
+    want = {
+        r["d"]: r
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id", "event_type").alias("nd"),
+        ).collect()
+    }
+    got = {k: v for k, v in mon.counts.items()}
+    assert len(got) == len(want)
+    for day, r in want.items():
+        assert got[day]["n"] == r["n"]
+        assert got[day]["n_distinct"] == r["nd"]
+        assert got[day]["n_dup"] == r["n"] - r["nd"]
+
+
+def test_streaming_psi_monitor_state_roundtrip(spark, tmp_path):
+    from deepchecks_spark.streaming import StreamingPsiMonitor
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state.json")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    ref = {r["event_type"]: r["c"] for r in
+           events.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()}
+    events.filter(F.col("event_id") % 2 == 0).repartition(2).write.mode("overwrite").parquet(src)
+
+    def run(mon_factory):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        mon = mon_factory()
+        q = mon.start(stream, "event_type", time_col="ts",
+                      window_duration="1 day", watermark="60 days",
+                      checkpoint_dir=ckpt)
+        q.processAllAvailable()
+        q.stop()
+        return mon
+
+    run(lambda: StreamingPsiMonitor(ref, state_path=state))
+    events.filter(F.col("event_id") % 2 == 1).repartition(2).write.mode("append").parquet(src)
+    mon = run(lambda: StreamingPsiMonitor(ref, state_path=state))
+
+    # full-data twin: one un-checkpointed monitor over everything at once
+    full = StreamingPsiMonitor(ref)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = full.start(stream, "event_type", time_col="ts", window_duration="1 day",
+                   watermark="60 days")
+    q.processAllAvailable()
+    q.stop()
+    assert set(mon.scores) == set(full.scores)
+    for k in full.scores:
+        assert mon.scores[k] == full.scores[k]
