@@ -41,21 +41,6 @@ def _string_columns(ds, columns=None, ignore_columns=None, exclude_cat: bool = F
     return cols
 
 
-def _guard_label_cardinality(df: DataFrame, label: str, cap: int, check_name: str) -> None:
-    """Refuse to collect a label histogram whose (approx) distinct count
-    exceeds ``cap`` — a near-unique label (misconfigured regression
-    target) would OOM the driver (VERDICT r2 §wrong-3). One narrow
-    approx_count_distinct agg; same policy as the string-check gates."""
-    ndv = df.agg(F.approx_count_distinct(f"`{label}`").alias("d")).first()["d"] or 0
-    if ndv > cap:
-        raise ValueError(
-            f"{check_name}: label column {label!r} has ~{ndv} distinct values "
-            f"(gate: {cap}). This check collects the label histogram driver-side "
-            "and expects a classification-style label; pass a lower-cardinality "
-            "label column or raise MAX_LABEL_CARDINALITY explicitly."
-        )
-
-
 def melt_strings(df: DataFrame, cols: list) -> DataFrame:
     """One pass over all string columns as (column, value) rows via
     ``stack`` — Catalyst prunes the scan to exactly these columns."""
@@ -426,12 +411,22 @@ class ClassImbalance(SingleDatasetCheck):
         df = self._effective_df(ctx, kind)
         if self.ignore_nan:
             df = df.filter(label.isNotNull())
-        _guard_label_cardinality(df, ds.label_name, self.MAX_LABEL_CARDINALITY, self.name())
-        rows = (
-            df.groupBy(label.alias("label")).count()
-            .orderBy(F.desc("count"), F.asc("label"))
-            .collect()
-        )
+        # guarded collect in the SAME job (no extra pre-scan, exact
+        # threshold): a near-unique label (misconfigured regression
+        # target) would OOM the driver here (VERDICT r2 §wrong-3);
+        # deterministic (count desc, label asc nulls-first) ordering is
+        # applied driver-side on the bounded result.
+        cap = self.MAX_LABEL_CARDINALITY
+        rows = df.groupBy(label.alias("label")).count().limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"{self.name()}: label column {ds.label_name!r} has more than {cap} "
+                "distinct values. This check collects the label histogram driver-side "
+                "and expects a classification-style label; pass a lower-cardinality "
+                "label column or raise MAX_LABEL_CARDINALITY explicitly."
+            )
+        rows.sort(key=lambda r: (-r["count"], r["label"] is not None,
+                                 r["label"] if r["label"] is not None else 0))
         total = sum(r["count"] for r in rows)
         value = {r["label"]: round(r["count"] / total, 2) for r in rows} if total else {}
         return value, None
@@ -628,11 +623,12 @@ class StringMismatch(SingleDatasetCheck):
     def compute(self, ctx, kind):
         ds = ctx.data(kind)
         cols = _string_columns(ds, self.columns, self.ignore_columns)
+        if not cols:
+            # no string columns → zero Spark jobs beyond the cached count
+            return {"n_samples": ctx.n_rows(kind), "columns": {}}, None
         df, stats = self._effective_data(ctx, kind)
         n_rows = stats.n_rows
         value = {"n_samples": n_rows, "columns": {c: {} for c in cols}}
-        if not cols:
-            return value, None
         if self.max_distinct_to_check is not None:
             cols = [
                 c for c in cols

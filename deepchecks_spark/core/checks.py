@@ -163,6 +163,14 @@ class BaseCheck:
             return ds.df
         return ds.df.sample(False, self.n_samples / total, self.random_state)
 
+    def _effective_n_rows(self, ctx, kind: str, df) -> int:
+        """Row count of the frame _effective_df returned: the cached
+        full-data count when no cap applied (no extra job), else one
+        count of the sampled frame."""
+        if df is ctx.data(kind).df:
+            return ctx.n_rows(kind)
+        return df.count()
+
     def _effective_data(self, ctx, kind: str):
         """(df, ColumnStats): the shared full-data fused pass by default;
         a one-off stats pass over the sampled frame when an explicit

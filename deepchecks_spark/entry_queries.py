@@ -714,7 +714,13 @@ def q_outlier_detection_events(spark, sf_dir):
     from deepchecks_spark.checks.ml import OutlierSampleDetection
     from deepchecks_spark.core.context import Context
 
-    df = _t(spark, sf_dir, "events").filter("event_id % 8 = 0").selectExpr(
+    # the id cap keeps the fixture ≤ 2000 rows at ANY scale factor: the
+    # LoOP kernel is O(n²) driver-side by design (the reference's own
+    # 5k sample cap), and the argmax identity must not depend on which
+    # rows a Bernoulli sample happens to keep — so bound the input
+    # deterministically instead of sampling.
+    df = _t(spark, sf_dir, "events").filter(
+        "event_id % 8 = 0 AND event_id < 16000").selectExpr(
         "CASE WHEN event_id = 8 THEN CAST(1000000 AS DOUBLE) "
         "ELSE CAST(event_id % 100 AS DOUBLE) END AS x",
         "CAST(event_id AS DOUBLE) AS y",
@@ -731,7 +737,8 @@ def q_outlier_detection_events(spark, sf_dir):
 
 def o_outlier_detection_events():
     return """
-    SELECT (SELECT count(*) FROM events WHERE event_id % 8 = 0)::BIGINT AS n_samples,
+    SELECT (SELECT count(*) FROM events
+            WHERE event_id % 8 = 0 AND event_id < 16000)::BIGINT AS n_samples,
            CASE WHEN EXISTS (SELECT 1 FROM events WHERE event_id = 8)
                 THEN 1000000.0 ELSE -1.0 END AS top_outlier_x
     """

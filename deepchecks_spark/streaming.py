@@ -134,14 +134,18 @@ class StreamingPsiMonitor:
             if loaded is not None:
                 import datetime
 
+                # histograms are stored as [key, count] PAIRS, not JSON
+                # objects: object keys are stringified (None -> "null"),
+                # which would diverge from the live fold's typed upserts
                 self._hists = {
-                    datetime.datetime.fromisoformat(k): dict(v)
+                    datetime.datetime.fromisoformat(k): {kk: c for kk, c in v}
                     for k, v in loaded["hists"].items()
                 }
 
     def start(self, stream_df: DataFrame, col: str, time_col: str = "warc_ts",
               window_duration: str = "1 hour", watermark: str = "30 minutes",
               checkpoint_dir: str | None = None):
+        _warn_unresumable_fold(checkpoint_dir, self.state_path)
         from deepchecks_spark.drift.kernels import psi_from_counts
 
         windowed = (
@@ -176,13 +180,41 @@ class StreamingPsiMonitor:
                 _rescore(start)
             if self.state_path and touched:
                 _save_monitor_state(self.state_path, {
-                    "hists": {k.isoformat(): v for k, v in self._hists.items()},
+                    "hists": {k.isoformat(): [[kk, c] for kk, c in v.items()]
+                              for k, v in self._hists.items()},
                 })
 
         writer = windowed.writeStream.outputMode("update").foreachBatch(_fold)
         if checkpoint_dir:
             writer = writer.option("checkpointLocation", checkpoint_dir)
         return writer.start()
+
+
+def _json_safe(v):
+    """Key component -> a value json.dump round-trips exactly (str/int/
+    float/bool/None pass through; everything else stringifies — date,
+    datetime, bytes, Decimal). Distinctness within one typed column is
+    preserved (str is injective on each of those types)."""
+    if v is None or isinstance(v, (str, int, float, bool)):
+        return v
+    return str(v)
+
+
+def _warn_unresumable_fold(checkpoint_dir, state_path) -> None:
+    """checkpoint_dir without state_path is a restart footgun: update
+    mode only re-emits (window, key) pairs touched by NEW data, so a
+    fresh monitor's fold silently misses everything committed before
+    the restart while looking complete."""
+    if checkpoint_dir and not state_path:
+        import warnings
+
+        warnings.warn(
+            "checkpoint_dir set without state_path: after a restart the "
+            "monitor's driver-side fold will only contain windows touched "
+            "by new data. Pass state_path to persist the fold alongside "
+            "the streaming checkpoint.",
+            stacklevel=3,
+        )
 
 
 def _load_monitor_state(path: str):
@@ -253,6 +285,7 @@ class StreamingDedupMonitor:
     def start(self, stream_df: DataFrame, key_cols: list, time_col: str = "warc_ts",
               window_duration: str = "1 day", watermark: str = "30 minutes",
               checkpoint_dir: str | None = None):
+        _warn_unresumable_fold(checkpoint_dir, self.state_path)
         windowed = (
             stream_df.withWatermark(time_col, watermark)
             .groupBy(
@@ -266,7 +299,11 @@ class StreamingDedupMonitor:
             touched = set()
             for r in batch_df.collect():  # bounded: touched windows × keys
                 start = r["w"]["start"]
-                key = tuple(r[c] for c in key_cols)
+                # normalize key parts to JSON-round-trippable values so the
+                # persisted fold restores EXACTLY what a live fold would
+                # hold (dates/bytes/Decimal key columns would otherwise
+                # crash json.dump or diverge on restore)
+                key = tuple(_json_safe(r[c]) for c in key_cols)
                 self._hists.setdefault(start, {})[key] = r["count"]
                 touched.add(start)
             for start in touched:

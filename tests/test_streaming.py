@@ -246,3 +246,103 @@ def test_streaming_psi_monitor_state_roundtrip(spark, tmp_path):
     assert set(mon.scores) == set(full.scores)
     for k in full.scores:
         assert mon.scores[k] == full.scores[k]
+
+
+def test_streaming_psi_state_preserves_null_category(spark, tmp_path):
+    # Regression: JSON object keys stringify None -> "null"; the state
+    # file stores [key, count] pairs so a NULL category restores as the
+    # same None key the live fold upserts (no phantom "null" category,
+    # no double counting).
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.streaming import StreamingPsiMonitor
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state.json")
+    rows = [(i, "2025-03-0%d 12:00:00" % (1 + i % 3),
+             None if i % 4 == 0 else "c%d" % (i % 2)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, ts string, cat string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    ref = {"c0": 50, "c1": 50}
+    df.filter("id % 2 = 0").repartition(2).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = (spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1)
+                  .parquet(src).withColumn("ts", F.col("ts").cast("timestamp")))
+        mon = StreamingPsiMonitor(ref, state_path=state)
+        q = mon.start(stream, "cat", time_col="ts", window_duration="1 day",
+                      watermark="30 days", checkpoint_dir=ckpt)
+        q.processAllAvailable()
+        q.stop()
+        return mon
+
+    run()
+    df.filter("id % 2 = 1").repartition(2).write.mode("append").parquet(src)
+    mon = run()
+    # window totals must equal the batch counts INCLUDING null-category rows
+    want = {r["d"]: r["n"] for r in df.groupBy(
+        F.date_trunc("day", "ts").alias("d")).count().withColumnRenamed("count", "n").collect()}
+    got = {k: v["n"] for k, v in mon.scores.items()}
+    assert got == want
+    # and the null category stayed None (exactly one null-ish key per window)
+    for hist in mon._hists.values():
+        null_keys = [k for k in hist if k is None or k == "null"]
+        assert null_keys == [None]
+
+
+def test_streaming_dedup_state_handles_date_keys(spark, tmp_path):
+    # Regression: a non-JSON-native key column (DateType) must neither
+    # crash the state save nor diverge on restore.
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.streaming import StreamingDedupMonitor
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state.json")
+    rows = [(i, "2025-03-01 12:00:00", "2025-0%d-01" % (1 + i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, ts string, d string") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .withColumn("d", F.col("d").cast("date"))
+    df.filter("id % 2 = 0").repartition(2).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = (spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1)
+                  .parquet(src)
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        mon = StreamingDedupMonitor(state_path=state)
+        q = mon.start(stream, ["d"], time_col="ts", window_duration="1 day",
+                      watermark="30 days", checkpoint_dir=ckpt)
+        q.processAllAvailable()
+        q.stop()
+        return mon
+
+    run()
+    df.filter("id % 2 = 1").repartition(2).write.mode("append").parquet(src)
+    mon = run()
+    (window,) = mon.counts.keys()
+    assert mon.counts[window] == {"n": 40, "n_distinct": 2, "n_dup": 38}
+
+
+def test_streaming_monitor_warns_on_checkpoint_without_state(spark, tmp_path):
+    import warnings as _warnings
+
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.streaming import StreamingDedupMonitor
+
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame([(1, "2025-03-01 12:00:00", "a")], "id long, ts string, k string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(df.schema).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    mon = StreamingDedupMonitor()  # no state_path
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        q = mon.start(stream, ["k"], time_col="ts",
+                      checkpoint_dir=str(tmp_path / "ckpt"))
+        q.processAllAvailable()
+        q.stop()
+    assert any("state_path" in str(w.message) for w in caught)

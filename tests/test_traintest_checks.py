@@ -137,15 +137,22 @@ def test_string_mismatch_comparison_full_value_shape(spark):
 
 
 def test_new_label_gates_near_unique_label(spark):
+    # the driver hazard is the collected NEW-label set: disjoint
+    # near-unique train/test labels make every test label new — the
+    # guarded collect must raise instead of materializing them all
     import pytest as _pytest
     from deepchecks_spark.checks.traintest import NewLabelTrainTest
 
-    df = spark.range(0, 3000).selectExpr("id", "cast(id as string) as lbl")
-    ds = Dataset(df, label="lbl", infer_categorical=False)
+    train = Dataset(spark.range(0, 3000).selectExpr("id", "cast(id as string) as lbl"),
+                    label="lbl", infer_categorical=False)
+    test = Dataset(spark.range(3000, 6000).selectExpr("id", "cast(id as string) as lbl"),
+                   label="lbl", infer_categorical=False)
     check = NewLabelTrainTest()
     check.MAX_LABEL_CARDINALITY = 100
     with _pytest.raises(ValueError, match="distinct values"):
-        check.run(ds, ds)
+        check.run(train, test)
+    # and a same-label pair stays fine (no new labels → nothing to gate)
+    assert NewLabelTrainTest().run(train, train).value["new_labels"] == {}
 
 
 def test_traintest_checks_honor_explicit_n_samples(spark):
