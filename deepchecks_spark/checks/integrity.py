@@ -157,6 +157,12 @@ class PercentOfNulls(SingleDatasetCheck):
             f"Percent of null values in each column is not greater than {format_percent(threshold)}", condition
         )
 
+    def reduce_output(self, check_result, aggregation_method: str = "max") -> dict:
+        """reference percent_of_nulls.py:105-110."""
+        from deepchecks_spark.core.reduce import reduce_output as _reduce
+
+        return _reduce(dict(check_result.value), None, aggregation_method, "Null Ratio")
+
 
 class MixedNulls(SingleDatasetCheck):
     """Counts of each distinct null representation per column.
@@ -239,6 +245,21 @@ class MixedNulls(SingleDatasetCheck):
         return self.add_condition(
             f"Number of different null types is less or equal to {max_allowed_null_types}", condition
         )
+
+    def reduce_output(self, check_result, aggregation_method: str = "max") -> dict:
+        """reference mixed_nulls.py:153-170: per column, the summed
+        count over its null kinds (0 when only one kind exists) as a
+        fraction of n_samples."""
+        from deepchecks_spark.core.reduce import reduce_output as _reduce
+
+        value = check_result.value
+        n = value.get("n_samples") or 0
+        pct = {}
+        for col, reprs in value["columns"].items():
+            counts = [info["count"] for info in reprs.values()]
+            total = sum(counts) if len(counts) > 1 else 0
+            pct[col] = (total / n) if n else 0.0
+        return _reduce(pct, None, aggregation_method, "Percent Mixed Nulls")
 
 
 class MixedDataTypes(SingleDatasetCheck):
@@ -720,6 +741,19 @@ class StringMismatch(SingleDatasetCheck):
         return self.add_condition(
             f"Ratio of variants is less or equal to {format_percent(max_ratio)}", condition
         )
+
+    def reduce_output(self, check_result, aggregation_method: str = "max") -> dict:
+        """reference string_mismatch.py:123-137: total mismatched-variant
+        count per column as a fraction of n_samples."""
+        from deepchecks_spark.core.reduce import reduce_output as _reduce
+
+        value = check_result.value
+        n = value.get("n_samples") or 0
+        pct = {
+            col: (sum(v["count"] for lst in bases.values() for v in lst) / n) if n else 0.0
+            for col, bases in value["columns"].items()
+        }
+        return _reduce(pct, None, aggregation_method, "Percent Mismatched Strings")
 
 
 class StringLengthOutOfBounds(SingleDatasetCheck):

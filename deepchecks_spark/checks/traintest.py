@@ -162,15 +162,15 @@ class FeatureDrift(TrainTestCheck):
 
     def reduce_output(self, check_result, aggregation_method: str = "l3_weighted") -> dict:
         """Headline monitoring number(s) from the per-feature drift scores
-        (reference utils/abstracts/feature_drift.py reduce_output +
-        core/reduce_classes.py:90-127), weighted by feature importance."""
+        (reference feature_drift.py:217-221 + core/reduce_classes.py:
+        100-127), weighted by feature importance."""
         from deepchecks_spark.core.reduce import reduce_output as _reduce
 
         scores = {c: info.get("Drift score") for c, info in check_result.value.items()}
         importance = {c: info.get("Importance") for c, info in check_result.value.items()}
         if all(v is None for v in importance.values()):
             importance = None
-        return _reduce(scores, importance, aggregation_method)
+        return _reduce(scores, importance, aggregation_method, "Drift Score")
 
 
 class LabelDrift(TrainTestCheck):
@@ -260,6 +260,13 @@ class LabelDrift(TrainTestCheck):
 
         return self.add_condition(f"Label drift score < {max_allowed_drift_score}", condition)
 
+    def reduce_output(self, check_result) -> dict:
+        """reference label_drift.py:139-141."""
+        return {"Label Drift Score": check_result.value["Drift score"]}
+
+    def greater_is_better(self) -> bool:
+        return False
+
 
 class PredictionDrift(LabelDrift):
     """Drift of a model-prediction column (reference tabular/.../
@@ -280,6 +287,10 @@ class PredictionDrift(LabelDrift):
                             cat_features=[c for c in ds.cat_features if c == col])
         sub_ctx = _Ctx(train=mk(ctx.train), test=mk(ctx.test))
         return LabelDrift.compute(self, sub_ctx)
+
+    def reduce_output(self, check_result) -> dict:
+        """reference prediction_drift.py:197-200."""
+        return {"Prediction Drift Score": check_result.value["Drift score"]}
 
 
 class DatasetsSizeComparison(TrainTestCheck):
@@ -376,6 +387,10 @@ class NewLabelTrainTest(TrainTestCheck):
             f"Ratio of samples with new label is less or equal to {format_percent(max_ratio)}", condition
         )
 
+    def reduce_output(self, check_result) -> dict:
+        """reference new_label_train_test.py:108-120 (our value keys)."""
+        return {"Samples with New Labels": float(check_result.value["n_new_labels_samples"])}
+
 
 class NewCategoryTrainTest(TrainTestCheck):
     """Per categorical feature: test categories absent from train.
@@ -448,6 +463,13 @@ class NewCategoryTrainTest(TrainTestCheck):
         return self.add_condition(
             f"Ratio of samples with a new category is less or equal to {format_percent(max_ratio)}", condition
         )
+
+    def reduce_output(self, check_result, aggregation_method: str = "max") -> dict:
+        """reference new_category_train_test.py:138-143."""
+        from deepchecks_spark.core.reduce import reduce_output as _reduce
+
+        values = {c: info["ratio_of_new_categories"] for c, info in check_result.value.items()}
+        return _reduce(values, None, aggregation_method, "New Categories Ratio")
 
 
 class StringMismatchComparison(TrainTestCheck):

@@ -163,6 +163,12 @@ class BaseCheck:
             return ds.df
         return ds.df.sample(False, self.n_samples / total, self.random_state)
 
+    def greater_is_better(self) -> bool:
+        """Direction of this check's reduce_output for monitoring alert
+        rules (reference core/reduce_classes.py:96-98): every implemented
+        reduction here scores drift/violation ratios — lower is better."""
+        return False
+
     def _effective_n_rows(self, ctx, kind: str, df) -> int:
         """Row count of the frame _effective_df returned: the cached
         full-data count when no cap applied (no extra job), else one

@@ -11,21 +11,30 @@ from deepchecks_spark.checks.integrity import IsSingleValue, PercentOfNulls
 
 
 def test_reduce_output_methods():
+    # reference core/reduce_classes.py:100-127 EXACT formulas: weighted =
+    # Σ v·importance (no re-normalization), l3/l5 = the importance-
+    # weighted POWER mean (Σ v^k · fi)^(1/k); keys carry the score name.
     scores = {"a": 0.2, "b": 0.4, "c": None}
     fi = {"a": 0.75, "b": 0.25}
     assert reduce_output(scores, aggregation_method="none") == {"a": 0.2, "b": 0.4}
     assert reduce_output(scores, aggregation_method="mean") == {"Mean": pytest.approx(0.3)}
     assert reduce_output(scores, aggregation_method="max") == {"Max": 0.4}
+    assert reduce_output(scores, aggregation_method="max", score_name="Drift Score") == {
+        "Max Drift Score": 0.4}
     w = reduce_output(scores, fi, "weighted")
     assert w == {"Weighted": pytest.approx(0.2 * 0.75 + 0.4 * 0.25)}
     l3 = reduce_output(scores, fi, "l3_weighted")
-    w3 = {"a": 0.75**3, "b": 0.25**3}
-    tot = sum(w3.values())
-    assert l3 == {"L3 Weighted": pytest.approx(0.2 * w3["a"] / tot + 0.4 * w3["b"] / tot)}
+    assert l3 == {"L3 Weighted": pytest.approx((0.2**3 * 0.75 + 0.4**3 * 0.25) ** (1 / 3))}
+    l5 = reduce_output(scores, fi, "l5_weighted")
+    assert l5 == {"L5 Weighted": pytest.approx((0.2**5 * 0.75 + 0.4**5 * 0.25) ** (1 / 5))}
 
 
 def test_reduce_output_uniform_fallback():
+    # missing importance → uniform MEAN under the method's own key
+    # (reference reduce_classes.py:113-115)
     assert reduce_output({"a": 0.1, "b": 0.3}, None, "weighted") == {"Weighted": pytest.approx(0.2)}
+    assert reduce_output({"a": 0.1, "b": 0.3}, {"a": 0.5, "b": None}, "l3_weighted") == {
+        "L3 Weighted": pytest.approx(0.2)}
 
 
 def test_suite_config_roundtrip(spark):
@@ -173,3 +182,42 @@ def test_add_condition_records_builder_kwargs_through_helper(spark):
     cond = c.conditions[0]
     assert cond.builder == "add_condition_value_less_than"
     assert cond.builder_kwargs == {"threshold": 0.25}
+
+
+def test_check_reduce_outputs_reference_shapes(spark):
+    # per-check reduce_output parity (reference mixed_nulls.py:153-170,
+    # percent_of_nulls.py:105-110, string_mismatch.py:123-137,
+    # label_drift.py:139-145, new_*_train_test.py)
+    from deepchecks_spark.checks.integrity import MixedNulls, StringMismatch
+    from deepchecks_spark.checks.traintest import LabelDrift, NewCategoryTrainTest, NewLabelTrainTest
+
+    rows = [("null",), ("N/A",), ("x",), (None,)]
+    ds = Dataset(spark.createDataFrame(rows, "col1 string"), infer_categorical=False)
+    r = MixedNulls().run(ds)
+    # 3 null kinds (null, N/A, real NULL), 3 affected of 4 rows
+    assert r.check.reduce_output(r) == {"Max Percent Mixed Nulls": pytest.approx(3 / 4)}
+
+    r = PercentOfNulls().run(ds)
+    assert r.check.reduce_output(r) == {"Max Null Ratio": pytest.approx(1 / 4)}
+
+    sm_ds = Dataset(spark.createDataFrame([("OK",), ("ok",), ("other",)], "col1 string"),
+                    infer_categorical=False)
+    r = StringMismatch().run(sm_ds)
+    assert r.check.reduce_output(r) == {"Max Percent Mismatched Strings": pytest.approx(2 / 3)}
+
+    lbl = Dataset(spark.createDataFrame([(i, "c%d" % (i % 2)) for i in range(40)],
+                                        "id long, lbl string"),
+                  label="lbl", infer_categorical=False)
+    r = LabelDrift().run(lbl, lbl)
+    red = r.check.reduce_output(r)
+    assert set(red) == {"Label Drift Score"} and red["Label Drift Score"] == pytest.approx(0.0)
+    assert r.check.greater_is_better() is False
+
+    r = NewLabelTrainTest().run(lbl, lbl)
+    assert r.check.reduce_output(r) == {"Samples with New Labels": 0.0}
+
+    cat = Dataset(spark.createDataFrame([(i, "c%d" % (i % 2)) for i in range(40)],
+                                        "id long, c string"),
+                  cat_features=["c"], infer_categorical=False)
+    r = NewCategoryTrainTest().run(cat, cat)
+    assert r.check.reduce_output(r) == {"Max New Categories Ratio": pytest.approx(0.0)}
