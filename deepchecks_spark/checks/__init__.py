@@ -35,6 +35,7 @@ from deepchecks_spark.checks.traintest import (
     NewCategoryTrainTest,
     NewLabelTrainTest,
     PredictionDrift,
+    ReferentialIntegrity,
     StringMismatchComparison,
     TrainTestSamplesMix,
 )
@@ -49,7 +50,8 @@ __all__ = [
     "DatasetsSizeComparison", "DateTrainTestLeakageDuplicates",
     "DateTrainTestLeakageOverlap", "FeatureDrift", "IndexTrainTestLeakage",
     "LabelDrift", "NewCategoryTrainTest", "NewLabelTrainTest",
-    "PredictionDrift", "StringMismatchComparison", "TrainTestSamplesMix",
+    "PredictionDrift", "ReferentialIntegrity", "StringMismatchComparison",
+    "TrainTestSamplesMix",
     "WholeDatasetDrift", "CategoryMismatchTrainTest",
     "TrainTestFeatureDrift", "TrainTestLabelDrift",
 ]

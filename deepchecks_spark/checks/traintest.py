@@ -315,6 +315,87 @@ class DatasetsSizeComparison(TrainTestCheck):
         return self.add_condition(f"Test-Train size ratio is greater than {ratio}", condition)
 
 
+class ReferentialIntegrity(TrainTestCheck):
+    """Foreign-key containment: every value of a fact-table column must
+    exist in a dimension-table column (north-rule "broadcast/sort-merge
+    referential checks"; engine addition — the reference has no tabular
+    FK check, its closest analogues are the semi-join leakage checks,
+    e.g. index_leakage.py).
+
+    run(fact, dimension): value = {'n_rows', 'n_orphans',
+    'orphan_ratio', 'sample_orphans'}. Spark: left_anti join of the
+    fact side against dimension.select(key).distinct() — the distinct
+    dimension key set is the small side, so Catalyst/AQE broadcasts it
+    (or falls back to sort-merge for a genuinely large dimension);
+    counting is a plain aggregate, only the bounded orphan sample is
+    collected.
+    """
+
+    def __init__(self, column: str, dim_column: str | None = None,
+                 n_to_show: int = 5, n_samples=USE_DEFAULT, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        self.column = column
+        self.dim_column = dim_column or column
+        self.n_to_show = n_to_show
+
+    def run(self, fact, dimension, context=None):
+        """Fact and dimension tables legitimately have different
+        schemas — build the context without the train/test same-schema
+        contract."""
+        import time as _time
+
+        from deepchecks_spark.core.context import Context as _Ctx
+
+        t0 = _time.time()
+        ctx = context if context is not None else _Ctx(
+            train=fact, test=dimension, require_same_schema=False)
+        value, violations = self.compute(ctx)
+        return self._finalize(ctx, value, violations, t0)
+
+    def compute(self, ctx):
+        fact_df = self._effective_df(ctx, "train")
+        dim_df = self._effective_df(ctx, "test")
+        fk = F.col(f"`{self.column}`")
+        dim_keys = (
+            dim_df.select(F.col(f"`{self.dim_column}`").alias(self.column))
+            .filter(F.col(self.column).isNotNull()).distinct()
+        )
+        # NULL FKs are not orphans (SQL referential semantics)
+        orphans = fact_df.filter(fk.isNotNull()).join(dim_keys, on=self.column, how="left_anti")
+        n_orphans = orphans.count()
+        n_rows = self._effective_n_rows(ctx, "train", fact_df)
+        sample = [r[self.column] for r in
+                  orphans.select(self.column).distinct()
+                  .orderBy(F.asc(self.column)).limit(self.n_to_show).collect()]
+        value = {
+            "n_rows": n_rows,
+            "n_orphans": n_orphans,
+            "orphan_ratio": (n_orphans / n_rows) if n_rows else 0.0,
+            "sample_orphans": sample,
+        }
+        return value, None
+
+    def add_condition_orphan_ratio_less_or_equal(self, max_ratio: float = 0.0):
+        def condition(result):
+            ratio = result["orphan_ratio"]
+            details = (
+                f"Found {format_percent(ratio)} of rows ({result['n_orphans']}) referencing "
+                f"missing keys, e.g. {result['sample_orphans']}"
+                if result["n_orphans"] else "All foreign keys resolve"
+            )
+            if ratio > max_ratio:
+                return ConditionResult(ConditionCategory.FAIL, details)
+            return ConditionResult(ConditionCategory.PASS, details)
+
+        return self.add_condition(
+            f"Orphaned foreign-key ratio is less or equal to {format_percent(max_ratio)}",
+            condition,
+        )
+
+    def reduce_output(self, check_result) -> dict:
+        return {"Orphaned Keys Ratio": check_result.value["orphan_ratio"]}
+
+
 class NewLabelTrainTest(TrainTestCheck):
     """Labels in test absent from train (reference train_test_validation/
     new_label_train_test.py).

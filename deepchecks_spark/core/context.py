@@ -18,7 +18,11 @@ from deepchecks_spark.stats import ColumnStats, compute_column_stats
 
 class Context:
     def __init__(self, train, test=None, feature_importance: dict | None = None,
-                 with_display: bool = False):
+                 with_display: bool = False, require_same_schema: bool = True):
+        """``require_same_schema=False`` admits heterogeneous dataset
+        pairs (e.g. a fact table against a dimension table for
+        ReferentialIntegrity); the reference's train/test contract
+        (tabular/context.py:202-217) stays the default."""
         self.train = self._cast(train, "Train")
         self.test = self._cast(test, "Test") if test is not None else None
         self.feature_importance = feature_importance
@@ -26,7 +30,7 @@ class Context:
         self._stats_cache: dict = {}
         self._n_rows_cache: dict = {}
         self._cached_dfs: list = []
-        if self.test is not None:
+        if self.test is not None and require_same_schema:
             self._validate_compat()
 
     @staticmethod

@@ -1543,6 +1543,47 @@ def o_multimodal_features_documents():
     """
 
 
+def q_referential_integrity_orders(spark, sf_dir):
+    """Referential check over the TPC-H FK pair orders.o_custkey →
+    customer.c_custkey, with planted orphans (every 100th order key is
+    shifted out of range) so the anti-join path is exercised
+    non-vacuously. The oracle is the plain SQL NOT-IN twin."""
+    from deepchecks_spark.checks.traintest import ReferentialIntegrity
+    from deepchecks_spark.core.context import Context
+
+    fact = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CASE WHEN o_orderkey % 100 = 0 THEN o_custkey + 100000000 "
+        "ELSE o_custkey END AS o_custkey",
+    )
+    dim = _t(spark, sf_dir, "customer")
+    ds_fact = Dataset(fact, infer_categorical=False)
+    ds_dim = Dataset(dim, infer_categorical=False)
+    check = ReferentialIntegrity(column="o_custkey", dim_column="c_custkey")
+    value, _ = check.compute(
+        Context(train=ds_fact, test=ds_dim, require_same_schema=False))
+    return spark.createDataFrame(
+        [(int(value["n_rows"]), int(value["n_orphans"]),
+          round(float(value["orphan_ratio"]), 6),
+          int(value["sample_orphans"][0]) if value["sample_orphans"] else -1)],
+        "n_rows long, n_orphans long, orphan_ratio double, first_orphan long",
+    )
+
+
+def o_referential_integrity_orders():
+    return """
+    WITH f AS (SELECT CASE WHEN o_orderkey % 100 = 0 THEN o_custkey + 100000000
+                           ELSE o_custkey END AS k FROM orders),
+         orph AS (SELECT k FROM f WHERE k IS NOT NULL
+                  AND k NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+    SELECT (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+           (SELECT count(*) FROM orph)::BIGINT AS n_orphans,
+           round((SELECT count(*) FROM orph) / (SELECT count(*) FROM orders)::DOUBLE, 6)
+               AS orphan_ratio,
+           (SELECT min(k) FROM orph)::BIGINT AS first_orphan
+    """
+
+
 def q_streaming_dedup_events(spark, sf_dir):
     """Second streaming contract row (VERDICT r2 next-7): within-
     watermark duplicate detection per daily event-time window. The key
@@ -1692,6 +1733,7 @@ QUERIES = {
     "multimodal_features_documents": q_multimodal_features_documents,
     "multimodal_dims_documents": q_multimodal_dims_documents,
     "streaming_dedup_events": q_streaming_dedup_events,
+    "referential_integrity_orders": q_referential_integrity_orders,
 }
 
 ORACLES = {
@@ -1751,4 +1793,5 @@ ORACLES = {
     "feature_label_corr_change_events": o_feature_label_corr_change_events(),
     "multimodal_dims_documents": o_multimodal_dims_documents(),
     "streaming_dedup_events": o_streaming_dedup_events(),
+    "referential_integrity_orders": o_referential_integrity_orders(),
 }

@@ -165,3 +165,29 @@ def test_traintest_checks_honor_explicit_n_samples(spark):
     value = NewLabelTrainTest(n_samples=400).run(ds, ds).value
     assert value["n_samples"] < 2000  # sampled side, not the full 4000
     assert value["new_labels"] == {}
+
+
+def test_referential_integrity(spark):
+    from deepchecks_spark.checks.traintest import ReferentialIntegrity
+    from deepchecks_spark.core.result import ConditionCategory as _CC
+
+    fact = Dataset(spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None), (5, 20)], "id int, fk int"),
+        infer_categorical=False)
+    dim = Dataset(spark.createDataFrame([(10,), (20,), (30,)], "k int"),
+                  infer_categorical=False)
+    check = ReferentialIntegrity(column="fk", dim_column="k") \
+        .add_condition_orphan_ratio_less_or_equal(0.0)
+    result = check.run(fact, dim)
+    # NULL FK is not an orphan; 99 is the single orphan of 5 rows
+    assert result.value["n_orphans"] == 1
+    assert result.value["orphan_ratio"] == pytest.approx(0.2)
+    assert result.value["sample_orphans"] == [99]
+    assert result.conditions_results[0].category == _CC.FAIL
+    assert check.reduce_output(result) == {"Orphaned Keys Ratio": pytest.approx(0.2)}
+    # clean FK set passes
+    clean = Dataset(spark.createDataFrame([(1, 10), (2, 30)], "id int, fk int"),
+                    infer_categorical=False)
+    ok = ReferentialIntegrity(column="fk", dim_column="k") \
+        .add_condition_orphan_ratio_less_or_equal(0.0).run(clean, dim)
+    assert ok.conditions_results[0].category == _CC.PASS
