@@ -232,7 +232,15 @@ def cramers_v_from_counts(
     phi2corr = max(0, phi2 - ((k - 1) * (r - 1)) / (n - 1))
     rcorr = r - ((r - 1) ** 2) / (n - 1)
     kcorr = k - ((k - 1) ** 2) / (n - 1)
-    return float(np.sqrt(phi2corr / min(kcorr - 1, rcorr - 1)))
+    denom = min(kcorr - 1, rcorr - 1)
+    if denom <= 0:
+        # degenerate: total count 2 makes the bias-corrected denominator
+        # 0 and the statistic undefined (the reference divides by zero
+        # here, drift.py:172-175 — its min_samples=10 gate just hides
+        # it; found by hypothesis). phi2corr is also 0 in this regime,
+        # so 0.0 is the continuous extension, never a masked signal.
+        return 0.0
+    return float(np.sqrt(phi2corr / denom))
 
 
 def psi_from_counts(
