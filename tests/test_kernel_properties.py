@@ -124,3 +124,33 @@ def test_psi_scale_invariant(c, k):
     scaled = {key: v * k for key, v in c.items()}
     assert psi_from_counts(c, scaled) == pytest.approx(0.0, abs=1e-12)
     assert psi_from_counts(scaled, c) == pytest.approx(0.0, abs=1e-12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(counter, counter,
+       st.floats(min_value=0.0, max_value=0.3),
+       st.one_of(st.none(), st.integers(min_value=1, max_value=6)))
+def test_binning_conserves_totals(c1, c2, min_ratio, max_cats):
+    # the Other roll-up may merge categories but must never create or
+    # destroy mass, and both outputs must stay aligned on one bin list
+    from deepchecks_spark.drift.kernels import preprocess_counts_to_same_bins
+
+    b1, b2, cats = preprocess_counts_to_same_bins(c1, c2, min_ratio, max_cats)
+    assert len(b1) == len(b2) == len(cats)
+    assert b1.sum() == sum(c1.values())
+    assert b2.sum() == sum(c2.values())
+    assert len(cats) == len(set(cats))  # no duplicate bins
+    if max_cats is not None:
+        assert len(cats) <= max_cats + 1  # top-N plus at most one Other
+
+
+@settings(max_examples=50, deadline=None)
+@given(counter, counter)
+def test_binning_deterministic(c1, c2):
+    from deepchecks_spark.drift.kernels import preprocess_counts_to_same_bins
+
+    a = preprocess_counts_to_same_bins(c1, c2, 0.01, 4)
+    b = preprocess_counts_to_same_bins(dict(reversed(list(c1.items()))),
+                                       dict(reversed(list(c2.items()))), 0.01, 4)
+    assert a[2] == b[2]
+    assert (a[0] == b[0]).all() and (a[1] == b[1]).all()
