@@ -225,6 +225,14 @@ def cramers_v_from_counts(
     matrix = np.vstack([c1, c2]).astype(int)
     keep = (matrix != 0).any(axis=0)
     matrix = matrix[:, keep]
+    if matrix.shape[1] < 2 or (matrix.sum(axis=1) == 0).any():
+        # degenerate after downsizing (a side rounds to all zeros, or a
+        # single shared bin survives): the chi² expected table has a
+        # zero element and the statistic is undefined — the reference
+        # raises from scipy here (drift.py:166), shielded only by its
+        # min_samples gate (found by hypothesis). No association is
+        # measurable on such a table; report 0.
+        return 0.0
     chi2 = _chi2_stat(matrix)
     n = matrix.sum()
     phi2 = chi2 / n
