@@ -17,6 +17,7 @@ from deepchecks_spark.checks.integrity import (
     StringLengthOutOfBounds,
     StringMismatch,
 )
+from deepchecks_spark.checks.performance import SingleDatasetPerformance
 from deepchecks_spark.checks.ml import (
     FeatureFeatureCorrelation,
     FeatureLabelCorrelation,
@@ -50,8 +51,8 @@ __all__ = [
     "DatasetsSizeComparison", "DateTrainTestLeakageDuplicates",
     "DateTrainTestLeakageOverlap", "FeatureDrift", "IndexTrainTestLeakage",
     "LabelDrift", "NewCategoryTrainTest", "NewLabelTrainTest",
-    "PredictionDrift", "ReferentialIntegrity", "StringMismatchComparison",
-    "TrainTestSamplesMix",
+    "PredictionDrift", "ReferentialIntegrity", "SingleDatasetPerformance",
+    "StringMismatchComparison", "TrainTestSamplesMix",
     "WholeDatasetDrift", "CategoryMismatchTrainTest",
     "TrainTestFeatureDrift", "TrainTestLabelDrift",
 ]

@@ -1584,6 +1584,51 @@ def o_referential_integrity_orders():
     """
 
 
+def q_performance_embeddings(spark, sf_dir):
+    """Predictions-column performance: plant a deterministic 10%
+    mislabeling (every 10th vector predicts the next class, mod the
+    class count) and score accuracy + weighted F1 from the distributed
+    confusion matrix; the oracle recomputes both from the same joint
+    counts in SQL."""
+    from deepchecks_spark.checks.performance import SingleDatasetPerformance
+
+    df = _t(spark, sf_dir, "embeddings").selectExpr(
+        "label",
+        "CASE WHEN vec_id % 10 = 0 THEN CAST((label + 1) % 10 AS INT) "
+        "ELSE label END AS pred",
+    )
+    ds = Dataset(df, label="label", infer_categorical=False)
+    value, _ = SingleDatasetPerformance("pred").compute(_ctx(ds), "train")
+    return spark.createDataFrame(
+        [(round(float(value["accuracy"]), 6), round(float(value["f1_weighted"]), 6))],
+        "accuracy double, f1_weighted double",
+    )
+
+
+def o_performance_embeddings():
+    return """
+    WITH d AS (SELECT label AS y,
+                      CASE WHEN vec_id % 10 = 0 THEN CAST((label + 1) % 10 AS INT)
+                           ELSE label END AS p
+               FROM embeddings WHERE label IS NOT NULL),
+         cells AS (SELECT y, p, count(*) AS n FROM d GROUP BY 1, 2),
+         classes AS (SELECT DISTINCT y AS c FROM d UNION SELECT DISTINCT p FROM d),
+         stats AS (SELECT c,
+                          coalesce((SELECT sum(n) FROM cells WHERE y = c AND p = c), 0) AS tp,
+                          coalesce((SELECT sum(n) FROM cells WHERE p = c), 0) AS pred_n,
+                          coalesce((SELECT sum(n) FROM cells WHERE y = c), 0) AS true_n
+                   FROM classes),
+         f1 AS (SELECT c, true_n,
+                       CASE WHEN tp = 0 OR pred_n = 0 OR true_n = 0 THEN 0.0
+                            ELSE 2.0 * (tp / pred_n) * (tp / true_n)
+                                 / ((tp / pred_n) + (tp / true_n)) END AS f
+                FROM stats)
+    SELECT round((SELECT sum(CASE WHEN y = p THEN n ELSE 0 END)::DOUBLE / sum(n) FROM cells), 6)
+               AS accuracy,
+           round((SELECT sum(f * true_n) / sum(true_n) FROM f1), 6) AS f1_weighted
+    """
+
+
 def q_streaming_dedup_events(spark, sf_dir):
     """Second streaming contract row (VERDICT r2 next-7): within-
     watermark duplicate detection per daily event-time window. The key
@@ -1734,6 +1779,7 @@ QUERIES = {
     "multimodal_dims_documents": q_multimodal_dims_documents,
     "streaming_dedup_events": q_streaming_dedup_events,
     "referential_integrity_orders": q_referential_integrity_orders,
+    "performance_embeddings": q_performance_embeddings,
 }
 
 ORACLES = {
@@ -1794,4 +1840,5 @@ ORACLES = {
     "multimodal_dims_documents": o_multimodal_dims_documents(),
     "streaming_dedup_events": o_streaming_dedup_events(),
     "referential_integrity_orders": o_referential_integrity_orders(),
+    "performance_embeddings": o_performance_embeddings(),
 }
