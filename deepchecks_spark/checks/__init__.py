@@ -17,7 +17,12 @@ from deepchecks_spark.checks.integrity import (
     StringLengthOutOfBounds,
     StringMismatch,
 )
-from deepchecks_spark.checks.performance import SingleDatasetPerformance
+from deepchecks_spark.checks.performance import (
+    ConfusionMatrixReport,
+    SingleDatasetPerformance,
+    TrainTestPerformance,
+    WeakSegmentsPerformance,
+)
 from deepchecks_spark.checks.ml import (
     FeatureFeatureCorrelation,
     FeatureLabelCorrelation,
@@ -52,6 +57,7 @@ __all__ = [
     "DateTrainTestLeakageOverlap", "FeatureDrift", "IndexTrainTestLeakage",
     "LabelDrift", "NewCategoryTrainTest", "NewLabelTrainTest",
     "PredictionDrift", "ReferentialIntegrity", "SingleDatasetPerformance",
+    "ConfusionMatrixReport", "TrainTestPerformance", "WeakSegmentsPerformance",
     "StringMismatchComparison", "TrainTestSamplesMix",
     "WholeDatasetDrift", "CategoryMismatchTrainTest",
     "TrainTestFeatureDrift", "TrainTestLabelDrift",

@@ -17,12 +17,69 @@ from pyspark.sql import functions as F
 from deepchecks_spark.core.checks import (
     USE_DEFAULT,
     SingleDatasetCheck,
+    TrainTestCheck,
     format_number,
     get_condition_passed_message,
 )
 from deepchecks_spark.core.result import ConditionCategory, ConditionResult
 
 SUPPORTED_SCORERS = ("accuracy", "f1_weighted", "precision_macro", "recall_macro")
+REGRESSION_SCORERS = ("mae", "mse", "rmse", "r2")
+
+
+def _validate_scorers(scorers) -> str:
+    """Return 'classification' or 'regression'; reject unknown or mixed
+    scorer lists with the reference's descriptive-error convention
+    (single_dataset_performance.py raises DeepchecksValueError on
+    unsupported scorer strings)."""
+    unknown = [s for s in scorers if s not in SUPPORTED_SCORERS + REGRESSION_SCORERS]
+    if unknown:
+        raise ValueError(
+            f"unsupported scorers {unknown}; supported classification scorers: "
+            f"{SUPPORTED_SCORERS}, regression scorers: {REGRESSION_SCORERS}"
+        )
+    kinds = {"regression" if s in REGRESSION_SCORERS else "classification" for s in scorers}
+    if len(kinds) > 1:
+        raise ValueError(
+            f"cannot mix classification and regression scorers in one check: {list(scorers)}"
+        )
+    return kinds.pop() if kinds else "classification"
+
+
+def regression_scores_exprs():
+    """The five distributive sums every regression metric derives from —
+    ONE map-side-combinable agg, no second pass: R² uses
+    ss_tot = Σy² − (Σy)²/n (reference single_dataset_performance.py
+    delegates to sklearn r2_score over in-memory arrays; at 100 TB only
+    the sum form survives)."""
+    d = F.col("__y") - F.col("__p")
+    return [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.abs(d)).alias("__sum_abs"),
+        F.sum(d * d).alias("__sum_sq"),
+        F.sum("__y").alias("__sum_y"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__sum_yy"),
+    ]
+
+
+def regression_scores_from_sums(row, scorers) -> dict:
+    n = row["__n"]
+    out = {}
+    ss_res = row["__sum_sq"] if n else 0.0
+    ss_tot = (row["__sum_yy"] - row["__sum_y"] ** 2 / n) if n else 0.0
+    for s in scorers:
+        if not n:
+            out[s] = 0.0
+        elif s == "mae":
+            out[s] = row["__sum_abs"] / n
+        elif s == "mse":
+            out[s] = ss_res / n
+        elif s == "rmse":
+            out[s] = (ss_res / n) ** 0.5
+        elif s == "r2":
+            # sklearn convention: constant y → 0.0 if mispredicted, 1.0 if perfect
+            out[s] = (1.0 - ss_res / ss_tot) if ss_tot > 0 else (1.0 if ss_res == 0 else 0.0)
+    return out
 
 
 def scores_from_confusion(cells: dict, scorers) -> dict:
@@ -63,6 +120,21 @@ def scores_from_confusion(cells: dict, scorers) -> dict:
     return out
 
 
+def collect_confusion_cells(pairs, cap: int, check_name: str) -> dict:
+    """groupBy(label, prediction).count() → {(y, p): n}. The shuffle
+    carries at most n_classes² cells (map-side combined); the collect is
+    gated so a continuous column mis-passed as a class label can't OOM
+    the driver."""
+    grouped = pairs.groupBy("__y", "__p").agg(F.count(F.lit(1)).alias("__n"))
+    rows = grouped.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{check_name}: confusion matrix exceeds {cap} cells — label or "
+            "prediction column is not classification-shaped"
+        )
+    return {(r["__y"], r["__p"]): r["__n"] for r in rows}
+
+
 class SingleDatasetPerformance(SingleDatasetCheck):
     """Classification metrics from (label, prediction) columns
     (engine analogue of reference model_evaluation/
@@ -78,9 +150,7 @@ class SingleDatasetPerformance(SingleDatasetCheck):
         super().__init__(n_samples=n_samples, **kw)
         self.prediction_column = prediction_column
         self.scorers = list(scorers) if scorers is not None else ["accuracy", "f1_weighted"]
-        for s in self.scorers:
-            if s not in SUPPORTED_SCORERS:
-                raise ValueError(f"unsupported scorer {s!r}; supported: {SUPPORTED_SCORERS}")
+        self._task = _validate_scorers(self.scorers)
 
     def compute(self, ctx, kind):
         ds = ctx.data(kind)
@@ -89,25 +159,30 @@ class SingleDatasetPerformance(SingleDatasetCheck):
         df = self._effective_df(ctx, kind)
         y = F.col(f"`{ds.label_name}`")
         p = F.col(f"`{self.prediction_column}`")
-        grouped = (
-            df.filter(y.isNotNull() & p.isNotNull())
-            .groupBy(y.alias("__y"), p.alias("__p"))
-            .agg(F.count(F.lit(1)).alias("__n"))
-        )
-        cap = self.MAX_CONFUSION_CELLS
-        rows = grouped.limit(cap + 1).collect()
-        if len(rows) > cap:
-            raise ValueError(
-                f"{self.name()}: confusion matrix exceeds {cap} cells — label or "
-                "prediction column is not classification-shaped"
-            )
-        cells = {(r["__y"], r["__p"]): r["__n"] for r in rows}
+        pairs = df.filter(y.isNotNull() & p.isNotNull()).select(
+            y.alias("__y"), p.alias("__p"))
+        if self._task == "regression":
+            # one distributive agg — no collect beyond 5 scalars
+            row = pairs.select(
+                F.col("__y").cast("double").alias("__y"),
+                F.col("__p").cast("double").alias("__p"),
+            ).agg(*regression_scores_exprs()).first()
+            return regression_scores_from_sums(row, self.scorers), None
+        cells = collect_confusion_cells(pairs, self.MAX_CONFUSION_CELLS, self.name())
         return scores_from_confusion(cells, self.scorers), None
 
     def add_condition_greater_than(self, threshold: float, scorers: list | None = None):
         """reference single_dataset_performance.py add_condition_greater_than."""
         def condition(result):
             which = scorers if scorers is not None else list(result)
+            # a scorer name the check did not compute must raise the
+            # reference's descriptive error, not a bare KeyError (ADVICE r3)
+            missing = [s for s in which if s not in result]
+            if missing:
+                raise ValueError(
+                    f"condition references scorers {missing} that the check did not "
+                    f"compute; available metrics: {sorted(result)}"
+                )
             failing = {s: format_number(result[s]) for s in which if result[s] <= threshold}
             if failing:
                 return ConditionResult(
@@ -119,10 +194,404 @@ class SingleDatasetPerformance(SingleDatasetCheck):
 
         return self.add_condition(f"Selected metrics are greater than {threshold}", condition)
 
+    def add_condition_less_than(self, threshold: float, scorers: list | None = None):
+        """Error-metric twin of add_condition_greater_than (reference
+        single_dataset_performance.py exposes both; lower MAE/RMSE is
+        better, so the inequality flips)."""
+        def condition(result):
+            which = scorers if scorers is not None else list(result)
+            missing = [s for s in which if s not in result]
+            if missing:
+                raise ValueError(
+                    f"condition references scorers {missing} that the check did not "
+                    f"compute; available metrics: {sorted(result)}"
+                )
+            failing = {s: format_number(result[s]) for s in which if result[s] >= threshold}
+            if failing:
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"Found {len(failing)} scores above threshold: {failing}",
+                )
+            return ConditionResult(ConditionCategory.PASS,
+                                   f"Passed for {len(which)} of {len(result)} scores")
+
+        return self.add_condition(f"Selected metrics are less than {threshold}", condition)
+
     def reduce_output(self, check_result) -> dict:
         """reference single_dataset_performance.py reduce_output: the
         scores themselves are the monitoring surface."""
         return dict(check_result.value)
 
     def greater_is_better(self) -> bool:
-        return True
+        return self._task == "classification" or self.scorers == ["r2"]
+
+
+class ConfusionMatrixReport(SingleDatasetCheck):
+    """Confusion matrix from (label, prediction) columns (reference
+    model_evaluation/confusion_matrix_report.py:23-88, with the
+    ``model.predict`` call replaced by the predictions-column contract).
+
+    value = {'classes': sorted class list, 'matrix': nested counts list
+    (rows = true label, cols = predicted — sklearn.confusion_matrix
+    orientation)}. Spark: the same single bounded
+    groupBy(label, prediction).count() pass as
+    SingleDatasetPerformance — n_classes² cells, map-side combined.
+    Classes sort natively (sklearn semantics); the reference str-sorts
+    only the DISPLAY axis names (confusion_matrix_abstract.py:30).
+    """
+
+    MAX_CONFUSION_CELLS = SingleDatasetPerformance.MAX_CONFUSION_CELLS
+
+    def __init__(self, prediction_column: str, n_samples=USE_DEFAULT, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        self.prediction_column = prediction_column
+
+    def compute(self, ctx, kind):
+        ds = ctx.data(kind)
+        if ds.label_name is None:
+            raise ValueError("ConfusionMatrixReport requires a label column")
+        df = self._effective_df(ctx, kind)
+        y = F.col(f"`{ds.label_name}`")
+        p = F.col(f"`{self.prediction_column}`")
+        pairs = df.filter(y.isNotNull() & p.isNotNull()).select(
+            y.alias("__y"), p.alias("__p"))
+        cells = collect_confusion_cells(pairs, self.MAX_CONFUSION_CELLS, self.name())
+        seen = {y_ for y_, _ in cells} | {p_ for _, p_ in cells}
+        try:
+            classes = sorted(seen)
+        except TypeError:  # mixed-type label/pred values → the reference's str sort
+            classes = sorted(seen, key=str)
+        matrix = [[cells.get((t, q), 0) for q in classes] for t in classes]
+        return {"classes": classes, "matrix": matrix}, None
+
+    def add_condition_misclassified_samples_lower_than(
+            self, misclassified_samples_threshold: float = 0.2):
+        """reference utils/abstracts/confusion_matrix_abstract.py:107-187
+        (misclassified_samples_lower_than_condition): FAIL if any
+        off-diagonal cell holds more than the threshold ratio of all
+        samples; details name the largest offending cell."""
+        import math
+
+        from deepchecks_spark.core.checks import format_percent
+
+        if not 0 <= misclassified_samples_threshold <= 1:
+            raise ValueError(
+                'Condition requires the parameter "misclassified_samples_threshold" '
+                f"to be between 0 and 1 inclusive but got {misclassified_samples_threshold}"
+            )
+
+        def condition(result):
+            classes, matrix = result["classes"], result["matrix"]
+            total = sum(sum(row) for row in matrix)
+            thresh = round(math.ceil(misclassified_samples_threshold * total))
+            above = [
+                (matrix[i][j], i, j)
+                for i in range(len(classes)) for j in range(len(classes))
+                if i != j and matrix[i][j] > thresh
+            ]
+            if above:
+                n_max, x, yj = max(above)
+                details = (
+                    f"Detected {len(above)} misclassified confusion matrix cell(s) each one "
+                    f"containing more than {format_percent(misclassified_samples_threshold)} "
+                    f"of the data. Largest misclassified cell "
+                    f"({format_percent(n_max / total if total else 0)} of the data) is samples "
+                    f'with a true value of "{classes[x]}" and a predicted value of "{classes[yj]}".'
+                )
+                return ConditionResult(ConditionCategory.FAIL, details)
+            details = ("All misclassified confusion matrix cells contain less than "
+                       f"{format_percent(misclassified_samples_threshold)} of the data.")
+            return ConditionResult(ConditionCategory.PASS, details)
+
+        return self.add_condition(
+            "Misclassified cell size lower than "
+            f"{format_number(misclassified_samples_threshold * 100)}% of the total samples",
+            condition,
+        )
+
+    def reduce_output(self, check_result) -> dict:
+        value = check_result.value
+        total = sum(sum(row) for row in value["matrix"])
+        correct = sum(value["matrix"][i][i] for i in range(len(value["classes"])))
+        return {"accuracy": (correct / total) if total else 0.0}
+
+
+class TrainTestPerformance(TrainTestCheck):
+    """Same scorers on both datasets + degradation condition (reference
+    model_evaluation/train_test_performance.py:29-139 and
+    utils/abstracts/train_test_performace.py:63-140, predictions-column
+    contract).
+
+    value = list of {'Dataset', 'Metric', 'Value', 'Number of samples'}
+    rows (the reference's results_df shape, aggregate scorers). Spark:
+    ONE pass — the two datasets union with a tag column, so the
+    confusion cells (or regression sums) for both sides come from a
+    single groupBy job instead of two scans.
+    """
+
+    MAX_CONFUSION_CELLS = SingleDatasetPerformance.MAX_CONFUSION_CELLS
+
+    def __init__(self, prediction_column: str, scorers: list | None = None,
+                 n_samples=USE_DEFAULT, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        self.prediction_column = prediction_column
+        self.scorers = list(scorers) if scorers is not None else ["accuracy", "f1_weighted"]
+        self._task = _validate_scorers(self.scorers)
+
+    def compute(self, ctx):
+        label = ctx.train.label_name
+        if label is None:
+            raise ValueError("TrainTestPerformance requires a label column")
+        sides = []
+        for kind, tag in (("train", "Train"), ("test", "Test")):
+            df = self._effective_df(ctx, kind)
+            y = F.col(f"`{label}`")
+            p = F.col(f"`{self.prediction_column}`")
+            sides.append(
+                df.filter(y.isNotNull() & p.isNotNull())
+                .select(F.lit(tag).alias("__ds"), y.alias("__y"), p.alias("__p"))
+            )
+        both = sides[0].unionByName(sides[1])
+        rows_out = []
+        if self._task == "regression":
+            agg_rows = (
+                both.select("__ds", F.col("__y").cast("double").alias("__y"),
+                            F.col("__p").cast("double").alias("__p"))
+                .groupBy("__ds").agg(*regression_scores_exprs())
+                .collect()
+            )
+            for r in sorted(agg_rows, key=lambda r: r["__ds"], reverse=True):  # Train first
+                scores = regression_scores_from_sums(r, self.scorers)
+                for m in self.scorers:
+                    rows_out.append({"Dataset": r["__ds"], "Metric": m,
+                                     "Value": scores[m], "Number of samples": r["__n"]})
+            return rows_out, None
+        grouped = both.groupBy("__ds", "__y", "__p").agg(F.count(F.lit(1)).alias("__n"))
+        cap = self.MAX_CONFUSION_CELLS
+        rows = grouped.limit(2 * cap + 1).collect()
+        if len(rows) > 2 * cap:
+            raise ValueError(
+                f"{self.name()}: confusion matrices exceed {cap} cells — label or "
+                "prediction column is not classification-shaped"
+            )
+        for tag in ("Train", "Test"):
+            cells = {(r["__y"], r["__p"]): r["__n"] for r in rows if r["__ds"] == tag}
+            n = sum(cells.values())
+            scores = scores_from_confusion(cells, self.scorers)
+            for m in self.scorers:
+                rows_out.append({"Dataset": tag, "Metric": m,
+                                 "Value": scores[m], "Number of samples": n})
+        return rows_out, None
+
+    def add_condition_train_test_relative_degradation_less_than(self, threshold: float = 0.1):
+        """reference core/check_utils/class_performance_utils.py:63-140
+        (get_condition_train_test_relative_degradation_less_than):
+        FAIL when (train − test)/|train| ≥ threshold for any metric."""
+        from deepchecks_spark.core.checks import format_percent
+
+        def _ratio_of_change(s1, s2):
+            if s1 == 0:
+                return 0 if s2 == 0 else 1
+            return (s1 - s2) / abs(s1)
+
+        def condition(result):
+            train = {r["Metric"]: r["Value"] for r in result if r["Dataset"] == "Train"}
+            test = {r["Metric"]: r["Value"] for r in result if r["Dataset"] == "Test"}
+            diffs = {m: _ratio_of_change(train[m], test[m]) for m in train}
+            failed = {m: d for m, d in diffs.items() if d >= threshold}
+            if failed:
+                m_max = max(failed, key=failed.get)
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"{len(failed)} scores failed. Found max degradation of "
+                    f"{format_percent(failed[m_max])} for metric {m_max}",
+                )
+            m_max = max(diffs, key=diffs.get) if diffs else None
+            details = (f"Found max degradation of {format_percent(diffs[m_max])} "
+                       f"for metric {m_max}" if m_max else "No metrics computed")
+            return ConditionResult(ConditionCategory.PASS, details)
+
+        return self.add_condition(
+            f"Train-Test scores relative degradation is less than {threshold}", condition)
+
+    def reduce_output(self, check_result) -> dict:
+        return {f"{r['Metric']} ({r['Dataset']})": r["Value"] for r in check_result.value}
+
+
+class WeakSegmentsPerformance(SingleDatasetCheck):
+    """Search feature-pair segments where the model underperforms
+    (engine analogue of reference model_evaluation/
+    weak_segments_performance.py:54-207 + utils/abstracts/
+    weak_segment_abstract.py:396-421; the reference fits a per-pair
+    decision tree over in-memory pandas — at corpus scale the segment
+    grid must come from ONE aggregation, so segments here are
+    quantile-binned numeric × categorical value grids).
+
+    value = {'weak_segments_list': [{'Score', 'Feature1',
+    'Feature1 Range', 'Feature2', 'Feature2 Range', '% of data',
+    'n_samples'}...] ascending by score, 'avg_score': global accuracy}.
+
+    Scale shape: numeric bin edges from one multi-column approxQuantile
+    pass; then a SINGLE scan aggregates every feature pair via GROUPING
+    SETS (one shuffle, output bounded by n_pairs × n_bins² cells, each
+    cell carrying only (count, n_correct) — the raw rows never move).
+    """
+
+    def __init__(self, prediction_column: str, columns: list | None = None,
+                 n_top_columns: int = 5, segment_minimum_size_ratio: float = 0.05,
+                 n_bins: int = 4, n_to_show: int = 3, max_categories: int = 50,
+                 n_samples=USE_DEFAULT, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        self.prediction_column = prediction_column
+        self.columns = list(columns) if columns is not None else None
+        self.n_top_columns = n_top_columns
+        self.segment_minimum_size_ratio = segment_minimum_size_ratio
+        self.n_bins = n_bins
+        self.n_to_show = n_to_show
+        self.max_categories = max_categories
+
+    def _candidate_columns(self, ds, df):
+        from pyspark.sql import types as T
+
+        numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                   T.FloatType, T.DoubleType)
+        if self.columns is not None:
+            cands = [c for c in self.columns]
+        else:
+            cands = [
+                c for c in ds.features
+                if c not in (ds.label_name, self.prediction_column)
+                and (c in (ds.cat_features or ())
+                     or isinstance(ds.schema_of(c), numeric))
+            ]
+        return cands[: self.n_top_columns]
+
+    def compute(self, ctx, kind):
+        from itertools import combinations
+
+        from pyspark.sql import types as T
+
+        ds = ctx.data(kind)
+        if ds.label_name is None:
+            raise ValueError("WeakSegmentsPerformance requires a label column")
+        df = self._effective_df(ctx, kind)
+        cands = self._candidate_columns(ds, df)
+        if not cands:
+            return {"weak_segments_list": [], "avg_score": None,
+                    "message": "No segmentable feature columns found"}, None
+        numeric_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                         T.FloatType, T.DoubleType)
+        numeric_cols = [c for c in cands
+                        if isinstance(df.schema[c].dataType, numeric_types)]
+        probs = [i / self.n_bins for i in range(1, self.n_bins)]
+        # one pass computes every numeric column's bin edges
+        edges_by_col = {}
+        if numeric_cols:
+            quantiles = df.approxQuantile(numeric_cols, probs, 0.001)
+            for c, qs in zip(numeric_cols, quantiles):
+                edges_by_col[c] = sorted(set(qs))
+
+        def bin_expr(c):
+            col = F.col(f"`{c}`")
+            if c in edges_by_col:
+                edges = edges_by_col[c]
+                if not edges:
+                    return F.when(col.isNull(), F.lit("None")).otherwise(F.lit("all"))
+                expr = F.when(col.isNull(), F.lit("None"))
+                expr = expr.when(col <= F.lit(edges[0]), F.lit(f"(-inf, {edges[0]}]"))
+                for lo, hi in zip(edges, edges[1:]):
+                    expr = expr.when(col <= F.lit(hi), F.lit(f"({lo}, {hi}]"))
+                return expr.otherwise(F.lit(f"({edges[-1]}, inf)"))
+            return F.coalesce(col.cast("string"), F.lit("None"))
+
+        bin_cols = [f"__b_{i}" for i in range(len(cands))]
+        y = F.col(f"`{ds.label_name}`")
+        p = F.col(f"`{self.prediction_column}`")
+        prep = df.filter(y.isNotNull() & p.isNotNull()).select(
+            *[bin_expr(c).alias(b) for c, b in zip(cands, bin_cols)],
+            (y == p).cast("long").alias("__correct"),
+        )
+        if len(cands) == 1:
+            sets = [[bin_cols[0]]]
+            pair_idx = [(0, None)]
+        else:
+            pairs = list(combinations(range(len(cands)), 2))
+            sets = [[bin_cols[i], bin_cols[j]] for i, j in pairs]
+            pair_idx = pairs
+        # gid bit k set ⇔ bin_cols[k] aggregated away in that grouping set
+        gid_for_set = {}
+        for s_cols, idx in zip(sets, pair_idx):
+            gid = 0
+            for k, b in enumerate(bin_cols):
+                if b not in s_cols:
+                    gid |= 1 << (len(bin_cols) - 1 - k)
+            gid_for_set[gid] = idx
+        grouped = (
+            prep.groupingSets(sets, *bin_cols)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("__correct").alias("n_correct"),
+                 F.grouping_id().alias("gid"))
+            .collect()
+        )
+        first_gid = min(gid_for_set)
+        total = sum(r["n"] for r in grouped if r["gid"] == first_gid)
+        total_correct = sum(r["n_correct"] for r in grouped if r["gid"] == first_gid)
+        avg_score = (total_correct / total) if total else 0.0
+        min_n = self.segment_minimum_size_ratio * total
+        segments = []
+        for r in grouped:
+            idx = gid_for_set.get(r["gid"])
+            if idx is None or r["n"] < min_n:
+                continue
+            i, j = idx
+            segments.append({
+                "Score": r["n_correct"] / r["n"] if r["n"] else 0.0,
+                "Feature1": cands[i],
+                "Feature1 Range": r[bin_cols[i]],
+                "Feature2": cands[j] if j is not None else "",
+                "Feature2 Range": r[bin_cols[j]] if j is not None else "",
+                "% of data": 100.0 * r["n"] / total if total else 0.0,
+                "n_samples": r["n"],
+            })
+        segments.sort(key=lambda s: (s["Score"], s["Feature1"], s["Feature1 Range"],
+                                     s["Feature2"], s["Feature2 Range"]))
+        value = {"weak_segments_list": segments[: self.n_to_show], "avg_score": avg_score}
+        if not segments:
+            value["message"] = (
+                "No segments of minimum size "
+                f"{self.segment_minimum_size_ratio:.0%} found")
+        return value, None
+
+    def add_condition_segments_relative_performance_greater_than(
+            self, max_ratio_change: float = 0.20):
+        """reference utils/abstracts/weak_segment_abstract.py:396-421:
+        PASS if the weakest segment scores within max_ratio_change of
+        the average; otherwise WARN (the reference's category)."""
+        from deepchecks_spark.core.checks import format_percent
+
+        def condition(result):
+            if "message" in result:
+                return ConditionResult(ConditionCategory.PASS, result["message"])
+            weakest = result["weak_segments_list"][0]["Score"]
+            avg = result["avg_score"]
+            msg = (f"Found a segment with accuracy score of {format_number(weakest, 3)} "
+                   f"in comparison to an average score of {format_number(avg, 3)} "
+                   "in sampled data.")
+            if avg > 0 and weakest > (1 - max_ratio_change) * avg:
+                return ConditionResult(ConditionCategory.PASS, msg)
+            if avg < 0 and weakest > (1 + max_ratio_change) * avg:
+                return ConditionResult(ConditionCategory.PASS, msg)
+            return ConditionResult(ConditionCategory.WARN, msg)
+
+        return self.add_condition(
+            "The relative performance of weakest segment is greater than "
+            f"{format_percent(1 - max_ratio_change)} of average model performance.",
+            condition,
+        )
+
+    def reduce_output(self, check_result) -> dict:
+        v = check_result.value
+        out = {"avg_score": v["avg_score"]}
+        if v["weak_segments_list"]:
+            out["weakest_segment_score"] = v["weak_segments_list"][0]["Score"]
+        return out

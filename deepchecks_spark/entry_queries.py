@@ -1716,6 +1716,184 @@ def o_multimodal_dims_documents():
     """
 
 
+def q_confusion_matrix_embeddings(spark, sf_dir):
+    """ConfusionMatrixReport from a predictions column: every 7th vector
+    predicts (label+2) mod 10, so exactly one off-diagonal band per class
+    is populated. The full n_classes² matrix (zeros included) is
+    flattened to (y, p, n) rows; the oracle rebuilds it from a classes
+    grid LEFT JOINed to the joint counts."""
+    from deepchecks_spark.checks.performance import ConfusionMatrixReport
+
+    df = _t(spark, sf_dir, "embeddings").selectExpr(
+        "label",
+        "CASE WHEN vec_id % 7 = 0 THEN CAST((label + 2) % 10 AS INT) "
+        "ELSE label END AS pred",
+    )
+    ds = Dataset(df, label="label", infer_categorical=False)
+    value, _ = ConfusionMatrixReport("pred").compute(_ctx(ds), "train")
+    classes, matrix = value["classes"], value["matrix"]
+    rows = [(int(classes[i]), int(classes[j]), int(matrix[i][j]))
+            for i in range(len(classes)) for j in range(len(classes))]
+    return spark.createDataFrame(rows, "y int, p int, n long")
+
+
+def o_confusion_matrix_embeddings():
+    return """
+    WITH d AS (SELECT label AS y,
+                      CASE WHEN vec_id % 7 = 0 THEN CAST((label + 2) % 10 AS INT)
+                           ELSE label END AS p
+               FROM embeddings WHERE label IS NOT NULL),
+         cells AS (SELECT y, p, count(*) AS n FROM d GROUP BY 1, 2),
+         classes AS (SELECT DISTINCT y AS c FROM d UNION SELECT DISTINCT p FROM d)
+    SELECT a.c AS y, b.c AS p, coalesce(ce.n, 0)::BIGINT AS n
+    FROM classes a CROSS JOIN classes b
+    LEFT JOIN cells ce ON ce.y = a.c AND ce.p = b.c
+    """
+
+
+def q_train_test_performance_embeddings(spark, sf_dir):
+    """TrainTestPerformance from predictions columns: parity split, every
+    5th vector mispredicts (+1 mod 10) — the union-tagged single
+    groupBy computes both confusion matrices in one job; accuracy and
+    weighted F1 per side must match the SQL recomputation."""
+    from deepchecks_spark.checks.performance import TrainTestPerformance
+    from deepchecks_spark.core.context import Context
+
+    base = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label",
+        "CASE WHEN vec_id % 5 = 0 THEN CAST((label + 1) % 10 AS INT) "
+        "ELSE label END AS pred",
+    )
+    train = Dataset(base.filter("vec_id % 2 = 0").drop("vec_id"),
+                    label="label", infer_categorical=False)
+    test = Dataset(base.filter("vec_id % 2 = 1").drop("vec_id"),
+                   label="label", infer_categorical=False)
+    check = TrainTestPerformance("pred", scorers=["accuracy", "f1_weighted"])
+    value, _ = check.compute(Context(train=train, test=test))
+    rows = [(r["Dataset"], r["Metric"], round(float(r["Value"]), 6),
+             int(r["Number of samples"])) for r in value]
+    return spark.createDataFrame(rows, "dataset string, metric string, value double, n long")
+
+
+def o_train_test_performance_embeddings():
+    return """
+    WITH d AS (SELECT CASE WHEN vec_id % 2 = 0 THEN 'Train' ELSE 'Test' END AS ds,
+                      label AS y,
+                      CASE WHEN vec_id % 5 = 0 THEN CAST((label + 1) % 10 AS INT)
+                           ELSE label END AS p
+               FROM embeddings WHERE label IS NOT NULL),
+         cells AS (SELECT ds, y, p, count(*) AS n FROM d GROUP BY 1, 2, 3),
+         classes AS (SELECT DISTINCT ds, y AS c FROM d
+                     UNION SELECT DISTINCT ds, p FROM d),
+         stats AS (SELECT cl.ds, cl.c,
+                          coalesce(sum(CASE WHEN ce.y = cl.c AND ce.p = cl.c THEN ce.n END), 0) AS tp,
+                          coalesce(sum(CASE WHEN ce.p = cl.c THEN ce.n END), 0) AS pred_n,
+                          coalesce(sum(CASE WHEN ce.y = cl.c THEN ce.n END), 0) AS true_n
+                   FROM classes cl LEFT JOIN cells ce ON ce.ds = cl.ds
+                   GROUP BY 1, 2),
+         f1 AS (SELECT ds, c, true_n,
+                       CASE WHEN tp = 0 OR pred_n = 0 OR true_n = 0 THEN 0.0
+                            ELSE 2.0 * (tp / pred_n) * (tp / true_n)
+                                 / ((tp / pred_n) + (tp / true_n)) END AS f
+                FROM stats),
+         acc AS (SELECT ds, sum(CASE WHEN y = p THEN n ELSE 0 END)::DOUBLE / sum(n) AS v,
+                        sum(n)::BIGINT AS nt FROM cells GROUP BY ds),
+         fw AS (SELECT ds, sum(f * true_n) / sum(true_n) AS v FROM f1 GROUP BY ds)
+    SELECT acc.ds AS dataset, 'accuracy' AS metric, round(acc.v, 6) AS value, acc.nt AS n
+    FROM acc
+    UNION ALL
+    SELECT fw.ds, 'f1_weighted', round(fw.v, 6), acc.nt
+    FROM fw JOIN acc ON acc.ds = fw.ds
+    """
+
+
+def q_regression_performance_lineitem(spark, sf_dir):
+    """Regression scorers from ONE distributive agg: label = l_quantity
+    (integer-valued), pred = quantity + (l_orderkey % 7 − 3). All sums
+    are integer-exact in doubles, so MAE/MSE/RMSE/R² are bit-identical
+    across engines when the oracle uses the same sum formulas
+    (ss_tot = Σy² − (Σy)²/n)."""
+    from deepchecks_spark.checks.performance import SingleDatasetPerformance
+
+    df = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_quantity AS y",
+        "l_quantity + CAST(l_orderkey % 7 AS DOUBLE) - 3.0 AS pred",
+    )
+    ds = Dataset(df, label="y", infer_categorical=False)
+    check = SingleDatasetPerformance("pred", scorers=["mae", "mse", "rmse", "r2"])
+    value, _ = check.compute(_ctx(ds), "train")
+    return spark.createDataFrame(
+        [(round(value["mae"], 6), round(value["mse"], 6),
+          round(value["rmse"], 6), round(value["r2"], 6))],
+        "mae double, mse double, rmse double, r2 double",
+    )
+
+
+def o_regression_performance_lineitem():
+    return """
+    WITH d AS (SELECT l_quantity AS y,
+                      (l_orderkey % 7)::DOUBLE - 3.0 AS r
+               FROM lineitem WHERE l_quantity IS NOT NULL),
+         s AS (SELECT count(*)::DOUBLE AS n, sum(abs(r)) AS sum_abs,
+                      sum(r * r) AS sum_sq, sum(y) AS sum_y, sum(y * y) AS sum_yy
+               FROM d)
+    SELECT round(sum_abs / n, 6) AS mae,
+           round(sum_sq / n, 6) AS mse,
+           round(sqrt(sum_sq / n), 6) AS rmse,
+           round(1.0 - sum_sq / (sum_yy - sum_y * sum_y / n), 6) AS r2
+    FROM s
+    """
+
+
+def q_weak_segments_orders(spark, sf_dir):
+    """WeakSegmentsPerformance over categorical segment grid
+    (o_orderpriority × o_orderstatus): the planted segment
+    ('1-URGENT', 'F') predicts every label wrong, all other segments are
+    perfect — the single GROUPING SETS pass must surface exactly that
+    segment as the weakest, with its size and the global accuracy."""
+    from deepchecks_spark.checks.performance import WeakSegmentsPerformance
+
+    df = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority", "o_orderstatus",
+        "CAST(o_orderkey % 2 AS INT) AS lbl",
+        "CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'F' "
+        "THEN CAST(1 - o_orderkey % 2 AS INT) ELSE CAST(o_orderkey % 2 AS INT) END AS pred",
+    )
+    ds = Dataset(df, label="lbl", cat_features=["o_orderpriority", "o_orderstatus"],
+                 infer_categorical=False)
+    check = WeakSegmentsPerformance(
+        "pred", columns=["o_orderpriority", "o_orderstatus"],
+        segment_minimum_size_ratio=0.03)
+    value, _ = check.compute(_ctx(ds), "train")
+    worst = value["weak_segments_list"][0]
+    return spark.createDataFrame(
+        [(worst["Feature1 Range"], worst["Feature2 Range"],
+          round(float(worst["Score"]), 6), int(worst["n_samples"]),
+          round(float(value["avg_score"]), 6))],
+        "range1 string, range2 string, score double, n_samples long, avg_score double",
+    )
+
+
+def o_weak_segments_orders():
+    return """
+    WITH d AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                      o_orderkey % 2 AS y,
+                      CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+                           THEN 1 - o_orderkey % 2 ELSE o_orderkey % 2 END AS p
+               FROM orders),
+         seg AS (SELECT a, b, count(*) AS n,
+                        sum(CASE WHEN y = p THEN 1 ELSE 0 END) AS n_correct
+                 FROM d GROUP BY 1, 2),
+         tot AS (SELECT sum(n)::DOUBLE AS total, sum(n_correct)::DOUBLE AS correct FROM seg),
+         ok AS (SELECT a, b, n, n_correct / n::DOUBLE AS score FROM seg, tot
+                WHERE n >= 0.03 * total)
+    SELECT a AS range1, b AS range2, round(score, 6) AS score,
+           n::BIGINT AS n_samples,
+           round((SELECT correct / total FROM tot), 6) AS avg_score
+    FROM ok ORDER BY score, a, b LIMIT 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1780,6 +1958,10 @@ QUERIES = {
     "streaming_dedup_events": q_streaming_dedup_events,
     "referential_integrity_orders": q_referential_integrity_orders,
     "performance_embeddings": q_performance_embeddings,
+    "confusion_matrix_embeddings": q_confusion_matrix_embeddings,
+    "train_test_performance_embeddings": q_train_test_performance_embeddings,
+    "regression_performance_lineitem": q_regression_performance_lineitem,
+    "weak_segments_orders": q_weak_segments_orders,
 }
 
 ORACLES = {
@@ -1841,4 +2023,9 @@ ORACLES = {
     "streaming_dedup_events": o_streaming_dedup_events(),
     "referential_integrity_orders": o_referential_integrity_orders(),
     "performance_embeddings": o_performance_embeddings(),
+    # round-4: predictions-column model-evaluation surface
+    "confusion_matrix_embeddings": o_confusion_matrix_embeddings(),
+    "train_test_performance_embeddings": o_train_test_performance_embeddings(),
+    "regression_performance_lineitem": o_regression_performance_lineitem(),
+    "weak_segments_orders": o_weak_segments_orders(),
 }

@@ -67,3 +67,153 @@ def test_single_dataset_performance_gates_unbounded_confusion(spark):
 def test_single_dataset_performance_rejects_unknown_scorer():
     with pytest.raises(ValueError, match="unsupported scorer"):
         SingleDatasetPerformance("pred", scorers=["auc"])
+
+
+def test_single_dataset_performance_rejects_mixed_scorers():
+    with pytest.raises(ValueError, match="mix"):
+        SingleDatasetPerformance("pred", scorers=["accuracy", "mae"])
+
+
+def test_condition_unknown_scorer_name_raises_descriptive_error(spark):
+    # ADVICE r3: naming an uncomputed metric in the condition must raise
+    # a descriptive ValueError, not a bare KeyError
+    rows = [(i, i % 2, i % 2) for i in range(50)]
+    ds = Dataset(spark.createDataFrame(rows, "id long, lbl int, pred int"),
+                 label="lbl", infer_categorical=False)
+    check = SingleDatasetPerformance("pred", scorers=["accuracy"])
+    check.add_condition_greater_than(0.5, scorers=["f1_weighted"])
+    result = check.run(ds)
+    assert result.conditions_results[0].category == ConditionCategory.ERROR
+    assert "available metrics" in result.conditions_results[0].details
+
+
+def test_regression_scorers_exact(spark):
+    # residual r = (i % 5) - 2 ∈ {-2,-1,0,1,2}; integer arithmetic ⇒
+    # MAE/MSE/R² are exact rationals reproducible in numpy
+    rows = [(i, float(10 + i % 7), float(10 + i % 7 + (i % 5) - 2)) for i in range(700)]
+    ds = Dataset(spark.createDataFrame(rows, "id long, y double, pred double"),
+                 label="y", infer_categorical=False)
+    check = SingleDatasetPerformance("pred", scorers=["mae", "mse", "rmse", "r2"])
+    value = check.run(ds).value
+    y = np.array([r[1] for r in rows])
+    p = np.array([r[2] for r in rows])
+    assert value["mae"] == pytest.approx(np.abs(y - p).mean())
+    assert value["mse"] == pytest.approx(((y - p) ** 2).mean())
+    assert value["rmse"] == pytest.approx(np.sqrt(((y - p) ** 2).mean()))
+    ss_res = ((y - p) ** 2).sum()
+    ss_tot = ((y - y.mean()) ** 2).sum()
+    assert value["r2"] == pytest.approx(1 - ss_res / ss_tot)
+    assert check.greater_is_better() is False
+    lt = SingleDatasetPerformance("pred", scorers=["mae"]).add_condition_less_than(5.0)
+    assert lt.run(ds).conditions_results[0].category == ConditionCategory.PASS
+
+
+def test_confusion_matrix_report(spark):
+    from deepchecks_spark.checks.performance import ConfusionMatrixReport
+
+    # every 4th row of class 0 predicted as 1; others perfect
+    rows = [(i, i % 3, 1 if (i % 3 == 0 and i % 4 == 0) else i % 3)
+            for i in range(1200)]
+    ds = Dataset(spark.createDataFrame(rows, "id long, lbl int, pred int"),
+                 label="lbl", infer_categorical=False)
+    check = ConfusionMatrixReport("pred")
+    check.add_condition_misclassified_samples_lower_than(0.2)
+    result = check.run(ds)
+    classes, matrix = result.value["classes"], result.value["matrix"]
+    assert classes == [0, 1, 2]
+    n01 = sum(1 for _, y, p in rows if y == 0 and p == 1)
+    assert matrix[0][1] == n01
+    assert matrix[0][0] == 400 - n01
+    assert matrix[1][1] == 400 and matrix[2][2] == 400
+    assert result.conditions_results[0].category == ConditionCategory.PASS
+    strict = ConfusionMatrixReport("pred")
+    strict.add_condition_misclassified_samples_lower_than(0.01)
+    res2 = strict.run(ds)
+    assert res2.conditions_results[0].category == ConditionCategory.FAIL
+    assert 'true value of "0"' in res2.conditions_results[0].details
+
+
+def test_train_test_performance_and_degradation(spark):
+    from deepchecks_spark.checks.performance import TrainTestPerformance
+
+    # train perfect, test 30% of rows mislabeled → degradation 0.3
+    train = spark.createDataFrame([(i, i % 2, i % 2) for i in range(400)],
+                                  "id long, lbl int, pred int")
+    test = spark.createDataFrame(
+        [(i, i % 2, (1 - i % 2) if i % 10 < 3 else i % 2) for i in range(400)],
+        "id long, lbl int, pred int")
+    ds_tr = Dataset(train, label="lbl", infer_categorical=False)
+    ds_te = Dataset(test, label="lbl", infer_categorical=False)
+    check = TrainTestPerformance("pred", scorers=["accuracy"])
+    check.add_condition_train_test_relative_degradation_less_than(0.1)
+    result = check.run(ds_tr, ds_te)
+    by = {(r["Dataset"], r["Metric"]): r["Value"] for r in result.value}
+    assert by[("Train", "accuracy")] == pytest.approx(1.0)
+    assert by[("Test", "accuracy")] == pytest.approx(0.7)
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
+    loose = TrainTestPerformance("pred", scorers=["accuracy"])
+    loose.add_condition_train_test_relative_degradation_less_than(0.5)
+    assert loose.run(ds_tr, ds_te).conditions_results[0].category == ConditionCategory.PASS
+
+
+def test_train_test_performance_regression(spark):
+    from deepchecks_spark.checks.performance import TrainTestPerformance
+
+    train = spark.createDataFrame(
+        [(i, float(i % 9), float(i % 9)) for i in range(300)],
+        "id long, y double, pred double")
+    test = spark.createDataFrame(
+        [(i, float(i % 9), float(i % 9) + 1.0) for i in range(300)],
+        "id long, y double, pred double")
+    ds_tr = Dataset(train, label="y", infer_categorical=False)
+    ds_te = Dataset(test, label="y", infer_categorical=False)
+    result = TrainTestPerformance("pred", scorers=["mae", "rmse"]).run(ds_tr, ds_te)
+    by = {(r["Dataset"], r["Metric"]): r["Value"] for r in result.value}
+    assert by[("Train", "mae")] == pytest.approx(0.0)
+    assert by[("Test", "mae")] == pytest.approx(1.0)
+    assert by[("Test", "rmse")] == pytest.approx(1.0)
+    assert result.value[0]["Dataset"] == "Train"  # reference row order
+
+
+def test_weak_segments_finds_planted_segment(spark):
+    from deepchecks_spark.checks.performance import WeakSegmentsPerformance
+
+    # segment (grp='a', flag='x') — 1/16 of rows — has 100% error;
+    # everything else is perfect
+    rows = []
+    for i in range(1600):
+        grp = "abcd"[i % 4]
+        flag = "xyzw"[(i // 4) % 4]
+        lbl = i % 2
+        pred = (1 - lbl) if (grp == "a" and flag == "x") else lbl
+        rows.append((i, grp, flag, lbl, pred))
+    ds = Dataset(spark.createDataFrame(rows, "id long, grp string, flag string, lbl int, pred int"),
+                 label="lbl", cat_features=["grp", "flag"], infer_categorical=False)
+    check = WeakSegmentsPerformance("pred", columns=["grp", "flag"],
+                                    segment_minimum_size_ratio=0.05)
+    check.add_condition_segments_relative_performance_greater_than(0.2)
+    result = check.run(ds)
+    worst = result.value["weak_segments_list"][0]
+    assert worst["Score"] == pytest.approx(0.0)
+    assert {worst["Feature1 Range"], worst["Feature2 Range"]} == {"a", "x"}
+    assert worst["n_samples"] == 100
+    assert result.value["avg_score"] == pytest.approx(1500 / 1600)
+    assert result.conditions_results[0].category == ConditionCategory.WARN
+
+
+def test_weak_segments_numeric_binning(spark):
+    from deepchecks_spark.checks.performance import WeakSegmentsPerformance
+
+    # numeric feature x: errors concentrated in the lowest quartile
+    rows = [(i, float(i % 100), i % 2,
+             (1 - i % 2) if i % 100 < 25 and i % 2 == 0 else i % 2)
+            for i in range(2000)]
+    ds = Dataset(spark.createDataFrame(rows, "id long, x double, lbl int, pred int"),
+                 label="lbl", infer_categorical=False)
+    check = WeakSegmentsPerformance("pred", columns=["x"], n_bins=4)
+    result = check.run(ds)
+    segs = result.value["weak_segments_list"]
+    assert segs, "expected at least one segment"
+    assert segs[0]["Score"] < result.value["avg_score"]
+    assert segs[0]["Feature1"] == "x"
+    assert segs[0]["Feature2"] == ""
