@@ -18,7 +18,9 @@ from deepchecks_spark.checks.integrity import (
     StringMismatch,
 )
 from deepchecks_spark.checks.performance import (
+    CalibrationScore,
     ConfusionMatrixReport,
+    RocReport,
     SingleDatasetPerformance,
     TrainTestPerformance,
     WeakSegmentsPerformance,
@@ -58,6 +60,7 @@ __all__ = [
     "LabelDrift", "NewCategoryTrainTest", "NewLabelTrainTest",
     "PredictionDrift", "ReferentialIntegrity", "SingleDatasetPerformance",
     "ConfusionMatrixReport", "TrainTestPerformance", "WeakSegmentsPerformance",
+    "RocReport", "CalibrationScore",
     "StringMismatchComparison", "TrainTestSamplesMix",
     "WholeDatasetDrift", "CategoryMismatchTrainTest",
     "TrainTestFeatureDrift", "TrainTestLabelDrift",

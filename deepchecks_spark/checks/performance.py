@@ -418,6 +418,173 @@ class TrainTestPerformance(TrainTestCheck):
         return {f"{r['Metric']} ({r['Dataset']})": r["Value"] for r in check_result.value}
 
 
+class RocReport(SingleDatasetCheck):
+    """Per-class one-vs-rest ROC AUC from probability columns (reference
+    model_evaluation/roc_report.py:29-180, ``model.predict_proba``
+    replaced by the probability-column contract:
+    ``probability_columns`` maps each class value to the column holding
+    its predicted probability/score).
+
+    value = {class: auc}. Spark: ONE melted scan explodes each row into
+    (class, score, is_positive) triples, a single
+    groupBy(class, score) builds every class's tied-score histogram
+    (map-side combined), and exact AUC is Mann-Whitney over the
+    histogram driver-side — identical to sklearn's trapezoidal
+    roc_curve/auc, including ties. The collect is bounded by distinct
+    scores × classes (gated); for continuous scores at corpus scale set
+    ``n_bins`` to quantize scores first (the same distributed-ECDF
+    compromise as the KS sketch path, drift/spark.py).
+    """
+
+    MAX_ROC_POINTS = 2_000_000
+
+    def __init__(self, probability_columns: dict, excluded_classes: list | None = None,
+                 n_bins: int | None = None, n_samples=USE_DEFAULT, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        self.probability_columns = dict(probability_columns)
+        self.excluded_classes = list(excluded_classes) if excluded_classes else []
+        self.n_bins = n_bins
+
+    def compute(self, ctx, kind):
+        ds = ctx.data(kind)
+        if ds.label_name is None:
+            raise ValueError("RocReport requires a label column")
+        df = self._effective_df(ctx, kind)
+        y = F.col(f"`{ds.label_name}`")
+        classes = [c for c in self.probability_columns if c not in self.excluded_classes]
+        if not classes:
+            return {}, None
+        entries = []
+        for i, c in enumerate(classes):
+            score = F.col(f"`{self.probability_columns[c]}`").cast("double")
+            if self.n_bins:
+                score = F.round(score * self.n_bins) / self.n_bins
+            entries.append(F.struct(
+                F.lit(i).alias("cls"), score.alias("score"),
+                (y == F.lit(c)).cast("long").alias("pos"),
+            ))
+        melted = (
+            df.filter(y.isNotNull())
+            .select(F.explode(F.array(*entries)).alias("e"))
+            .select("e.cls", "e.score", "e.pos")
+            .filter(F.col("score").isNotNull())
+            .groupBy("cls", "score")
+            .agg(F.sum("pos").alias("np"), F.count(F.lit(1)).alias("n"))
+        )
+        cap = self.MAX_ROC_POINTS
+        rows = melted.limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"{self.name()}: score histogram exceeds {cap} points — pass n_bins "
+                "to quantize continuous scores"
+            )
+        by_cls: dict = {}
+        for r in rows:
+            by_cls.setdefault(r["cls"], []).append((r["score"], r["np"], r["n"] - r["np"]))
+        aucs = {}
+        for i, c in enumerate(classes):
+            hist = sorted(by_cls.get(i, []))
+            pos_total = sum(np_ for _, np_, _ in hist)
+            neg_total = sum(nn for _, _, nn in hist)
+            if not pos_total or not neg_total:
+                aucs[c] = float("nan")
+                continue
+            # Mann-Whitney with tie correction: positives at score s beat
+            # all negatives strictly below, half of the tied ones
+            u = 0.0
+            cum_neg = 0
+            for _, np_, nn in hist:
+                u += np_ * (cum_neg + 0.5 * nn)
+                cum_neg += nn
+            aucs[c] = u / (pos_total * neg_total)
+        return aucs, None
+
+    def add_condition_auc_greater_than(self, min_auc: float = 0.7):
+        """reference roc_report.py:141-180."""
+        def condition(result):
+            failed = {c: format_number(a) for c, a in result.items() if a <= min_auc}
+            if failed:
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"Found classes with AUC below threshold: {failed}")
+            if not result:
+                return ConditionResult(ConditionCategory.PASS, "No classes to check")
+            c_min = min(result, key=result.get)
+            return ConditionResult(
+                ConditionCategory.PASS,
+                f"All classes passed, minimum AUC found is "
+                f"{format_number(result[c_min])} for class {c_min}")
+
+        suffix = f" except: {self.excluded_classes}" if self.excluded_classes else ""
+        return self.add_condition(
+            f"AUC score for all the classes{suffix} is greater than {min_auc}", condition)
+
+    def reduce_output(self, check_result) -> dict:
+        return {f"AUC class {c}": v for c, v in check_result.value.items()}
+
+    def greater_is_better(self) -> bool:
+        return True
+
+
+class CalibrationScore(SingleDatasetCheck):
+    """Brier score per class from probability columns (reference
+    model_evaluation/calibration_score.py:30-135, probability-column
+    contract). value: binary → {0: brier of the positive = sorted-second
+    class} (reference parity, calibration_score.py:76); multiclass →
+    {class: brier}.
+
+    Spark: ONE agg — avg((p_c − 1{y=c})²) per class, all classes in a
+    single distributive pass; nothing but one scalar per class leaves
+    the executors.
+    """
+
+    def __init__(self, probability_columns: dict, n_samples=USE_DEFAULT, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        self.probability_columns = dict(probability_columns)
+
+    def compute(self, ctx, kind):
+        ds = ctx.data(kind)
+        if ds.label_name is None:
+            raise ValueError("CalibrationScore requires a label column")
+        df = self._effective_df(ctx, kind)
+        y = F.col(f"`{ds.label_name}`")
+        try:
+            classes = sorted(self.probability_columns)
+        except TypeError:
+            classes = sorted(self.probability_columns, key=str)
+        exprs = []
+        for i, c in enumerate(classes):
+            p = F.col(f"`{self.probability_columns[c]}`").cast("double")
+            ind = (y == F.lit(c)).cast("double")
+            exprs.append(F.avg(F.pow(p - ind, F.lit(2))).alias(f"__b_{i}"))
+        row = df.filter(y.isNotNull()).agg(*exprs).first()
+        briers = {c: row[f"__b_{i}"] for i, c in enumerate(classes)}
+        if len(classes) == 2:
+            return {0: briers[classes[1]]}, None
+        return briers, None
+
+    def add_condition_brier_score_less_than(self, max_brier: float = 0.3):
+        """Engine convenience (the reference ships CalibrationScore
+        without a built-in condition; this mirrors RocReport's shape)."""
+        def condition(result):
+            failed = {c: format_number(b) for c, b in result.items() if b >= max_brier}
+            if failed:
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"Found classes with Brier score above threshold: {failed}")
+            return ConditionResult(
+                ConditionCategory.PASS,
+                f"All {len(result)} classes have Brier score below {max_brier}")
+
+        return self.add_condition(f"Brier score is less than {max_brier}", condition)
+
+    def reduce_output(self, check_result) -> dict:
+        return {f"Brier class {c}": v for c, v in check_result.value.items()}
+
+    def greater_is_better(self) -> bool:
+        return False
+
+
 class WeakSegmentsPerformance(SingleDatasetCheck):
     """Search feature-pair segments where the model underperforms
     (engine analogue of reference model_evaluation/

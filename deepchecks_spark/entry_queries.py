@@ -1666,8 +1666,8 @@ def o_streaming_dedup_events():
     return """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
            count(*)::BIGINT AS n_rows,
-           count(DISTINCT CAST(user_id AS VARCHAR) || '#' || event_type)::BIGINT AS n_distinct,
-           (count(*) - count(DISTINCT CAST(user_id AS VARCHAR) || '#' || event_type))::BIGINT AS n_dup
+           count(DISTINCT (user_id, event_type))::BIGINT AS n_distinct,
+           (count(*) - count(DISTINCT (user_id, event_type)))::BIGINT AS n_dup
     FROM events GROUP BY 1
     """
 
@@ -1845,6 +1845,71 @@ def o_regression_performance_lineitem():
     """
 
 
+def q_roc_auc_embeddings(spark, sf_dir):
+    """RocReport from a probability column: integer scores (heavy ties
+    across both classes) divided by a common constant — the engine's
+    tie-corrected Mann-Whitney over the distributed score histogram must
+    equal the SQL window-cumulative computation exactly (integer U
+    arithmetic is IEEE-exact in doubles)."""
+    from deepchecks_spark.checks.performance import RocReport
+
+    df = _t(spark, sf_dir, "embeddings").selectExpr(
+        "CAST(label % 2 AS INT) AS y",
+        "(CASE WHEN label % 2 = 1 THEN (vec_id * 37) % 1000 + 300 "
+        "ELSE (vec_id * 41) % 1000 END) / 1300.0 AS p",
+    )
+    ds = Dataset(df, label="y", infer_categorical=False)
+    value, _ = RocReport({1: "p"}).compute(_ctx(ds), "train")
+    return spark.createDataFrame([(round(float(value[1]), 6),)], "auc double")
+
+
+def o_roc_auc_embeddings():
+    return """
+    WITH d AS (SELECT label % 2 AS y,
+                      CASE WHEN label % 2 = 1 THEN (vec_id * 37) % 1000 + 300
+                           ELSE (vec_id * 41) % 1000 END AS s
+               FROM embeddings WHERE label IS NOT NULL),
+         g AS (SELECT s, sum(y)::BIGINT AS np, (count(*) - sum(y))::BIGINT AS nn
+               FROM d GROUP BY s),
+         o AS (SELECT s, np, nn,
+                      coalesce(sum(nn) OVER (ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+               FROM g)
+    SELECT round(sum(np * (cum_nn + 0.5 * nn))
+                 / ((SELECT sum(np) FROM g)::DOUBLE * (SELECT sum(nn) FROM g)), 6) AS auc
+    FROM o
+    """
+
+
+def q_calibration_embeddings(spark, sf_dir):
+    """CalibrationScore from probability columns: p is a multiple of
+    2^-10, so (p − y)² is an exact multiple of 2^-20 and the Brier mean
+    is bit-identical across engines. Binary labels → the reference's
+    {0: brier of the positive class} shape."""
+    from deepchecks_spark.checks.performance import CalibrationScore
+
+    df = _t(spark, sf_dir, "embeddings").selectExpr(
+        "CAST(label % 2 AS INT) AS y",
+        "(CASE WHEN label % 2 = 1 THEN 512 + (vec_id * 13) % 512 "
+        "ELSE (vec_id * 13) % 512 END) / 1024.0 AS p1",
+        "1.0 - (CASE WHEN label % 2 = 1 THEN 512 + (vec_id * 13) % 512 "
+        "ELSE (vec_id * 13) % 512 END) / 1024.0 AS p0",
+    )
+    ds = Dataset(df, label="y", infer_categorical=False)
+    value, _ = CalibrationScore({0: "p0", 1: "p1"}).compute(_ctx(ds), "train")
+    return spark.createDataFrame([(round(float(value[0]), 6),)], "brier double")
+
+
+def o_calibration_embeddings():
+    return """
+    WITH d AS (SELECT label % 2 AS y,
+                      (CASE WHEN label % 2 = 1 THEN 512 + (vec_id * 13) % 512
+                            ELSE (vec_id * 13) % 512 END) / 1024.0 AS p1
+               FROM embeddings WHERE label IS NOT NULL)
+    SELECT round(avg(pow(p1 - y, 2)), 6) AS brier FROM d
+    """
+
+
 def q_weak_segments_orders(spark, sf_dir):
     """WeakSegmentsPerformance over categorical segment grid
     (o_orderpriority × o_orderstatus): the planted segment
@@ -1962,6 +2027,8 @@ QUERIES = {
     "train_test_performance_embeddings": q_train_test_performance_embeddings,
     "regression_performance_lineitem": q_regression_performance_lineitem,
     "weak_segments_orders": q_weak_segments_orders,
+    "roc_auc_embeddings": q_roc_auc_embeddings,
+    "calibration_embeddings": q_calibration_embeddings,
 }
 
 ORACLES = {
@@ -2028,4 +2095,6 @@ ORACLES = {
     "train_test_performance_embeddings": o_train_test_performance_embeddings(),
     "regression_performance_lineitem": o_regression_performance_lineitem(),
     "weak_segments_orders": o_weak_segments_orders(),
+    "roc_auc_embeddings": o_roc_auc_embeddings(),
+    "calibration_embeddings": o_calibration_embeddings(),
 }

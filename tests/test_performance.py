@@ -175,6 +175,118 @@ def test_train_test_performance_regression(spark):
     assert result.value[0]["Dataset"] == "Train"  # reference row order
 
 
+def _auc_numpy(y, score):
+    """Trapezoidal ROC AUC via tie-corrected Mann-Whitney (equals
+    sklearn.roc_auc_score; no sklearn in the container)."""
+    y = np.asarray(y)
+    score = np.asarray(score, dtype=float)
+    order = np.argsort(score)
+    s, yy = score[order], y[order]
+    u, cum_neg = 0.0, 0
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        npos = int(yy[i:j].sum())
+        nneg = (j - i) - npos
+        u += npos * (cum_neg + 0.5 * nneg)
+        cum_neg += nneg
+        i = j
+    p, n = int(y.sum()), int((1 - y).sum())
+    return u / (p * n)
+
+
+def test_roc_report_exact_auc(spark):
+    from deepchecks_spark.checks.performance import RocReport
+
+    # overlapping integer score distributions with heavy ties
+    rows = []
+    for i in range(2000):
+        y = i % 2
+        s = (300 + (i * 37) % 1000) if y else (i * 41) % 1000
+        rows.append((i, y, s / 1300.0))
+    ds = Dataset(spark.createDataFrame(rows, "id long, lbl int, p double"),
+                 label="lbl", infer_categorical=False)
+    check = RocReport({1: "p"}).add_condition_auc_greater_than(0.7)
+    result = check.run(ds)
+    expect = _auc_numpy([r[1] for r in rows], [r[2] for r in rows])
+    assert result.value[1] == pytest.approx(expect, abs=1e-12)
+    assert result.conditions_results[0].category == ConditionCategory.PASS
+
+
+def test_roc_report_multiclass_and_bins(spark):
+    from deepchecks_spark.checks.performance import RocReport
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(1500):
+        y = int(rng.integers(0, 3))
+        probs = rng.random(3)
+        probs[y] += 0.8  # informative scores
+        probs = probs / probs.sum()
+        rows.append((i, y, float(probs[0]), float(probs[1]), float(probs[2])))
+    ds = Dataset(
+        spark.createDataFrame(rows, "id long, lbl int, p0 double, p1 double, p2 double"),
+        label="lbl", infer_categorical=False)
+    value = RocReport({0: "p0", 1: "p1", 2: "p2"}).run(ds).value
+    for c in (0, 1, 2):
+        expect = _auc_numpy([1 if r[1] == c else 0 for r in rows],
+                            [r[2 + c] for r in rows])
+        assert value[c] == pytest.approx(expect, abs=1e-12)
+    # quantized path stays close to exact
+    binned = RocReport({0: "p0"}, n_bins=1000).run(ds).value
+    exact0 = _auc_numpy([1 if r[1] == 0 else 0 for r in rows], [r[2] for r in rows])
+    assert binned[0] == pytest.approx(exact0, abs=0.01)
+    # excluded classes drop out
+    sub = RocReport({0: "p0", 1: "p1"}, excluded_classes=[1]).run(ds).value
+    assert list(sub) == [0]
+
+
+def test_roc_report_gates_unbounded_histogram(spark):
+    from deepchecks_spark.checks.performance import RocReport
+
+    df = spark.range(0, 5000).selectExpr("cast(id % 2 as int) lbl",
+                                         "id / 5000.0 as p")
+    ds = Dataset(df, label="lbl", infer_categorical=False)
+    check = RocReport({1: "p"})
+    check.MAX_ROC_POINTS = 100
+    with pytest.raises(ValueError, match="n_bins"):
+        check.run(ds)
+
+
+def test_calibration_score_binary_and_multiclass(spark):
+    from deepchecks_spark.checks.performance import CalibrationScore
+
+    # p multiples of 1/1024 → brier exact in both engines
+    rows = []
+    for i in range(1000):
+        y = i % 2
+        k = (i * 13) % 512
+        p1 = (512 + k) / 1024.0 if y else k / 1024.0
+        rows.append((i, y, 1.0 - p1, p1))
+    ds = Dataset(spark.createDataFrame(rows, "id long, lbl int, p0 double, p1 double"),
+                 label="lbl", infer_categorical=False)
+    value = CalibrationScore({0: "p0", 1: "p1"}).run(ds).value
+    # binary → single key 0 holding the positive class's brier (reference parity)
+    expect = float(np.mean([(r[3] - r[1]) ** 2 for r in rows]))
+    assert list(value) == [0]
+    assert value[0] == pytest.approx(expect, abs=1e-15)
+    # multiclass → per-class brier
+    rows3 = [(i, i % 3, 1.0 if i % 3 == 0 else 0.0,
+              1.0 if i % 3 == 1 else 0.0, 1.0 if i % 3 == 2 else 0.0)
+             for i in range(300)]
+    ds3 = Dataset(
+        spark.createDataFrame(rows3, "id long, lbl int, p0 double, p1 double, p2 double"),
+        label="lbl", infer_categorical=False)
+    check = CalibrationScore({0: "p0", 1: "p1", 2: "p2"})
+    check.add_condition_brier_score_less_than(0.1)
+    result = check.run(ds3)
+    assert result.value == {0: pytest.approx(0.0), 1: pytest.approx(0.0),
+                            2: pytest.approx(0.0)}
+    assert result.conditions_results[0].category == ConditionCategory.PASS
+
+
 def test_weak_segments_finds_planted_segment(spark):
     from deepchecks_spark.checks.performance import WeakSegmentsPerformance
 
