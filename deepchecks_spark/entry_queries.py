@@ -1845,6 +1845,100 @@ def o_regression_performance_lineitem():
     """
 
 
+# mid-similarity planted fixture for LSH auto-tuning: even id 2k carries
+# an integer LCG vector u(k); odd 2k+1 carries u(k)+g(k) where g is the
+# pairwise rotation (u1,−u0,u3,−u2,…) — exactly orthogonal with |g|=|u|,
+# so cos(u, u+g) = 1/√2 ≈ 0.7071 by construction (integer-exact in both
+# engines); unrelated vectors sit near cosine 0 in 16 dims.
+_U = "((1103515245 * (({k}) * 31 + {d}) + 12345) % 33) - 16"
+
+
+def _midsim_vec_spark():
+    k = "(vec_id div 2)"
+    u = _U.format(k=k, d="d")
+    u_next = _U.format(k=k, d="(d + 1)")
+    u_prev = _U.format(k=k, d="(d - 1)")
+    return (
+        "transform(sequence(0, 15), d -> CAST(CASE WHEN vec_id % 2 = 0 THEN " + u +
+        " ELSE " + u + " + (CASE WHEN d % 2 = 0 THEN " + u_next +
+        " ELSE -(" + u_prev + ") END) END AS DOUBLE))"
+    )
+
+
+def _midsim_vec_duck():
+    k = "(vec_id // 2)"
+    # DuckDB list indices are 1-based; generate d = 0..15 directly
+    u = _U.format(k=k, d="d")
+    u_next = _U.format(k=k, d="(d + 1)")
+    u_prev = _U.format(k=k, d="(d - 1)")
+    return (
+        "list_transform(generate_series(0, 15), d -> (CASE WHEN vec_id % 2 = 0 THEN " + u +
+        " ELSE " + u + " + (CASE WHEN d % 2 = 0 THEN " + u_next +
+        " ELSE -(" + u_prev + ") END) END)::DOUBLE)"
+    )
+
+
+def q_lsh_autotune_recall_embeddings(spark, sf_dir):
+    """LSH auto-tuning (ROADMAP #8): on the planted mid-similarity
+    corpus (pairs at cosine 1/√2), autotune_lsh_params picks
+    (n_planes, n_tables) from the closed-form collision model + a
+    sampled background-similarity histogram; the OR-amplified
+    near-duplicate join must then recover ≥ the target recall of the
+    brute-force truth set. The oracle recomputes the truth count
+    exactly and pins recall_ge_target TRUE — a mistuned configuration
+    (recall < 0.95) breaks the value-hash."""
+    from deepchecks_spark.pipeline.similarity import (
+        autotune_lsh_params,
+        embedding_near_duplicates,
+    )
+
+    df = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000).selectExpr(
+        "vec_id", f"{_midsim_vec_spark()} AS embedding")
+    params = autotune_lsh_params(df, threshold=0.65, target_recall=0.95,
+                                 max_planes=16, max_tables=32,
+                                 id_col="vec_id", vec_col="embedding")
+    found = embedding_near_duplicates(
+        df, dim=16, threshold=0.65, n_planes=params["n_planes"],
+        n_tables=params["n_tables"], id_col="vec_id", vec_col="embedding",
+    ).select("id_a", "id_b")
+    # brute-force truth over the same derived vectors (exact integer dots)
+    v = df.selectExpr("vec_id AS id", "embedding AS v")
+    a, b = v.alias("a"), v.alias("b")
+    truth = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "cos",
+            F.aggregate(F.zip_with("a.v", "b.v", lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x)
+            / (F.sqrt(F.aggregate(F.transform("a.v", lambda x: x * x),
+                                  F.lit(0.0), lambda acc, x: acc + x))
+               * F.sqrt(F.aggregate(F.transform("b.v", lambda x: x * x),
+                                    F.lit(0.0), lambda acc, x: acc + x))),
+        )
+        .filter(F.col("cos") >= 0.65)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    n_true = truth.count()
+    n_hit = found.join(truth, ["id_a", "id_b"], "left_semi").count()
+    recall = n_hit / n_true if n_true else 1.0
+    return spark.createDataFrame(
+        [(int(n_true), bool(recall >= 0.95), bool(params["expected_recall"] >= 0.95))],
+        "n_true long, recall_ge_target boolean, model_feasible boolean",
+    )
+
+
+def o_lsh_autotune_recall_embeddings():
+    return f"""
+    WITH v AS (SELECT vec_id AS id, {_midsim_vec_duck()} AS e
+               FROM embeddings WHERE vec_id < 2000),
+         truth AS (SELECT a.id ia, b.id ib
+                   FROM v a JOIN v b ON a.id < b.id
+                   WHERE list_cosine_similarity(a.e, b.e) >= 0.65)
+    SELECT count(*)::BIGINT AS n_true, TRUE AS recall_ge_target, TRUE AS model_feasible
+    FROM truth
+    """
+
+
 def q_roc_auc_embeddings(spark, sf_dir):
     """RocReport from a probability column: integer scores (heavy ties
     across both classes) divided by a common constant — the engine's
@@ -2029,6 +2123,7 @@ QUERIES = {
     "weak_segments_orders": q_weak_segments_orders,
     "roc_auc_embeddings": q_roc_auc_embeddings,
     "calibration_embeddings": q_calibration_embeddings,
+    "lsh_autotune_recall_embeddings": q_lsh_autotune_recall_embeddings,
 }
 
 ORACLES = {
@@ -2097,4 +2192,5 @@ ORACLES = {
     "weak_segments_orders": o_weak_segments_orders(),
     "roc_auc_embeddings": o_roc_auc_embeddings(),
     "calibration_embeddings": o_calibration_embeddings(),
+    "lsh_autotune_recall_embeddings": o_lsh_autotune_recall_embeddings(),
 }

@@ -59,26 +59,120 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
 
 def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
-                              n_planes: int = 8, seed: int = 42,
+                              n_planes: int = 8, n_tables: int = 1, seed: int = 42,
                               id_col: str = "id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join +
     exact cosine filter ≥ threshold. The bucket equi-join replaces the
-    n² cross join (recall controlled by n_planes; fewer planes = bigger
-    buckets = higher recall). Returns (id_a, id_b, cosine)."""
-    planes = random_hyperplanes(dim, n_planes, seed)
-    vecs = df.select(
+    n² cross join; recall is tuned on two axes (fewer planes = bigger
+    buckets; more tables = OR-amplification — a pair is a candidate if
+    it collides in ANY table). Pass autotune_lsh_params(...) output for
+    self-configuring recall. Returns (id_a, id_b, cosine)."""
+    planes_by_table = [random_hyperplanes(dim, n_planes, seed + 97 * t)
+                       for t in range(n_tables)]
+    base = df.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).withColumn("bucket", lsh_bucket_expr("v", planes)).withColumn("n", _norm("v"))
+    ).withColumn("n", _norm("v"))
+    tb = [
+        F.struct(F.lit(t).alias("tbl"),
+                 lsh_bucket_expr("v", planes_by_table[t]).alias("bucket"))
+        for t in range(n_tables)
+    ]
+    vecs = base.select(
+        "id", "v", "n", F.explode(F.array(*tb)).alias("tb")
+    ).select("id", "v", "n", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     a = vecs.alias("a")
     b = vecs.alias("b")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .withColumn("cosine", _dot("a.v", "b.v") / (F.col("a.n") * F.col("b.n")))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def autotune_lsh_params(df: DataFrame, threshold: float, target_recall: float = 0.9,
+                        max_planes: int = 16, max_tables: int = 64,
+                        sample_size: int = 1000, id_col: str = "id",
+                        vec_col: str = "embedding") -> dict:
+    """Choose (n_planes, n_tables) so random-hyperplane LSH reaches
+    ``target_recall`` for pairs of cosine ≥ ``threshold`` while
+    minimizing the candidate rate at the corpus's BACKGROUND similarity
+    (ROADMAP #8 — self-configuring ANN on real corpora, where manual
+    plane counts over- or under-bucket).
+
+    Theory (Charikar's SimHash collision probability, public): one
+    hyperplane agrees on a pair of cosine s with p(s) = 1 − arccos(s)/π;
+    with b planes per table and T OR-amplified tables,
+    recall(s) = 1 − (1 − p(s)^b)^T. Given the target recall at
+    ``threshold``, every b yields the minimal T(b) =
+    ⌈ln(1−r)/ln(1−p₀^b)⌉; among the feasible (b, T≤max_tables) pairs the
+    tuner picks the one with the lowest expected false-candidate rate at
+    the sampled background similarity — i.e. the most selective buckets
+    that still hit recall.
+
+    The background similarity is the median pairwise cosine of a
+    bounded deterministic sample (lowest ``sample_size`` ids — a cheap
+    TakeOrdered, no full scan; the reference caps check inputs the same
+    way, e.g. feature_label_correlation's 100k-row sample). Everything
+    else is closed-form math — no search over the corpus.
+
+    Returns {'n_planes', 'n_tables', 'expected_recall',
+    'expected_fp_rate', 'background_similarity'}.
+    """
+    import math
+
+    rows = (
+        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .orderBy("id").limit(sample_size).collect()
+    )
+    mat = np.asarray([r["v"] for r in rows], dtype=float)
+    if len(mat) < 2:
+        raise ValueError("autotune_lsh_params needs at least 2 sampled vectors")
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    sims = unit @ unit.T
+    s_bg = float(np.median(sims[np.triu_indices(len(mat), k=1)]))
+
+    def p_collide(s: float) -> float:
+        return 1.0 - math.acos(min(1.0, max(-1.0, s))) / math.pi
+
+    p0 = p_collide(threshold)
+    p_bg = p_collide(s_bg)
+    best = None
+    for b in range(max_planes, 0, -1):
+        pb = p0 ** b
+        if pb >= 1.0:  # threshold ≥ 1 → everything collides
+            t = 1
+        else:
+            t = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb)))
+        if t > max_tables:
+            continue
+        fp = 1.0 - (1.0 - p_bg ** b) ** t
+        if best is None or (fp, t) < (best["expected_fp_rate"], best["n_tables"]):
+            best = {
+                "n_planes": b,
+                "n_tables": t,
+                "expected_recall": 1.0 - (1.0 - pb) ** t,
+                "expected_fp_rate": fp,
+                "background_similarity": s_bg,
+            }
+    if best is None:
+        # even b=1 cannot hit the recall within max_tables → take the
+        # closest achievable configuration rather than failing
+        b = 1
+        t = max_tables
+        best = {
+            "n_planes": b,
+            "n_tables": t,
+            "expected_recall": 1.0 - (1.0 - p0) ** t,
+            "expected_fp_rate": 1.0 - (1.0 - p_bg) ** t,
+            "background_similarity": s_bg,
+        }
+    return best
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

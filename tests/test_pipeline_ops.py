@@ -217,3 +217,52 @@ def test_with_media_dimensions_arrow_path(spark):
     assert got[1] == (33, 44, "png")
     assert got[2] == (None, None, None)
     assert got[3] == (None, None, None)
+
+
+def test_autotune_lsh_params_model_properties(spark):
+    # closed-form model sanity on a tiny synthetic frame
+    import math
+
+    from deepchecks_spark.pipeline.similarity import autotune_lsh_params
+
+    rows = [(i, [float(((i * 7 + d * 13) % 9) - 4) for d in range(8)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    params = autotune_lsh_params(df, threshold=0.8, target_recall=0.9,
+                                 max_planes=12, max_tables=40)
+    b, t = params["n_planes"], params["n_tables"]
+    assert 1 <= b <= 12 and 1 <= t <= 40
+    # the chosen configuration meets the recall target under the model
+    p0 = 1 - math.acos(0.8) / math.pi
+    assert 1 - (1 - p0 ** b) ** t >= 0.9
+    assert params["expected_recall"] == pytest.approx(1 - (1 - p0 ** b) ** t)
+    assert -1.0 <= params["background_similarity"] <= 1.0
+
+
+def test_autotuned_near_duplicates_hit_target_recall(spark):
+    # planted pairs at cosine exactly 1/sqrt(2) (v = u + rot90(u));
+    # auto-tuned OR-amplified LSH must recover >= 95% of them
+    from deepchecks_spark.pipeline.similarity import (
+        autotune_lsh_params,
+        embedding_near_duplicates,
+    )
+
+    def u(k):
+        return [((1103515245 * (k * 31 + d) + 12345) % 33) - 16 for d in range(16)]
+
+    rows = []
+    for k in range(200):
+        base = u(k)
+        rot = [base[d + 1] if d % 2 == 0 else -base[d - 1] for d in range(16)]
+        rows.append((2 * k, [float(x) for x in base]))
+        rows.append((2 * k + 1, [float(a + b) for a, b in zip(base, rot)]))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    params = autotune_lsh_params(df, threshold=0.65, target_recall=0.95,
+                                 max_planes=16, max_tables=32)
+    found = embedding_near_duplicates(
+        df, dim=16, threshold=0.65, n_planes=params["n_planes"],
+        n_tables=params["n_tables"]).select("id_a", "id_b").collect()
+    got = {(r["id_a"], r["id_b"]) for r in found}
+    planted = {(2 * k, 2 * k + 1) for k in range(200)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.95, recall

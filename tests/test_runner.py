@@ -250,3 +250,170 @@ def test_drift_partition_rows_absolute_collect_cap(spark, monkeypatch):
     rows = runner_mod.drift_partition_rows(df, ["c"])
     assert len(rows) == 1 and rows[0][3] == "ERROR"
     assert "cardinality gate" in rows[0][2]
+
+
+def test_new_category_partition_rows_sliced_parity(spark):
+    from deepchecks_spark.runner import new_category_partition_rows
+
+    # test side: 2 partitions — partition 0 only train-known categories,
+    # partition 1 has 20% novel categories in column 'cat'
+    train = spark.createDataFrame([("a",), ("b",), ("c",)] * 30, "cat string")
+    part0 = [("a",)] * 50 + [("b",)] * 50
+    part1 = [("a",)] * 80 + [("zz%d" % i,) for i in range(20)]
+    rdd = spark.sparkContext.parallelize(part0 + part1, 2)
+    test = spark.createDataFrame(rdd, "cat string")
+    rows = new_category_partition_rows(test, train, ["cat"], max_ratio=0.1)
+    assert len(rows) == 2
+    by_pid = {r[0]: r for r in rows}
+    # sliced oracle: recompute each partition's ratio from its slice
+    from pyspark.sql import functions as F
+
+    slices = {
+        r["__pid"]: (r["n_new"], r["n"])
+        for r in test.withColumn("__pid", F.spark_partition_id())
+        .withColumn("new", (~F.col("cat").isin("a", "b", "c")).cast("long"))
+        .groupBy("__pid").agg(F.sum("new").alias("n_new"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for pid, (n_new, n) in slices.items():
+        expect = "FAIL" if n_new / n > 0.1 else "PASS"
+        assert by_pid[pid][3] == expect, (pid, by_pid[pid])
+    assert sorted(r[3] for r in rows) == ["FAIL", "PASS"]
+    failing = next(r for r in rows if r[3] == "FAIL")
+    assert "20%" in failing[4]
+
+
+def test_new_category_partition_rows_respects_cardinality_gate(spark):
+    from deepchecks_spark.runner import new_category_partition_rows
+
+    train = spark.range(0, 50_000).selectExpr("cast(id as string) AS cat")
+    test = spark.range(0, 100).selectExpr("cast(id + 1000000 as string) AS cat")
+    # train cardinality above the gate → column skipped, no rows emitted
+    rows = new_category_partition_rows(test, train, ["cat"], max_categories=1000)
+    assert rows == []
+
+
+def test_samples_mix_partition_rows_sliced_parity(spark):
+    from deepchecks_spark.runner import samples_mix_partition_rows
+
+    train = spark.createDataFrame([(i, "u%d" % i) for i in range(100)],
+                                  "k long, s string")
+    # partition 0: 60% rows copied from train; partition 1: all novel
+    part0 = [(i, "u%d" % i) for i in range(60)] + [(10_000 + i, "x%d" % i) for i in range(40)]
+    part1 = [(20_000 + i, "y%d" % i) for i in range(100)]
+    rdd = spark.sparkContext.parallelize(part0 + part1, 2)
+    test = spark.createDataFrame(rdd, "k long, s string")
+    rows = samples_mix_partition_rows(test, train, ["k", "s"], max_ratio=0.05)
+    assert len(rows) == 2
+    cats = {r[0]: r[3] for r in rows}
+    assert sorted(cats.values()) == ["FAIL", "PASS"]
+    failing = next(r for r in rows if r[3] == "FAIL")
+    assert "60%" in failing[4]
+    passing = next(r for r in rows if r[3] == "PASS")
+    assert passing[4] == "No samples mix found"
+
+
+def test_run_job_with_reference_emits_join_partition_verdicts(spark, tmp_path):
+    import os
+
+    from deepchecks_spark.runner import run_job
+
+    cur = str(tmp_path / "cur")
+    ref = str(tmp_path / "ref")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", "t%d" % i) for i in range(200)],
+        "id long, lang string, text string").write.parquet(ref)
+    # current snapshot drifts: a new language appears
+    spark.createDataFrame(
+        [(i, "de" if i % 4 == 0 else ("en" if i % 2 else "fr"), "t%d" % (i + 500))
+         for i in range(200)],
+        "id long, lang string, text string").write.parquet(cur)
+    run_job(spark, cur, out, cat_features=["lang"], reference_input=ref,
+            concurrent_stages=False)
+    pv = spark.read.parquet(os.path.join(out, "partition_verdicts"))
+    checks = {r["check"] for r in pv.collect()}
+    assert "New Category Train Test" in checks
+    assert "Train Test Samples Mix" in checks
+    new_cat = pv.filter(pv.check == "New Category Train Test").collect()
+    assert any(r["category"] == "FAIL" for r in new_cat)  # 'de' is new
+
+
+def test_runner_suite_config_roundtrip_identical_verdicts(spark, tmp_path):
+    # VERDICT r3 next-10: the runner's integrity suite survives
+    # config() → from_config() with an IDENTICAL verdict table on the
+    # same data — locking the config surface against drift end-to-end.
+    from deepchecks_spark.checks.integrity import (
+        IsSingleValue,
+        MixedDataTypes,
+        PercentOfNulls,
+        SpecialCharacters,
+    )
+    from deepchecks_spark.core.result import CheckFailure
+    from deepchecks_spark.core.suite import Suite
+    from deepchecks_spark.dataset import Dataset
+
+    df = spark.createDataFrame(
+        [(i, None if i % 7 == 0 else "v%d" % (i % 4), "!!!" if i % 9 == 0 else "ok",
+          float(i % 3)) for i in range(300)],
+        "id long, a string, b string, x double")
+    ds = Dataset(df, infer_categorical=False)
+    suite = Suite(
+        "runner integrity",
+        IsSingleValue().add_condition_not_single_value(),
+        PercentOfNulls().add_condition_percent_of_nulls_not_greater_than(0.05),
+        SpecialCharacters().add_condition_ratio_of_special_characters_less_or_equal(0.001),
+        MixedDataTypes().add_condition_rare_type_ratio_not_in_range(),
+    )
+
+    def verdict_table(s):
+        rows = []
+        for r in s.run(ds).results:
+            if isinstance(r, CheckFailure):
+                rows.append((r.header, "<failure>", "ERROR", repr(r.exception)))
+                continue
+            for c in r.conditions_results:
+                rows.append((r.header, c.name, c.category.value, c.details))
+        return sorted(rows)
+
+    original = verdict_table(suite)
+    restored_suite = Suite.from_config(suite.config())
+    restored = verdict_table(restored_suite)
+    assert restored == original
+    assert len(original) >= 4
+    # the round-trip also survives a second serialization cycle
+    assert verdict_table(Suite.from_config(restored_suite.config())) == original
+
+
+def test_production_suite_config_roundtrip_with_performance_checks(spark):
+    # the round-4 predictions-column checks must survive config round-trip
+    from deepchecks_spark.checks.performance import (
+        ConfusionMatrixReport,
+        SingleDatasetPerformance,
+        WeakSegmentsPerformance,
+    )
+    from deepchecks_spark.core.suite import Suite
+    from deepchecks_spark.dataset import Dataset
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), i % 2, (1 - i % 2) if i % 10 == 0 else i % 2)
+         for i in range(200)],
+        "id long, grp string, lbl int, pred int")
+    ds = Dataset(df, label="lbl", cat_features=["grp"], infer_categorical=False)
+    suite = Suite(
+        "perf",
+        SingleDatasetPerformance("pred").add_condition_greater_than(0.7),
+        ConfusionMatrixReport("pred").add_condition_misclassified_samples_lower_than(0.2),
+        WeakSegmentsPerformance("pred", columns=["grp"])
+        .add_condition_segments_relative_performance_greater_than(0.5),
+    )
+    restored = Suite.from_config(suite.config())
+
+    def summary(s):
+        out = []
+        for r in s.run(ds).results:
+            for c in r.conditions_results:
+                out.append((r.header, c.name, c.category.value))
+        return sorted(out)
+
+    assert summary(restored) == summary(suite)
