@@ -120,12 +120,64 @@ def scores_from_confusion(cells: dict, scorers) -> dict:
     return out
 
 
+def confusion_cells_frame(pairs):
+    """The confusion-cell aggregation as a DataFrame (plan-pinned in
+    tests/test_plans.py: partial_count before a single Exchange)."""
+    return pairs.groupBy("__y", "__p").agg(F.count(F.lit(1)).alias("__n"))
+
+
+def tagged_union_cells(sides: list):
+    """Confusion cells for several tagged datasets in ONE job: union the
+    (__ds, __y, __p) sides, one groupBy — a single shuffle instead of a
+    job per dataset (plan-pinned)."""
+    both = sides[0]
+    for s in sides[1:]:
+        both = both.unionByName(s)
+    return both.groupBy("__ds", "__y", "__p").agg(F.count(F.lit(1)).alias("__n"))
+
+
+def segment_grid(prep, sets: list, bin_cols: list):
+    """Every feature-pair segment's (n, n_correct) from ONE scan via
+    GROUPING SETS (single Expand, plan-pinned); gid identifies the pair."""
+    return prep.groupingSets(sets, *bin_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__correct").alias("n_correct"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+def roc_score_histogram(df, label_col: str, probability_columns: dict,
+                        n_bins: int | None = None, excluded_classes=()):
+    """(class, score) → (n_pos, n) histogram for every class in one
+    melted pass: explode each row into per-class (cls, score, is_pos)
+    triples, single groupBy (plan-pinned: one scan, one Exchange)."""
+    y = F.col(f"`{label_col}`")
+    classes = [c for c in probability_columns if c not in excluded_classes]
+    entries = []
+    for i, c in enumerate(classes):
+        score = F.col(f"`{probability_columns[c]}`").cast("double")
+        if n_bins:
+            score = F.round(score * n_bins) / n_bins
+        entries.append(F.struct(
+            F.lit(i).alias("cls"), score.alias("score"),
+            (y == F.lit(c)).cast("long").alias("pos"),
+        ))
+    return (
+        df.filter(y.isNotNull())
+        .select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.cls", "e.score", "e.pos")
+        .filter(F.col("score").isNotNull())
+        .groupBy("cls", "score")
+        .agg(F.sum("pos").alias("np"), F.count(F.lit(1)).alias("n"))
+    )
+
+
 def collect_confusion_cells(pairs, cap: int, check_name: str) -> dict:
     """groupBy(label, prediction).count() → {(y, p): n}. The shuffle
     carries at most n_classes² cells (map-side combined); the collect is
     gated so a continuous column mis-passed as a class label can't OOM
     the driver."""
-    grouped = pairs.groupBy("__y", "__p").agg(F.count(F.lit(1)).alias("__n"))
+    grouped = confusion_cells_frame(pairs)
     rows = grouped.limit(cap + 1).collect()
     if len(rows) > cap:
         raise ValueError(
@@ -351,9 +403,9 @@ class TrainTestPerformance(TrainTestCheck):
                 df.filter(y.isNotNull() & p.isNotNull())
                 .select(F.lit(tag).alias("__ds"), y.alias("__y"), p.alias("__p"))
             )
-        both = sides[0].unionByName(sides[1])
         rows_out = []
         if self._task == "regression":
+            both = sides[0].unionByName(sides[1])
             agg_rows = (
                 both.select("__ds", F.col("__y").cast("double").alias("__y"),
                             F.col("__p").cast("double").alias("__p"))
@@ -366,7 +418,7 @@ class TrainTestPerformance(TrainTestCheck):
                     rows_out.append({"Dataset": r["__ds"], "Metric": m,
                                      "Value": scores[m], "Number of samples": r["__n"]})
             return rows_out, None
-        grouped = both.groupBy("__ds", "__y", "__p").agg(F.count(F.lit(1)).alias("__n"))
+        grouped = tagged_union_cells(sides)
         cap = self.MAX_CONFUSION_CELLS
         rows = grouped.limit(2 * cap + 1).collect()
         if len(rows) > 2 * cap:
@@ -418,6 +470,238 @@ class TrainTestPerformance(TrainTestCheck):
         return {f"{r['Metric']} ({r['Dataset']})": r["Value"] for r in check_result.value}
 
 
+class RegressionErrorDistribution(SingleDatasetCheck):
+    """Systematic error + abnormal shape of the regression error
+    distribution (reference model_evaluation/
+    regression_error_distribution.py:46-161, predictions-column
+    contract). value = {'Mean Prediction Error', 'Median Prediction
+    Error', 'Kurtosis Value' (Fisher, biased — scipy default), 'RMSE'}.
+
+    Spark: ONE distributive agg collects n, Σd, Σd², Σd³, Σd⁴ (d = label
+    − prediction) plus the median; kurtosis comes from the raw-moment
+    identities driver-side, so no second pass and no residuals leave the
+    executors. ``exact_median=False`` switches the median to
+    percentile_approx for corpus scale (the exact percentile is a
+    per-group sort).
+    """
+
+    def __init__(self, prediction_column: str, exact_median: bool = True,
+                 n_samples=USE_DEFAULT, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        self.prediction_column = prediction_column
+        self.exact_median = exact_median
+
+    def compute(self, ctx, kind):
+        ds = ctx.data(kind)
+        if ds.label_name is None:
+            raise ValueError("RegressionErrorDistribution requires a label column")
+        df = self._effective_df(ctx, kind)
+        y = F.col(f"`{ds.label_name}`").cast("double")
+        p = F.col(f"`{self.prediction_column}`").cast("double")
+        d = (y - p).alias("__d")
+        pairs = df.filter(y.isNotNull() & p.isNotNull()).select(d)
+        dd = F.col("__d")
+        median_expr = (F.percentile(dd, F.lit(0.5)) if self.exact_median
+                       else F.percentile_approx(dd, F.lit(0.5), F.lit(100_000)))
+        row = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dd).alias("s1"),
+            F.sum(dd * dd).alias("s2"),
+            F.sum(dd * dd * dd).alias("s3"),
+            F.sum(dd * dd * dd * dd).alias("s4"),
+            median_expr.alias("med"),
+        ).first()
+        n = row["n"]
+        if not n:
+            return {"Mean Prediction Error": 0.0, "Median Prediction Error": 0.0,
+                    "Kurtosis Value": float("nan"), "RMSE": 0.0}, None
+        mean = row["s1"] / n
+        # central moments from raw moments (one-pass identities)
+        m2 = row["s2"] / n - mean ** 2
+        m4 = (row["s4"] - 4 * mean * row["s3"] + 6 * mean ** 2 * row["s2"]) / n - 3 * mean ** 4
+        kurt = (m4 / (m2 * m2) - 3.0) if m2 > 0 else float("nan")
+        return {
+            "Mean Prediction Error": mean,
+            "Median Prediction Error": row["med"],
+            "Kurtosis Value": kurt,
+            "RMSE": (row["s2"] / n) ** 0.5,
+        }, None
+
+    def add_condition_kurtosis_greater_than(self, threshold: float = -0.1):
+        """reference regression_error_distribution.py:125-143 (WARN, not
+        FAIL, on a wide distribution)."""
+        def condition(result):
+            details = f'Found kurtosis value of {format_number(result["Kurtosis Value"], 5)}'
+            ok = result["Kurtosis Value"] > threshold
+            return ConditionResult(
+                ConditionCategory.PASS if ok else ConditionCategory.WARN, details)
+
+        return self.add_condition(
+            f"Kurtosis value higher than {format_number(threshold, 5)}", condition)
+
+    def add_condition_systematic_error_ratio_to_rmse_less_than(self, max_ratio: float = 0.01):
+        """reference regression_error_distribution.py:145-161."""
+        def condition(result):
+            ratio = (abs(result["Mean Prediction Error"]) / result["RMSE"]
+                     if result["RMSE"] else 0.0)
+            details = f"Found systematic error to rmse ratio of {format_number(ratio)}"
+            ok = ratio < max_ratio
+            return ConditionResult(
+                ConditionCategory.PASS if ok else ConditionCategory.FAIL, details)
+
+        return self.add_condition(
+            f"Systematic error ratio lower than {format_number(max_ratio)}", condition)
+
+    def reduce_output(self, check_result) -> dict:
+        return {"Kurtosis Value": check_result.value["Kurtosis Value"],
+                "RMSE": check_result.value["RMSE"]}
+
+    def greater_is_better(self) -> bool:
+        return False
+
+
+def get_gain(base_score, score, perfect_score, max_gain):
+    """reference utils/metrics.py:23-38: improvement over the simple
+    baseline relative to the distance from perfect, clipped to
+    ±max_gain."""
+    distance_from_perfect = perfect_score - base_score
+    scores_diff = score - base_score
+    if distance_from_perfect == 0:
+        return 0 if scores_diff == 0 else -max_gain
+    ratio = scores_diff / distance_from_perfect
+    return max(-max_gain, min(max_gain, ratio))
+
+
+class SimpleModelComparison(TrainTestCheck):
+    """Gain of the scored predictions over a naive baseline (reference
+    model_evaluation/simple_model_comparison.py:48-357). The reference
+    fits a sklearn DummyClassifier; with the predictions-column
+    contract the 'most_frequent' baseline needs NO model at all — its
+    per-class F1 is closed-form from the label histograms (the majority
+    class scores 2r/(1+r) with r its test frequency; every other class
+    scores 0), so the whole check is the one confusion-cell pass plus
+    two tiny histogram aggs.
+
+    value = {'scores': {'F1': {class: {'Origin', 'Simple'}}},
+    'type': 'binary'|'multiclass', 'scorers_perfect': {'F1': 1.0}} —
+    the reference's value shape for per-class scorers. Strategies other
+    than 'most_frequent' (uniform/stratified/tree) are stochastic or
+    need a fitted model and are not supported (documented deviation).
+    """
+
+    MAX_CONFUSION_CELLS = 1_000_000
+
+    def __init__(self, prediction_column: str, strategy: str = "most_frequent",
+                 max_gain: float = 50.0, n_samples=USE_DEFAULT, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        if strategy != "most_frequent":
+            raise ValueError(
+                f"SimpleModelComparison: strategy {strategy!r} is not supported; the "
+                "predictions-column engine supports 'most_frequent' (uniform/"
+                "stratified are stochastic, tree needs a fitted model)"
+            )
+        self.prediction_column = prediction_column
+        self.strategy = strategy
+        self.max_gain = max_gain
+
+    def compute(self, ctx):
+        label = ctx.train.label_name
+        if label is None:
+            raise ValueError("SimpleModelComparison requires a label column")
+        train_df = self._effective_df(ctx, "train")
+        test_df = self._effective_df(ctx, "test")
+        y = F.col(f"`{label}`")
+        p = F.col(f"`{self.prediction_column}`")
+        # majority class from the TRAIN label histogram (the reference
+        # fits the dummy on train), scored on TEST
+        train_hist = {r["__y"]: r["__n"] for r in
+                      train_df.filter(y.isNotNull())
+                      .groupBy(y.alias("__y")).agg(F.count(F.lit(1)).alias("__n"))
+                      .limit(self.MAX_CONFUSION_CELLS).collect()}
+        if not train_hist:
+            raise ValueError("SimpleModelComparison: train label column is all-null")
+        majority = max(sorted(train_hist, key=str), key=lambda c: train_hist[c])
+        pairs = test_df.filter(y.isNotNull() & p.isNotNull()).select(
+            y.alias("__y"), p.alias("__p"))
+        cells = collect_confusion_cells(pairs, self.MAX_CONFUSION_CELLS, self.name())
+        classes = sorted({c for c, _ in cells} | {c for _, c in cells}, key=str)
+        n_test = sum(cells.values())
+        true_n = {c: sum(n for (yy, _), n in cells.items() if yy == c) for c in classes}
+        pred_n = {c: sum(n for (_, pp), n in cells.items() if pp == c) for c in classes}
+        scores = {"F1": {}}
+        for c in classes:
+            tp = cells.get((c, c), 0)
+            prec = tp / pred_n[c] if pred_n[c] else 0.0
+            rec = tp / true_n[c] if true_n[c] else 0.0
+            origin = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+            if c == majority and n_test:
+                r = true_n[c] / n_test
+                simple = 2 * r / (1 + r)  # precision=r, recall=1
+            else:
+                simple = 0.0
+            scores["F1"][c] = {"Origin": origin, "Simple": simple}
+        return {
+            "scores": scores,
+            "type": "binary" if len(classes) == 2 else "multiclass",
+            "scorers_perfect": {"F1": 1.0},
+        }, None
+
+    def add_condition_gain_greater_than(self, min_allowed_gain: float = 0.1,
+                                        classes: list | None = None,
+                                        average: bool = False):
+        """reference simple_model_comparison.py:358-385 + module-level
+        condition(): per-class gains (or their average) must exceed the
+        threshold; classes where the model is already perfect are
+        skipped."""
+        from deepchecks_spark.core.checks import format_percent
+
+        def condition(result):
+            failed = {}
+            all_gains = []
+            for metric, class_scores in result["scores"].items():
+                perfect = result["scorers_perfect"][metric]
+                for c, ms in class_scores.items():
+                    if classes is not None and c not in classes:
+                        continue
+                    if ms["Origin"] == perfect:
+                        continue
+                    g = get_gain(ms["Simple"], ms["Origin"], perfect, self.max_gain)
+                    all_gains.append(g)
+                    if not average and g <= min_allowed_gain:
+                        failed.setdefault(metric, {})[c] = format_number(g)
+            if average:
+                mean_gain = sum(all_gains) / len(all_gains) if all_gains else None
+                if mean_gain is not None and mean_gain <= min_allowed_gain:
+                    return ConditionResult(
+                        ConditionCategory.FAIL,
+                        f"Found average gain of {format_number(mean_gain)}")
+                return ConditionResult(
+                    ConditionCategory.PASS,
+                    "All classes passed" if mean_gain is None
+                    else f"Found average gain of {format_number(mean_gain)}")
+            if failed:
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"Found failed metrics: {failed}")
+            return ConditionResult(ConditionCategory.PASS,
+                                   f"All classes passed, gain over {min_allowed_gain}")
+
+        name = (f"Model performance gain over simple model is greater than "
+                f"{format_percent(min_allowed_gain)}")
+        if classes:
+            name += f" for classes {classes}"
+        return self.add_condition(name, condition)
+
+    def reduce_output(self, check_result) -> dict:
+        out = {}
+        for metric, class_scores in check_result.value["scores"].items():
+            perfect = check_result.value["scorers_perfect"][metric]
+            for c, ms in class_scores.items():
+                out[f"gain {metric} class {c}"] = get_gain(
+                    ms["Simple"], ms["Origin"], perfect, self.max_gain)
+        return out
+
+
 class RocReport(SingleDatasetCheck):
     """Per-class one-vs-rest ROC AUC from probability columns (reference
     model_evaluation/roc_report.py:29-180, ``model.predict_proba``
@@ -450,27 +734,12 @@ class RocReport(SingleDatasetCheck):
         if ds.label_name is None:
             raise ValueError("RocReport requires a label column")
         df = self._effective_df(ctx, kind)
-        y = F.col(f"`{ds.label_name}`")
         classes = [c for c in self.probability_columns if c not in self.excluded_classes]
         if not classes:
             return {}, None
-        entries = []
-        for i, c in enumerate(classes):
-            score = F.col(f"`{self.probability_columns[c]}`").cast("double")
-            if self.n_bins:
-                score = F.round(score * self.n_bins) / self.n_bins
-            entries.append(F.struct(
-                F.lit(i).alias("cls"), score.alias("score"),
-                (y == F.lit(c)).cast("long").alias("pos"),
-            ))
-        melted = (
-            df.filter(y.isNotNull())
-            .select(F.explode(F.array(*entries)).alias("e"))
-            .select("e.cls", "e.score", "e.pos")
-            .filter(F.col("score").isNotNull())
-            .groupBy("cls", "score")
-            .agg(F.sum("pos").alias("np"), F.count(F.lit(1)).alias("n"))
-        )
+        melted = roc_score_histogram(df, ds.label_name, self.probability_columns,
+                                     n_bins=self.n_bins,
+                                     excluded_classes=self.excluded_classes)
         cap = self.MAX_ROC_POINTS
         rows = melted.limit(cap + 1).collect()
         if len(rows) > cap:
@@ -693,13 +962,7 @@ class WeakSegmentsPerformance(SingleDatasetCheck):
                 if b not in s_cols:
                     gid |= 1 << (len(bin_cols) - 1 - k)
             gid_for_set[gid] = idx
-        grouped = (
-            prep.groupingSets(sets, *bin_cols)
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("__correct").alias("n_correct"),
-                 F.grouping_id().alias("gid"))
-            .collect()
-        )
+        grouped = segment_grid(prep, sets, bin_cols).collect()
         first_gid = min(gid_for_set)
         total = sum(r["n"] for r in grouped if r["gid"] == first_gid)
         total_correct = sum(r["n_correct"] for r in grouped if r["gid"] == first_gid)

@@ -2004,6 +2004,107 @@ def o_calibration_embeddings():
     """
 
 
+def q_regression_error_dist_lineitem(spark, sf_dir):
+    """RegressionErrorDistribution from ONE distributive agg: residual
+    d = (l_orderkey % 5) − 1 is asymmetric (mean ≈ 1), so the
+    systematic-error surface is non-vacuous; kurtosis comes from the
+    raw-moment identities over integer-exact sums, the median from the
+    exact percentile — both reproduced arithmetically in SQL."""
+    from deepchecks_spark.checks.performance import RegressionErrorDistribution
+
+    df = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_quantity AS y",
+        "l_quantity - ((l_orderkey % 5) - 1.0) AS pred",
+    )
+    ds = Dataset(df, label="y", infer_categorical=False)
+    value, _ = RegressionErrorDistribution("pred").compute(_ctx(ds), "train")
+    return spark.createDataFrame(
+        [(round(value["Mean Prediction Error"], 6),
+          round(value["Median Prediction Error"], 6),
+          round(value["Kurtosis Value"], 6),
+          round(value["RMSE"], 6))],
+        "mean_err double, median_err double, kurtosis double, rmse double",
+    )
+
+
+def o_regression_error_dist_lineitem():
+    return """
+    WITH d AS (SELECT (l_orderkey % 5)::DOUBLE - 1.0 AS d
+               FROM lineitem WHERE l_quantity IS NOT NULL),
+         s AS (SELECT count(*)::DOUBLE AS n, sum(d) AS s1, sum(d*d) AS s2,
+                      sum(d*d*d) AS s3, sum(d*d*d*d) AS s4, median(d) AS med
+               FROM d),
+         m AS (SELECT s.*, s1 / n AS mean FROM s)
+    SELECT round(mean, 6) AS mean_err,
+           round(med, 6) AS median_err,
+           round(((s4 - 4 * mean * s3 + 6 * mean * mean * s2) / n - 3 * mean * mean * mean * mean)
+                 / ((s2 / n - mean * mean) * (s2 / n - mean * mean)) - 3.0, 6) AS kurtosis,
+           round(sqrt(s2 / n), 6) AS rmse
+    FROM m
+    """
+
+
+def q_simple_model_comparison_embeddings(spark, sf_dir):
+    """SimpleModelComparison without a model: the 'most_frequent'
+    baseline's per-class F1 is closed-form from the label histograms
+    (majority class scores 2r/(1+r), others 0); gains vs the scored
+    predictions column come from the same confusion-cell pass. The
+    oracle recomputes all three columns per class in SQL."""
+    from deepchecks_spark.checks.performance import SimpleModelComparison, get_gain
+    from deepchecks_spark.core.context import Context
+
+    base = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label",
+        "CASE WHEN vec_id % 5 = 0 THEN CAST((label + 1) % 10 AS INT) "
+        "ELSE label END AS pred",
+    )
+    train = Dataset(base.filter("vec_id % 2 = 0").drop("vec_id"),
+                    label="label", infer_categorical=False)
+    test = Dataset(base.filter("vec_id % 2 = 1").drop("vec_id"),
+                   label="label", infer_categorical=False)
+    check = SimpleModelComparison("pred")
+    value, _ = check.compute(Context(train=train, test=test))
+    rows = []
+    for c, ms in value["scores"]["F1"].items():
+        gain = get_gain(ms["Simple"], ms["Origin"], 1.0, check.max_gain)
+        rows.append((int(c), round(ms["Origin"], 6), round(ms["Simple"], 6),
+                     round(gain, 6)))
+    return spark.createDataFrame(
+        rows, "class int, f1_origin double, f1_simple double, gain double")
+
+
+def o_simple_model_comparison_embeddings():
+    return """
+    WITH tr AS (SELECT label AS y, count(*) AS n FROM embeddings
+                WHERE vec_id % 2 = 0 AND label IS NOT NULL GROUP BY 1),
+         maj AS (SELECT y FROM tr ORDER BY n DESC, CAST(y AS VARCHAR) LIMIT 1),
+         d AS (SELECT label AS y,
+                      CASE WHEN vec_id % 5 = 0 THEN CAST((label + 1) % 10 AS INT)
+                           ELSE label END AS p
+               FROM embeddings WHERE vec_id % 2 = 1 AND label IS NOT NULL),
+         cells AS (SELECT y, p, count(*) AS n FROM d GROUP BY 1, 2),
+         classes AS (SELECT DISTINCT y AS c FROM d UNION SELECT DISTINCT p FROM d),
+         stats AS (SELECT cl.c,
+                          coalesce(sum(CASE WHEN ce.y = cl.c AND ce.p = cl.c THEN ce.n END), 0) AS tp,
+                          coalesce(sum(CASE WHEN ce.p = cl.c THEN ce.n END), 0) AS pred_n,
+                          coalesce(sum(CASE WHEN ce.y = cl.c THEN ce.n END), 0) AS true_n
+                   FROM classes cl LEFT JOIN cells ce ON TRUE GROUP BY 1),
+         tot AS (SELECT sum(n)::DOUBLE AS nt FROM cells),
+         f AS (SELECT c,
+                      CASE WHEN tp = 0 OR pred_n = 0 OR true_n = 0 THEN 0.0
+                           ELSE 2.0 * (tp / pred_n) * (tp / true_n)
+                                / ((tp / pred_n) + (tp / true_n)) END AS origin,
+                      CASE WHEN c = (SELECT y FROM maj)
+                           THEN 2.0 * (true_n / (SELECT nt FROM tot))
+                                / (1.0 + true_n / (SELECT nt FROM tot))
+                           ELSE 0.0 END AS simple
+               FROM stats)
+    SELECT c AS class, round(origin, 6) AS f1_origin, round(simple, 6) AS f1_simple,
+           round((origin - simple) / (1.0 - simple), 6) AS gain
+    FROM f
+    """
+
+
 def q_weak_segments_orders(spark, sf_dir):
     """WeakSegmentsPerformance over categorical segment grid
     (o_orderpriority × o_orderstatus): the planted segment
@@ -2124,6 +2225,8 @@ QUERIES = {
     "roc_auc_embeddings": q_roc_auc_embeddings,
     "calibration_embeddings": q_calibration_embeddings,
     "lsh_autotune_recall_embeddings": q_lsh_autotune_recall_embeddings,
+    "regression_error_dist_lineitem": q_regression_error_dist_lineitem,
+    "simple_model_comparison_embeddings": q_simple_model_comparison_embeddings,
 }
 
 ORACLES = {
@@ -2193,4 +2296,6 @@ ORACLES = {
     "roc_auc_embeddings": o_roc_auc_embeddings(),
     "calibration_embeddings": o_calibration_embeddings(),
     "lsh_autotune_recall_embeddings": o_lsh_autotune_recall_embeddings(),
+    "regression_error_dist_lineitem": o_regression_error_dist_lineitem(),
+    "simple_model_comparison_embeddings": o_simple_model_comparison_embeddings(),
 }

@@ -329,3 +329,75 @@ def test_weak_segments_numeric_binning(spark):
     assert segs[0]["Score"] < result.value["avg_score"]
     assert segs[0]["Feature1"] == "x"
     assert segs[0]["Feature2"] == ""
+
+
+def test_regression_error_distribution(spark):
+    from deepchecks_spark.checks.performance import RegressionErrorDistribution
+
+    # d = (i % 5) - 1: asymmetric residuals, closed-form moments
+    rows = [(i, float(20 + i % 9), float(20 + i % 9) - ((i % 5) - 1.0))
+            for i in range(1000)]
+    ds = Dataset(spark.createDataFrame(rows, "id long, y double, pred double"),
+                 label="y", infer_categorical=False)
+    check = RegressionErrorDistribution("pred")
+    check.add_condition_kurtosis_greater_than(-2.0)
+    check.add_condition_systematic_error_ratio_to_rmse_less_than(0.01)
+    result = check.run(ds)
+    d = np.array([r[1] - r[2] for r in rows])
+    mean = d.mean()
+    m2 = ((d - mean) ** 2).mean()
+    m4 = ((d - mean) ** 4).mean()
+    assert result.value["Mean Prediction Error"] == pytest.approx(mean)
+    assert result.value["Median Prediction Error"] == pytest.approx(np.median(d))
+    assert result.value["Kurtosis Value"] == pytest.approx(m4 / m2 ** 2 - 3.0)
+    assert result.value["RMSE"] == pytest.approx(np.sqrt((d ** 2).mean()))
+    # mean error 1.0 vs rmse ~1.4 -> systematic error condition FAILs
+    cats = {c.name: c.category for c in result.conditions_results}
+    assert cats[f"Kurtosis value higher than -2"] == ConditionCategory.PASS
+    assert any(v == ConditionCategory.FAIL for v in cats.values())
+
+
+def test_regression_error_distribution_wide_tails_warn(spark):
+    from deepchecks_spark.checks.performance import RegressionErrorDistribution
+
+    # symmetric two-point residual distribution: kurtosis = -2 < -0.1 -> WARN
+    rows = [(i, 10.0, 10.0 + (1.0 if i % 2 else -1.0)) for i in range(400)]
+    ds = Dataset(spark.createDataFrame(rows, "id long, y double, pred double"),
+                 label="y", infer_categorical=False)
+    check = RegressionErrorDistribution("pred").add_condition_kurtosis_greater_than()
+    result = check.run(ds)
+    assert result.value["Kurtosis Value"] == pytest.approx(-2.0)
+    assert result.conditions_results[0].category == ConditionCategory.WARN
+
+
+def test_simple_model_comparison_gain(spark):
+    from deepchecks_spark.checks.performance import SimpleModelComparison, get_gain
+
+    # train: class 1 is the majority; test: model predicts 90% correctly
+    train = spark.createDataFrame(
+        [(i, 1 if i % 3 else 0, 0) for i in range(300)], "id long, lbl int, pred int")
+    test = spark.createDataFrame(
+        [(i, i % 2, (1 - i % 2) if i % 10 == 0 else i % 2) for i in range(300)],
+        "id long, lbl int, pred int")
+    ds_tr = Dataset(train, label="lbl", infer_categorical=False)
+    ds_te = Dataset(test, label="lbl", infer_categorical=False)
+    check = SimpleModelComparison("pred").add_condition_gain_greater_than(0.1)
+    result = check.run(ds_tr, ds_te)
+    scores = result.value["scores"]["F1"]
+    # majority class from TRAIN is 1 -> simple predicts constant 1 on test
+    r = 150 / 300
+    assert scores[1]["Simple"] == pytest.approx(2 * r / (1 + r))
+    assert scores[0]["Simple"] == 0.0
+    assert scores[0]["Origin"] > 0.85 and scores[1]["Origin"] > 0.85
+    assert result.conditions_results[0].category == ConditionCategory.PASS
+    # gain formula parity with the reference's utils/metrics.py
+    assert get_gain(0.5, 0.9, 1.0, 50) == pytest.approx(0.8)
+    assert get_gain(1.0, 0.5, 1.0, 50) == -50
+    assert get_gain(1.0, 1.0, 1.0, 50) == 0
+
+
+def test_simple_model_comparison_rejects_unsupported_strategy():
+    from deepchecks_spark.checks.performance import SimpleModelComparison
+
+    with pytest.raises(ValueError, match="most_frequent"):
+        SimpleModelComparison("pred", strategy="tree")

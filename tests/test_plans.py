@@ -95,3 +95,62 @@ def test_minhash_plan_does_not_duplicate_shingle_build(spark):
     # feeding the explode) — a second occurrence means a duplicated
     # evaluation in an inferred filter
     assert plan.count("lambdafunction(array_join(slice(") == 1, plan
+
+
+def test_confusion_cells_partial_agg_before_exchange(spark):
+    # SingleDatasetPerformance/ConfusionMatrixReport: the n_classes²
+    # cell pass must map-side combine (partial_count under the Exchange)
+    from deepchecks_spark.checks.performance import confusion_cells_frame
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = df.selectExpr("label as __y", "cast(label as int) as __p")
+    plan = _plan(confusion_cells_frame(pairs))
+    assert "partial_count" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_train_test_performance_single_shuffle_over_union(spark):
+    # the union-tagged cell pass is ONE job with ONE shuffle — a second
+    # Exchange would mean the two datasets are aggregated separately
+    from deepchecks_spark.checks.performance import tagged_union_cells
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sides = [
+        df.filter("vec_id % 2 = 0").selectExpr("'Train' as __ds", "label as __y",
+                                               "label as __p"),
+        df.filter("vec_id % 2 = 1").selectExpr("'Test' as __ds", "label as __y",
+                                               "label as __p"),
+    ]
+    plan = _plan(tagged_union_cells(sides))
+    assert "Union" in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+
+
+def test_weak_segments_grouping_sets_single_scan(spark):
+    # all feature-pair segment grids come from ONE scan + ONE Expand
+    # (grouping sets), not one job per pair
+    from deepchecks_spark.checks.performance import segment_grid
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    prep = df.selectExpr("o_orderpriority as __b_0", "o_orderstatus as __b_1",
+                         "cast(o_orderkey % 2 as long) as __b_2",
+                         "cast(1 as long) as __correct")
+    sets = [["__b_0", "__b_1"], ["__b_0", "__b_2"], ["__b_1", "__b_2"]]
+    grid = segment_grid(prep, sets, ["__b_0", "__b_1", "__b_2"])
+    plan = _plan(grid)
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan
+
+
+def test_roc_histogram_single_pass_mapside_combine(spark):
+    from deepchecks_spark.checks.performance import roc_score_histogram
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .selectExpr("cast(label % 2 as int) as lbl", "(vec_id % 100) / 100.0 as p")
+    hist = roc_score_histogram(df, "lbl", {1: "p"}, n_bins=None)
+    plan = _plan(hist)
+    assert plan.count("Exchange") == 1  # one shuffle for the (class, score) agg
+    assert plan.count("Scan parquet") == 1
+    assert "Generate" in plan  # the explode melt
