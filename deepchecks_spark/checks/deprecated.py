@@ -15,13 +15,23 @@ from __future__ import annotations
 import warnings
 
 from deepchecks_spark.checks.ml import MultivariateDrift
-from deepchecks_spark.checks.traintest import FeatureDrift, LabelDrift, NewCategoryTrainTest
+from deepchecks_spark.checks.performance import (
+    RegressionErrorDistribution as _RegressionErrorDistribution,
+)
+from deepchecks_spark.checks.traintest import (
+    FeatureDrift,
+    LabelDrift,
+    NewCategoryTrainTest,
+    PredictionDrift as _PredictionDrift,
+)
 
 __all__ = [
     "WholeDatasetDrift",
     "CategoryMismatchTrainTest",
     "TrainTestFeatureDrift",
     "TrainTestLabelDrift",
+    "TrainTestPredictionDrift",
+    "RegressionSystematicError",
 ]
 
 
@@ -64,3 +74,22 @@ class TrainTestLabelDrift(LabelDrift):
     def __init__(self, **kwargs):
         _warn("TrainTestLabelDrift", "LabelDrift")
         super().__init__(**kwargs)
+
+
+class TrainTestPredictionDrift(_PredictionDrift):
+    """Deprecated alias of PredictionDrift (reference
+    model_evaluation/train_test_prediction_drift.py)."""
+
+    def __init__(self, *args, **kwargs):
+        _warn("TrainTestPredictionDrift", "PredictionDrift")
+        super().__init__(*args, **kwargs)
+
+
+class RegressionSystematicError(_RegressionErrorDistribution):
+    """Deprecated alias (reference model_evaluation/
+    regression_systematic_error.py:25-44 — deprecated upstream in favor
+    of RegressionErrorDistribution's systematic-error condition)."""
+
+    def __init__(self, *args, **kwargs):
+        _warn("RegressionSystematicError", "RegressionErrorDistribution")
+        super().__init__(*args, **kwargs)

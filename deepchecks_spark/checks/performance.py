@@ -470,6 +470,263 @@ class TrainTestPerformance(TrainTestCheck):
         return {f"{r['Metric']} ({r['Dataset']})": r["Value"] for r in check_result.value}
 
 
+def quantile_bin_exprs(df, cols: list, n_bins: int) -> dict:
+    """Binning expressions for a mixed set of columns: numeric columns
+    get quantile-edge range labels (ONE multi-column approxQuantile
+    pass), everything else passes through as its string value; NULL maps
+    to the literal "None". Shared by WeakSegmentsPerformance and
+    PerformanceBias (the reference's partition_column,
+    utils/performance/partition.py)."""
+    from pyspark.sql import types as T
+
+    numeric_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                     T.FloatType, T.DoubleType)
+    numeric_cols = [c for c in cols if isinstance(df.schema[c].dataType, numeric_types)]
+    probs = [i / n_bins for i in range(1, n_bins)]
+    edges_by_col = {}
+    if numeric_cols and probs:
+        quantiles = df.approxQuantile(numeric_cols, probs, 0.001)
+        for c, qs in zip(numeric_cols, quantiles):
+            edges_by_col[c] = sorted(set(qs))
+
+    def bin_expr(c):
+        col = F.col(f"`{c}`")
+        if c in numeric_cols:
+            edges = edges_by_col.get(c, [])
+            if not edges:
+                return F.when(col.isNull(), F.lit("None")).otherwise(F.lit("all"))
+            expr = F.when(col.isNull(), F.lit("None"))
+            expr = expr.when(col <= F.lit(edges[0]), F.lit(f"(-inf, {edges[0]}]"))
+            for lo, hi in zip(edges, edges[1:]):
+                expr = expr.when(col <= F.lit(hi), F.lit(f"({lo}, {hi}]"))
+            return expr.otherwise(F.lit(f"({edges[-1]}, inf)"))
+        return F.coalesce(col.cast("string"), F.lit("None"))
+
+    return {c: bin_expr(c) for c in cols}
+
+
+class PerformanceBias(SingleDatasetCheck):
+    """Performance differences between subgroups of a protected feature,
+    optionally within each category of a control feature (reference
+    model_evaluation/performance_bias.py:28-512, predictions-column
+    contract). The reference scores each subgroup's pandas slice through
+    the model; here every subgroup's score comes from ONE
+    groupBy(protected_bin[, control_bin], label, pred).count() pass —
+    bounded by bins² × classes² cells — and the baseline is the
+    cell-merge over all subgroups (within each control level), so no
+    second scan.
+
+    value = {'scores_df': [{<protected>, [<control>,] '_score',
+    '_baseline', '_count'}...]} — subgroups below ``min_subgroup_size``
+    score NaN, like the reference.
+    """
+
+    MAX_CELLS = 1_000_000
+
+    def __init__(self, prediction_column: str, protected_feature: str,
+                 control_feature: str | None = None, scorer: str = "accuracy",
+                 max_bins: int = 10, min_subgroup_size: int = 10,
+                 n_samples=USE_DEFAULT, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        if scorer not in SUPPORTED_SCORERS:
+            raise ValueError(
+                f"unsupported scorer {scorer!r}; supported: {SUPPORTED_SCORERS}")
+        if control_feature is not None and control_feature == protected_feature:
+            raise ValueError("protected_feature and control_feature cannot be the same.")
+        self.prediction_column = prediction_column
+        self.protected_feature = protected_feature
+        self.control_feature = control_feature
+        self.scorer = scorer
+        self.max_bins = max_bins
+        self.min_subgroup_size = min_subgroup_size
+
+    def compute(self, ctx, kind):
+        import math
+
+        ds = ctx.data(kind)
+        if ds.label_name is None:
+            raise ValueError("PerformanceBias requires a label column")
+        df = self._effective_df(ctx, kind)
+        for c in (self.protected_feature, self.control_feature):
+            if c is not None and c not in df.columns:
+                raise ValueError(f"Feature {c} not found in dataset.")
+        bin_cols = [self.protected_feature] + (
+            [self.control_feature] if self.control_feature else [])
+        exprs = quantile_bin_exprs(df, bin_cols, self.max_bins)
+        y = F.col(f"`{ds.label_name}`")
+        p = F.col(f"`{self.prediction_column}`")
+        grouped = (
+            df.filter(y.isNotNull() & p.isNotNull())
+            .groupBy(*[exprs[c].alias(f"__g_{i}") for i, c in enumerate(bin_cols)],
+                     y.alias("__y"), p.alias("__p"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        rows = grouped.limit(self.MAX_CELLS + 1).collect()
+        if len(rows) > self.MAX_CELLS:
+            raise ValueError(
+                f"{self.name()}: subgroup×class cells exceed {self.MAX_CELLS} — "
+                "label/prediction not classification-shaped or feature too granular")
+        # cells keyed by (protected_bin, control_bin)
+        by_group: dict = {}
+        for r in rows:
+            key = (r["__g_0"], r["__g_1"] if self.control_feature else None)
+            by_group.setdefault(key, {})[(r["__y"], r["__p"])] = r["__n"]
+
+        def score_of(cells):
+            n = sum(cells.values())
+            if n < self.min_subgroup_size:
+                return float("nan"), n
+            return scores_from_confusion(cells, [self.scorer])[self.scorer], n
+
+        # baseline per control level = merged cells across subgroups
+        baselines = {}
+        for ctrl in {k[1] for k in by_group}:
+            merged: dict = {}
+            for (prot, c2), cells in by_group.items():
+                if c2 != ctrl:
+                    continue
+                for cell, n in cells.items():
+                    merged[cell] = merged.get(cell, 0) + n
+            baselines[ctrl] = scores_from_confusion(merged, [self.scorer])[self.scorer] \
+                if merged else float("nan")
+        out = []
+        for (prot, ctrl) in sorted(by_group, key=lambda k: (str(k[0]), str(k[1]))):
+            s, n = score_of(by_group[(prot, ctrl)])
+            row = {self.protected_feature: prot, "_score": s,
+                   "_baseline": baselines[ctrl], "_count": n}
+            if self.control_feature:
+                row[self.control_feature] = ctrl
+            out.append(row)
+        return {"scores_df": out}, None
+
+    @staticmethod
+    def _bounded(result, lower_bound, upper_bound, relative):
+        import math
+
+        n_fail = 0
+        for row in result["scores_df"]:
+            d = row["_score"] - row["_baseline"]
+            if relative:
+                if row["_baseline"] == 0:
+                    continue  # reference maps zero-baseline to NaN → never fails
+                d = d / row["_baseline"]
+            if math.isnan(d):
+                continue
+            if d < lower_bound or d > upper_bound:
+                n_fail += 1
+        return n_fail
+
+    def add_condition_bounded_performance_difference(self, lower_bound,
+                                                     upper_bound=float("inf")):
+        """reference performance_bias.py:452-478: (score − baseline)
+        within bounds for every subgroup."""
+        def condition(result):
+            n_fail = self._bounded(result, lower_bound, upper_bound, relative=False)
+            details = (f"Found {n_fail} subgroups with performance differences "
+                       "outside of the given bounds.")
+            return ConditionResult(
+                ConditionCategory.PASS if n_fail == 0 else ConditionCategory.FAIL,
+                details)
+
+        return self.add_condition(
+            f"Performance differences are bounded between {lower_bound} and {upper_bound}.",
+            condition)
+
+    def add_condition_bounded_relative_performance_difference(
+            self, lower_bound, upper_bound=float("inf")):
+        """reference performance_bias.py:480-512: (score − baseline)/baseline
+        within bounds."""
+        def condition(result):
+            n_fail = self._bounded(result, lower_bound, upper_bound, relative=True)
+            details = (f"Found {n_fail} subgroups with relative performance "
+                       "differences outside of the given bounds.")
+            return ConditionResult(
+                ConditionCategory.PASS if n_fail == 0 else ConditionCategory.FAIL,
+                details)
+
+        return self.add_condition(
+            f"Relative performance differences are bounded between {lower_bound} "
+            f"and {upper_bound}.", condition)
+
+    def reduce_output(self, check_result) -> dict:
+        import math
+
+        diffs = [row["_score"] - row["_baseline"]
+                 for row in check_result.value["scores_df"]
+                 if not math.isnan(row["_score"])]
+        return {"max_performance_difference_drop": min(diffs) if diffs else 0.0}
+
+
+class MultiModelPerformanceReport(SingleDatasetCheck):
+    """Per-class metrics for SEVERAL scored prediction columns side by
+    side (reference model_evaluation/multi_model_performance_report.py:
+    29-110, which loops ``model.predict`` per model; the engine melts
+    all models' (label, prediction) pairs in one explode and aggregates
+    every model's confusion matrix in a SINGLE groupBy — one scan
+    regardless of model count).
+
+    ``prediction_columns``: {model_name: column}. value = list of
+    {'Model', 'Metric', 'Class', 'Value', 'Number of samples'} rows
+    (per-class F1 / precision / recall — the reference's multiclass
+    surface).
+    """
+
+    MAX_CELLS = 1_000_000
+
+    def __init__(self, prediction_columns: dict, n_samples=USE_DEFAULT, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        if not prediction_columns:
+            raise ValueError("prediction_columns must name at least one model")
+        self.prediction_columns = dict(prediction_columns)
+
+    def compute(self, ctx, kind):
+        ds = ctx.data(kind)
+        if ds.label_name is None:
+            raise ValueError("MultiModelPerformanceReport requires a label column")
+        df = self._effective_df(ctx, kind)
+        y = F.col(f"`{ds.label_name}`")
+        models = sorted(self.prediction_columns, key=str)
+        entries = [
+            F.struct(F.lit(str(m)).alias("mdl"),
+                     F.col(f"`{self.prediction_columns[m]}`").alias("p"))
+            for m in models
+        ]
+        grouped = (
+            df.filter(y.isNotNull())
+            .select(y.alias("__y"), F.explode(F.array(*entries)).alias("e"))
+            .filter(F.col("e.p").isNotNull())
+            .groupBy(F.col("e.mdl").alias("__m"), "__y", F.col("e.p").alias("__p"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        cap = self.MAX_CELLS
+        rows = grouped.limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"{self.name()}: confusion matrices exceed {cap} cells")
+        out = []
+        for m in models:
+            cells = {(r["__y"], r["__p"]): r["__n"] for r in rows if r["__m"] == str(m)}
+            classes = sorted({c for c, _ in cells} | {c for _, c in cells}, key=str)
+            true_n = {c: sum(n for (yy, _), n in cells.items() if yy == c) for c in classes}
+            pred_n = {c: sum(n for (_, pp), n in cells.items() if pp == c) for c in classes}
+            for c in classes:
+                tp = cells.get((c, c), 0)
+                prec = tp / pred_n[c] if pred_n[c] else 0.0
+                rec = tp / true_n[c] if true_n[c] else 0.0
+                f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+                for metric, v in (("F1", f1), ("Precision", prec), ("Recall", rec)):
+                    out.append({"Model": str(m), "Metric": metric, "Class": c,
+                                "Value": v, "Number of samples": true_n[c]})
+        return out, None
+
+    def reduce_output(self, check_result) -> dict:
+        out = {}
+        for r in check_result.value:
+            if r["Metric"] == "F1":
+                out[f"F1 {r['Model']} class {r['Class']}"] = r["Value"]
+        return out
+
+
 class RegressionErrorDistribution(SingleDatasetCheck):
     """Systematic error + abnormal shape of the regression error
     distribution (reference model_evaluation/
@@ -905,8 +1162,6 @@ class WeakSegmentsPerformance(SingleDatasetCheck):
     def compute(self, ctx, kind):
         from itertools import combinations
 
-        from pyspark.sql import types as T
-
         ds = ctx.data(kind)
         if ds.label_name is None:
             raise ValueError("WeakSegmentsPerformance requires a label column")
@@ -915,36 +1170,12 @@ class WeakSegmentsPerformance(SingleDatasetCheck):
         if not cands:
             return {"weak_segments_list": [], "avg_score": None,
                     "message": "No segmentable feature columns found"}, None
-        numeric_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                         T.FloatType, T.DoubleType)
-        numeric_cols = [c for c in cands
-                        if isinstance(df.schema[c].dataType, numeric_types)]
-        probs = [i / self.n_bins for i in range(1, self.n_bins)]
-        # one pass computes every numeric column's bin edges
-        edges_by_col = {}
-        if numeric_cols:
-            quantiles = df.approxQuantile(numeric_cols, probs, 0.001)
-            for c, qs in zip(numeric_cols, quantiles):
-                edges_by_col[c] = sorted(set(qs))
-
-        def bin_expr(c):
-            col = F.col(f"`{c}`")
-            if c in edges_by_col:
-                edges = edges_by_col[c]
-                if not edges:
-                    return F.when(col.isNull(), F.lit("None")).otherwise(F.lit("all"))
-                expr = F.when(col.isNull(), F.lit("None"))
-                expr = expr.when(col <= F.lit(edges[0]), F.lit(f"(-inf, {edges[0]}]"))
-                for lo, hi in zip(edges, edges[1:]):
-                    expr = expr.when(col <= F.lit(hi), F.lit(f"({lo}, {hi}]"))
-                return expr.otherwise(F.lit(f"({edges[-1]}, inf)"))
-            return F.coalesce(col.cast("string"), F.lit("None"))
-
+        exprs = quantile_bin_exprs(df, cands, self.n_bins)
         bin_cols = [f"__b_{i}" for i in range(len(cands))]
         y = F.col(f"`{ds.label_name}`")
         p = F.col(f"`{self.prediction_column}`")
         prep = df.filter(y.isNotNull() & p.isNotNull()).select(
-            *[bin_expr(c).alias(b) for c, b in zip(cands, bin_cols)],
+            *[exprs[c].alias(b) for c, b in zip(cands, bin_cols)],
             (y == p).cast("long").alias("__correct"),
         )
         if len(cands) == 1:

@@ -2105,6 +2105,99 @@ def o_simple_model_comparison_embeddings():
     """
 
 
+def q_performance_bias_orders(spark, sf_dir):
+    """PerformanceBias over a protected categorical feature: the
+    '1-URGENT' subgroup mispredicts every 3rd row, the rest are
+    perfect; subgroup scores and the shared baseline come from one
+    grouped cell pass, all recomputed in SQL."""
+    from deepchecks_spark.checks.performance import PerformanceBias
+
+    df = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority",
+        "CAST(o_orderkey % 2 AS INT) AS lbl",
+        "CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0 "
+        "THEN CAST(1 - o_orderkey % 2 AS INT) ELSE CAST(o_orderkey % 2 AS INT) END AS pred",
+    )
+    ds = Dataset(df, label="lbl", cat_features=["o_orderpriority"],
+                 infer_categorical=False)
+    value, _ = PerformanceBias("pred", protected_feature="o_orderpriority") \
+        .compute(_ctx(ds), "train")
+    rows = [(r["o_orderpriority"], round(float(r["_score"]), 6),
+             round(float(r["_baseline"]), 6), int(r["_count"]))
+            for r in value["scores_df"]]
+    return spark.createDataFrame(
+        rows, "subgroup string, score double, baseline double, n long")
+
+
+def o_performance_bias_orders():
+    return """
+    WITH d AS (SELECT o_orderpriority AS g,
+                      CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0
+                           THEN 1 ELSE 0 END AS wrong
+               FROM orders),
+         seg AS (SELECT g, count(*) AS n, sum(wrong) AS w FROM d GROUP BY 1),
+         tot AS (SELECT sum(n)::DOUBLE AS tn, sum(w)::DOUBLE AS tw FROM seg)
+    SELECT g AS subgroup,
+           round((n - w) / n::DOUBLE, 6) AS score,
+           round((SELECT (tn - tw) / tn FROM tot), 6) AS baseline,
+           n::BIGINT AS n
+    FROM seg
+    """
+
+
+def q_multi_model_embeddings(spark, sf_dir):
+    """MultiModelPerformanceReport: two scored prediction columns (A
+    flips every 5th row by +1, B every 3rd by +2) evaluated per class
+    in ONE melted groupBy; the F1 rows must match the SQL recomputation
+    over the same union of (model, label, pred) triples."""
+    from deepchecks_spark.checks.performance import MultiModelPerformanceReport
+
+    df = _t(spark, sf_dir, "embeddings").selectExpr(
+        "label",
+        "CASE WHEN vec_id % 5 = 0 THEN CAST((label + 1) % 10 AS INT) "
+        "ELSE label END AS pa",
+        "CASE WHEN vec_id % 3 = 0 THEN CAST((label + 2) % 10 AS INT) "
+        "ELSE label END AS pb",
+    )
+    ds = Dataset(df, label="label", infer_categorical=False)
+    value, _ = MultiModelPerformanceReport({"A": "pa", "B": "pb"}) \
+        .compute(_ctx(ds), "train")
+    rows = [(r["Model"], int(r["Class"]), round(float(r["Value"]), 6),
+             int(r["Number of samples"]))
+            for r in value if r["Metric"] == "F1"]
+    return spark.createDataFrame(rows, "model string, class int, f1 double, n long")
+
+
+def o_multi_model_embeddings():
+    return """
+    WITH d AS (
+        SELECT 'A' AS m, label AS y,
+               CASE WHEN vec_id % 5 = 0 THEN CAST((label + 1) % 10 AS INT)
+                    ELSE label END AS p
+        FROM embeddings WHERE label IS NOT NULL
+        UNION ALL
+        SELECT 'B', label,
+               CASE WHEN vec_id % 3 = 0 THEN CAST((label + 2) % 10 AS INT)
+                    ELSE label END
+        FROM embeddings WHERE label IS NOT NULL),
+         cells AS (SELECT m, y, p, count(*) AS n FROM d GROUP BY 1, 2, 3),
+         classes AS (SELECT DISTINCT m, y AS c FROM d
+                     UNION SELECT DISTINCT m, p FROM d),
+         stats AS (SELECT cl.m, cl.c,
+                          coalesce(sum(CASE WHEN ce.y = cl.c AND ce.p = cl.c THEN ce.n END), 0) AS tp,
+                          coalesce(sum(CASE WHEN ce.p = cl.c THEN ce.n END), 0) AS pred_n,
+                          coalesce(sum(CASE WHEN ce.y = cl.c THEN ce.n END), 0) AS true_n
+                   FROM classes cl LEFT JOIN cells ce ON ce.m = cl.m
+                   GROUP BY 1, 2)
+    SELECT m AS model, c AS class,
+           round(CASE WHEN tp = 0 OR pred_n = 0 OR true_n = 0 THEN 0.0
+                      ELSE 2.0 * (tp / pred_n) * (tp / true_n)
+                           / ((tp / pred_n) + (tp / true_n)) END, 6) AS f1,
+           true_n::BIGINT AS n
+    FROM stats
+    """
+
+
 def q_weak_segments_orders(spark, sf_dir):
     """WeakSegmentsPerformance over categorical segment grid
     (o_orderpriority × o_orderstatus): the planted segment
@@ -2227,6 +2320,8 @@ QUERIES = {
     "lsh_autotune_recall_embeddings": q_lsh_autotune_recall_embeddings,
     "regression_error_dist_lineitem": q_regression_error_dist_lineitem,
     "simple_model_comparison_embeddings": q_simple_model_comparison_embeddings,
+    "performance_bias_orders": q_performance_bias_orders,
+    "multi_model_embeddings": q_multi_model_embeddings,
 }
 
 ORACLES = {
@@ -2298,4 +2393,6 @@ ORACLES = {
     "lsh_autotune_recall_embeddings": o_lsh_autotune_recall_embeddings(),
     "regression_error_dist_lineitem": o_regression_error_dist_lineitem(),
     "simple_model_comparison_embeddings": o_simple_model_comparison_embeddings(),
+    "performance_bias_orders": o_performance_bias_orders(),
+    "multi_model_embeddings": o_multi_model_embeddings(),
 }

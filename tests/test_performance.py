@@ -401,3 +401,109 @@ def test_simple_model_comparison_rejects_unsupported_strategy():
 
     with pytest.raises(ValueError, match="most_frequent"):
         SimpleModelComparison("pred", strategy="tree")
+
+
+def test_performance_bias_planted_subgroup(spark):
+    from deepchecks_spark.checks.performance import PerformanceBias
+
+    # subgroup 'a': every 3rd row mispredicted; 'b'/'c' perfect
+    rows = [(i, "abc"[i % 3], i % 2,
+             (1 - i % 2) if (i % 3 == 0 and i % 6 == 0) else i % 2)
+            for i in range(900)]
+    ds = Dataset(spark.createDataFrame(rows, "id long, grp string, lbl int, pred int"),
+                 label="lbl", cat_features=["grp"], infer_categorical=False)
+    check = PerformanceBias("pred", protected_feature="grp")
+    check.add_condition_bounded_performance_difference(lower_bound=-0.05)
+    result = check.run(ds)
+    by = {r["grp"]: r for r in result.value["scores_df"]}
+    # 'a' rows: i % 3 == 0; wrong when also i % 6 == 0 → half of them
+    assert by["a"]["_score"] == pytest.approx(0.5)
+    assert by["b"]["_score"] == pytest.approx(1.0)
+    assert by["c"]["_score"] == pytest.approx(1.0)
+    expected_baseline = (900 - 150) / 900
+    for r in by.values():
+        assert r["_baseline"] == pytest.approx(expected_baseline)
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
+    loose = PerformanceBias("pred", protected_feature="grp")
+    loose.add_condition_bounded_performance_difference(lower_bound=-0.5)
+    assert loose.run(ds).conditions_results[0].category == ConditionCategory.PASS
+
+
+def test_performance_bias_with_control_feature(spark):
+    from deepchecks_spark.checks.performance import PerformanceBias
+
+    # errors only in (grp='a', ctl='x'); baselines computed per control level
+    rows = []
+    for i in range(800):
+        grp = "ab"[i % 2]
+        ctl = "xy"[(i // 2) % 2]
+        lbl = i % 2
+        pred = (1 - lbl) if (grp == "a" and ctl == "x" and i % 4 == 0) else lbl
+        rows.append((i, grp, ctl, lbl, pred))
+    ds = Dataset(
+        spark.createDataFrame(rows, "id long, grp string, ctl string, lbl int, pred int"),
+        label="lbl", cat_features=["grp", "ctl"], infer_categorical=False)
+    result = PerformanceBias("pred", protected_feature="grp",
+                             control_feature="ctl").run(ds)
+    by = {(r["grp"], r["ctl"]): r for r in result.value["scores_df"]}
+    assert len(by) == 4
+    assert by[("a", "x")]["_score"] < 1.0
+    assert by[("a", "y")]["_score"] == pytest.approx(1.0)
+    # y-level baseline is clean, x-level carries the planted errors
+    assert by[("a", "y")]["_baseline"] == pytest.approx(1.0)
+    assert by[("a", "x")]["_baseline"] < 1.0
+
+
+def test_performance_bias_small_subgroup_nan(spark):
+    import math
+
+    from deepchecks_spark.checks.performance import PerformanceBias
+
+    rows = [(i, "big" if i else "tiny", i % 2, i % 2) for i in range(200)]
+    ds = Dataset(spark.createDataFrame(rows, "id long, grp string, lbl int, pred int"),
+                 label="lbl", cat_features=["grp"], infer_categorical=False)
+    check = PerformanceBias("pred", protected_feature="grp", min_subgroup_size=10)
+    check.add_condition_bounded_performance_difference(lower_bound=-0.01)
+    result = check.run(ds)
+    by = {r["grp"]: r for r in result.value["scores_df"]}
+    assert math.isnan(by["tiny"]["_score"])  # below min size, like the reference
+    # NaN subgroups never fail the condition
+    assert result.conditions_results[0].category == ConditionCategory.PASS
+
+
+def test_multi_model_performance_report(spark):
+    from deepchecks_spark.checks.performance import MultiModelPerformanceReport
+
+    # model A perfect, model B flips every 4th row
+    rows = [(i, i % 3, i % 3, ((i % 3) + 1) % 3 if i % 4 == 0 else i % 3)
+            for i in range(600)]
+    ds = Dataset(spark.createDataFrame(rows, "id long, lbl int, pa int, pb int"),
+                 label="lbl", infer_categorical=False)
+    result = MultiModelPerformanceReport({"A": "pa", "B": "pb"}).run(ds)
+    by = {(r["Model"], r["Metric"], r["Class"]): r["Value"] for r in result.value}
+    for c in (0, 1, 2):
+        assert by[("A", "F1", c)] == pytest.approx(1.0)
+        assert by[("B", "F1", c)] < 1.0
+    # one scan produced both models' rows: per-class sample counts present
+    ns = {r["Class"]: r["Number of samples"] for r in result.value if r["Model"] == "A"}
+    assert ns == {0: 200, 1: 200, 2: 200}
+
+
+def test_new_deprecated_shims_warn_and_delegate(spark):
+    import warnings as w
+
+    from deepchecks_spark.checks.deprecated import (
+        RegressionSystematicError,
+        TrainTestPredictionDrift,
+    )
+    from deepchecks_spark.checks.performance import RegressionErrorDistribution
+    from deepchecks_spark.checks.traintest import PredictionDrift
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        a = TrainTestPredictionDrift(prediction_column="p")
+        b = RegressionSystematicError("p")
+    assert any("TrainTestPredictionDrift" in str(x.message) for x in caught)
+    assert any("RegressionSystematicError" in str(x.message) for x in caught)
+    assert isinstance(a, PredictionDrift)
+    assert isinstance(b, RegressionErrorDistribution)
