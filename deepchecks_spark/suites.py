@@ -88,15 +88,45 @@ def train_test_validation(label: bool = False, **kwargs) -> Suite:
 
 
 def production_suite(is_comparative: bool = True, prediction_column: str | None = None,
-                     **kwargs) -> Suite:
-    """In-scope subset of the reference production_suite
-    (default_suites.py:333-460). The model_evaluation members
-    (WeakSegmentsPerformance, RocReport, ConfusionMatrixReport,
-    RegressionErrorDistribution, *Performance) require a fitted sklearn
-    model and are out of scope (SURVEY.md scope note); every data-only
-    member is composed identically. PredictionDrift joins the
-    comparative set when a prediction column is named."""
+                     task_type: str | None = None,
+                     probability_columns: dict | None = None, **kwargs) -> Suite:
+    """The reference production_suite (default_suites.py:333-460),
+    composed identically — with the model_evaluation members driven by
+    the predictions-column contract instead of a fitted sklearn model:
+    pass ``prediction_column`` (and optionally ``task_type`` ∈
+    {'classification', 'regression'} and per-class
+    ``probability_columns`` for RocReport) to enable them. Without a
+    prediction column, only the data-only members run."""
     checks = [PercentOfNulls().add_condition_percent_of_nulls_not_greater_than()]
+    if prediction_column:
+        from deepchecks_spark.checks.performance import (
+            ConfusionMatrixReport,
+            RegressionErrorDistribution,
+            RocReport,
+            SingleDatasetPerformance,
+            TrainTestPerformance,
+            WeakSegmentsPerformance,
+        )
+
+        checks.append(
+            WeakSegmentsPerformance(prediction_column)
+            .add_condition_segments_relative_performance_greater_than())
+        if task_type == "regression":
+            checks += [
+                SingleDatasetPerformance(prediction_column, scorers=["rmse", "mae"]),
+                RegressionErrorDistribution(prediction_column)
+                .add_condition_kurtosis_greater_than(),
+            ]
+        else:  # classification (the reference adds both sets when unknown;
+            # a predictions column without probabilities is classification-
+            # shaped here, so default to the classification members)
+            checks += [
+                SingleDatasetPerformance(prediction_column),
+                ConfusionMatrixReport(prediction_column),
+            ]
+            if probability_columns:
+                checks.append(
+                    RocReport(probability_columns).add_condition_auc_greater_than())
     if is_comparative:
         checks += [
             StringMismatchComparison().add_condition_no_new_variants(),
@@ -107,8 +137,11 @@ def production_suite(is_comparative: bool = True, prediction_column: str | None 
             NewCategoryTrainTest().add_condition_new_category_ratio_less_or_equal(),
         ]
         if prediction_column:
-            checks.append(
-                PredictionDrift(prediction_column).add_condition_drift_score_less_than())
+            checks += [
+                PredictionDrift(prediction_column).add_condition_drift_score_less_than(),
+                TrainTestPerformance(prediction_column)
+                .add_condition_train_test_relative_degradation_less_than(),
+            ]
     else:
         checks += [
             StringMismatch().add_condition_no_variants(),

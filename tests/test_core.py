@@ -123,7 +123,20 @@ def test_production_suite_composition():
         "FeatureDrift", "MultivariateDrift", "LabelDrift", "NewCategoryTrainTest",
     ]
     with_pred = [type(c).__name__ for c in production_suite(prediction_column="pred").checks]
-    assert with_pred[-1] == "PredictionDrift"
+    # reference default_suites.py:333-460: model-eval members join when a
+    # prediction column is available (classification default)
+    assert with_pred[-2:] == ["PredictionDrift", "TrainTestPerformance"]
+    assert "WeakSegmentsPerformance" in with_pred
+    assert "ConfusionMatrixReport" in with_pred
+    with_proba = [type(c).__name__ for c in
+                  production_suite(prediction_column="pred",
+                                   probability_columns={1: "p1"}).checks]
+    assert "RocReport" in with_proba
+    regr = [type(c).__name__ for c in
+            production_suite(is_comparative=False, prediction_column="pred",
+                             task_type="regression").checks]
+    assert "RegressionErrorDistribution" in regr
+    assert "ConfusionMatrixReport" not in regr
     solo = [type(c).__name__ for c in production_suite(is_comparative=False).checks]
     assert solo == [
         "PercentOfNulls", "StringMismatch", "FeatureLabelCorrelation",
@@ -221,3 +234,27 @@ def test_check_reduce_outputs_reference_shapes(spark):
                   cat_features=["c"], infer_categorical=False)
     r = NewCategoryTrainTest().run(cat, cat)
     assert r.check.reduce_output(r) == {"Max New Categories Ratio": pytest.approx(0.0)}
+
+
+def test_production_suite_with_predictions_runs_end_to_end(spark):
+    from deepchecks_spark.core.result import CheckFailure
+    from deepchecks_spark.dataset import Dataset
+    from deepchecks_spark.suites import production_suite
+
+    def mk(offset):
+        return spark.createDataFrame(
+            [(i, "g%d" % (i % 3), float(i % 7), i % 2,
+              (1 - i % 2) if (i + offset) % 9 == 0 else i % 2)
+             for i in range(400)],
+            "id long, grp string, x double, lbl int, pred int")
+
+    train = Dataset(mk(0), label="lbl", cat_features=["grp"], infer_categorical=False)
+    test = Dataset(mk(1), label="lbl", cat_features=["grp"], infer_categorical=False)
+    result = production_suite(prediction_column="pred").run(train, test)
+    failures = [r for r in result.results if isinstance(r, CheckFailure)]
+    assert not failures, [repr(f.exception) for f in failures]
+    headers = {r.header for r in result.results}
+    assert "Train Test Performance" in headers
+    # single-dataset members run per side with a dataset suffix
+    assert any(h.startswith("Weak Segments Performance") for h in headers)
+    assert any(h.startswith("Confusion Matrix Report") for h in headers)
