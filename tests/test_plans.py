@@ -154,3 +154,66 @@ def test_roc_histogram_single_pass_mapside_combine(spark):
     assert plan.count("Exchange") == 1  # one shuffle for the (class, score) agg
     assert plan.count("Scan parquet") == 1
     assert "Generate" in plan  # the explode melt
+
+
+def test_multi_model_melt_single_scan(spark):
+    # MultiModelPerformanceReport: N models' confusion matrices from ONE
+    # scan — the explode melt must not duplicate the source read
+    from deepchecks_spark import Dataset
+    from deepchecks_spark.checks.performance import MultiModelPerformanceReport
+    from deepchecks_spark.core.context import Context
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .selectExpr("label", "label as pa", "cast((label + 1) % 10 as int) as pb")
+    ds = Dataset(df, label="label", infer_categorical=False)
+    check = MultiModelPerformanceReport({"A": "pa", "B": "pb"})
+    y = F.col("label")
+    entries = [
+        F.struct(F.lit(m).alias("mdl"), F.col(c).alias("p"))
+        for m, c in (("A", "pa"), ("B", "pb"))
+    ]
+    grouped = (
+        df.filter(y.isNotNull())
+        .select(y.alias("__y"), F.explode(F.array(*entries)).alias("e"))
+        .filter(F.col("e.p").isNotNull())
+        .groupBy(F.col("e.mdl").alias("__m"), "__y", F.col("e.p").alias("__p"))
+        .count()
+    )
+    plan = _plan(grouped)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    # and the real check agrees with itself end-to-end (sanity)
+    value, _ = check.compute(Context(train=ds), "train")
+    assert {r["Model"] for r in value} == {"A", "B"}
+
+
+def test_performance_bias_single_grouped_pass(spark):
+    # subgroup scores AND baseline come from one grouped cell pass —
+    # no second scan for the baseline
+    from deepchecks_spark import Dataset
+    from deepchecks_spark.core.context import Context
+    from deepchecks_spark.checks.performance import PerformanceBias
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+        .selectExpr("o_orderpriority", "cast(o_orderkey % 2 as int) as lbl",
+                    "cast(o_orderkey % 2 as int) as pred")
+    ds = Dataset(df, label="lbl", cat_features=["o_orderpriority"],
+                 infer_categorical=False)
+    import pyspark.sql.classic.dataframe as dataframe_mod
+
+    orig = dataframe_mod.DataFrame.collect
+    n_collects = []
+
+    def spy(self):
+        rows = orig(self)
+        n_collects.append(len(rows))
+        return rows
+
+    dataframe_mod.DataFrame.collect = spy
+    try:
+        value, _ = PerformanceBias("pred", protected_feature="o_orderpriority") \
+            .compute(Context(train=ds), "train")
+    finally:
+        dataframe_mod.DataFrame.collect = orig
+    assert len(n_collects) == 1  # exactly one action: the grouped cells
+    assert len(value["scores_df"]) == 5
