@@ -375,10 +375,14 @@ class TrainTestPerformance(TrainTestCheck):
     contract).
 
     value = list of {'Dataset', 'Metric', 'Value', 'Number of samples'}
-    rows (the reference's results_df shape, aggregate scorers). Spark:
-    ONE pass — the two datasets union with a tag column, so the
-    confusion cells (or regression sums) for both sides come from a
-    single groupBy job instead of two scans.
+    rows (the reference's results_df shape); with the default
+    ``scorers=None`` the reference's per-class classification scorers
+    apply (F1/Precision/Recall per class, ``use_avg_defaults=False`` —
+    train_test_performance.py:92) and each row carries a 'Class' key.
+    Explicit scorers give aggregate rows. Spark: ONE pass — the two
+    datasets union with a tag column, so the confusion cells (or
+    regression sums) for both sides come from a single groupBy job
+    instead of two scans.
     """
 
     MAX_CONFUSION_CELLS = SingleDatasetPerformance.MAX_CONFUSION_CELLS
@@ -387,8 +391,8 @@ class TrainTestPerformance(TrainTestCheck):
                  n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
         self.prediction_column = prediction_column
-        self.scorers = list(scorers) if scorers is not None else ["accuracy", "f1_weighted"]
-        self._task = _validate_scorers(self.scorers)
+        self.scorers = list(scorers) if scorers is not None else None
+        self._task = _validate_scorers(self.scorers) if self.scorers else "classification"
 
     def compute(self, ctx):
         label = ctx.train.label_name
@@ -429,6 +433,22 @@ class TrainTestPerformance(TrainTestCheck):
         for tag in ("Train", "Test"):
             cells = {(r["__y"], r["__p"]): r["__n"] for r in rows if r["__ds"] == tag}
             n = sum(cells.values())
+            if self.scorers is None:
+                # reference default: per-class F1/Precision/Recall rows
+                classes = sorted({c for c, _ in cells} | {c for _, c in cells}, key=str)
+                true_n = {c: sum(v for (yy, _), v in cells.items() if yy == c)
+                          for c in classes}
+                pred_n = {c: sum(v for (_, pp), v in cells.items() if pp == c)
+                          for c in classes}
+                for c in classes:
+                    tp = cells.get((c, c), 0)
+                    prec = tp / pred_n[c] if pred_n[c] else 0.0
+                    rec = tp / true_n[c] if true_n[c] else 0.0
+                    f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+                    for metric, v in (("F1", f1), ("Precision", prec), ("Recall", rec)):
+                        rows_out.append({"Dataset": tag, "Class": c, "Metric": metric,
+                                         "Value": v, "Number of samples": true_n[c]})
+                continue
             scores = scores_from_confusion(cells, self.scorers)
             for m in self.scorers:
                 rows_out.append({"Dataset": tag, "Metric": m,
@@ -447,27 +467,42 @@ class TrainTestPerformance(TrainTestCheck):
             return (s1 - s2) / abs(s1)
 
         def condition(result):
-            train = {r["Metric"]: r["Value"] for r in result if r["Dataset"] == "Train"}
-            test = {r["Metric"]: r["Value"] for r in result if r["Dataset"] == "Test"}
-            diffs = {m: _ratio_of_change(train[m], test[m]) for m in train}
-            failed = {m: d for m, d in diffs.items() if d >= threshold}
+            # keys are (metric, class) for the per-class default shape,
+            # (metric, None) for aggregate scorers — reference's condition
+            # iterates classes when the 'Class' column is populated
+            def key(r):
+                return (r["Metric"], r.get("Class"))
+
+            def label(k):
+                m, c = k
+                return f"{m}" if c is None else f"{m} and class {c}"
+
+            train = {key(r): r["Value"] for r in result if r["Dataset"] == "Train"}
+            test = {key(r): r["Value"] for r in result if r["Dataset"] == "Test"}
+            diffs = {k: _ratio_of_change(train[k], test[k])
+                     for k in train if k in test}
+            failed = {k: d for k, d in diffs.items() if d >= threshold}
             if failed:
-                m_max = max(failed, key=failed.get)
+                k_max = max(failed, key=failed.get)
                 return ConditionResult(
                     ConditionCategory.FAIL,
                     f"{len(failed)} scores failed. Found max degradation of "
-                    f"{format_percent(failed[m_max])} for metric {m_max}",
+                    f"{format_percent(failed[k_max])} for metric {label(k_max)}",
                 )
-            m_max = max(diffs, key=diffs.get) if diffs else None
-            details = (f"Found max degradation of {format_percent(diffs[m_max])} "
-                       f"for metric {m_max}" if m_max else "No metrics computed")
+            k_max = max(diffs, key=diffs.get) if diffs else None
+            details = (f"Found max degradation of {format_percent(diffs[k_max])} "
+                       f"for metric {label(k_max)}" if k_max else "No metrics computed")
             return ConditionResult(ConditionCategory.PASS, details)
 
         return self.add_condition(
             f"Train-Test scores relative degradation is less than {threshold}", condition)
 
     def reduce_output(self, check_result) -> dict:
-        return {f"{r['Metric']} ({r['Dataset']})": r["Value"] for r in check_result.value}
+        out = {}
+        for r in check_result.value:
+            cls = f" class {r['Class']}" if "Class" in r else ""
+            out[f"{r['Metric']}{cls} ({r['Dataset']})"] = r["Value"]
+        return out
 
 
 def quantile_bin_exprs(df, cols: list, n_bins: int) -> dict:
@@ -1066,6 +1101,8 @@ class CalibrationScore(SingleDatasetCheck):
 
     def __init__(self, probability_columns: dict, n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
+        if not probability_columns:
+            raise ValueError("probability_columns must map at least one class to a column")
         self.probability_columns = dict(probability_columns)
 
     def compute(self, ctx, kind):

@@ -507,3 +507,51 @@ def test_new_deprecated_shims_warn_and_delegate(spark):
     assert any("RegressionSystematicError" in str(x.message) for x in caught)
     assert isinstance(a, PredictionDrift)
     assert isinstance(b, RegressionErrorDistribution)
+
+
+def test_train_test_performance_default_per_class_rows(spark):
+    from deepchecks_spark.checks.performance import TrainTestPerformance
+
+    train = spark.createDataFrame([(i, i % 2, i % 2) for i in range(200)],
+                                  "id long, lbl int, pred int")
+    # test: class-0 rows often mispredicted, class-1 rows perfect
+    test = spark.createDataFrame(
+        [(i, i % 2, 1 if (i % 2 == 0 and i % 4 == 0) else i % 2) for i in range(200)],
+        "id long, lbl int, pred int")
+    ds_tr = Dataset(train, label="lbl", infer_categorical=False)
+    ds_te = Dataset(test, label="lbl", infer_categorical=False)
+    check = TrainTestPerformance("pred")  # reference default: per-class scorers
+    check.add_condition_train_test_relative_degradation_less_than(0.1)
+    result = check.run(ds_tr, ds_te)
+    rows = result.value
+    assert all("Class" in r for r in rows)
+    assert {r["Metric"] for r in rows} == {"F1", "Precision", "Recall"}
+    by = {(r["Dataset"], r["Metric"], r["Class"]): r["Value"] for r in rows}
+    # class 0 recall on test: half its rows flipped to 1
+    assert by[("Test", "Recall", 0)] == pytest.approx(0.5)
+    assert by[("Train", "Recall", 0)] == pytest.approx(1.0)
+    assert by[("Test", "Recall", 1)] == pytest.approx(1.0)
+    cond = result.conditions_results[0]
+    assert cond.category == ConditionCategory.FAIL
+    assert "class 0" in cond.details
+    # per-class sample counts ride along
+    ns = {(r["Dataset"], r["Class"]): r["Number of samples"] for r in rows}
+    assert ns[("Test", 0)] == 100 and ns[("Test", 1)] == 100
+
+
+def test_roc_auc_property_histogram_equals_sort_based(spark):
+    # the grouped-histogram Mann-Whitney must equal the independent
+    # sort-based implementation across random tied/untied score draws
+    from deepchecks_spark.checks.performance import RocReport
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = 400
+        y = rng.integers(0, 2, n)
+        # heavy ties: scores drawn from a small integer support
+        s = rng.integers(0, 12 + trial * 50, n) / 100.0
+        rows = [(int(i), int(y[i]), float(s[i])) for i in range(n)]
+        ds = Dataset(spark.createDataFrame(rows, "id long, lbl int, p double"),
+                     label="lbl", infer_categorical=False)
+        got = RocReport({1: "p"}).run(ds).value[1]
+        assert got == pytest.approx(_auc_numpy(y, s), abs=1e-12), trial
