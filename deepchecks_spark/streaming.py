@@ -353,6 +353,89 @@ class StreamingDedupMonitor:
         return writer.start()
 
 
+class StreamingNewCategoryMonitor:
+    """Continuous new-category detection per event-time window — the
+    streaming twin of NewCategoryTrainTest (checks/traintest.py:506):
+    given per-column reference value sets (e.g. from the previous
+    snapshot's histograms), count how many arriving rows carry a value
+    outside the reference, per (window, column).
+
+    Scale shape: the reference sets are baked into the plan as literal
+    ``isin`` predicates (the batch check's broadcast — bounded by the
+    same cardinality gate its callers apply), the melted stream runs a
+    single watermarked groupBy(window, column) with two mergeable
+    counters, and the driver folds ONE row per touched (window, column)
+    — bounded by windows × columns regardless of value cardinality, so
+    this monitor never needs the parquet-sink escape hatch the dedup
+    monitor uses.
+
+    ``counts``: {window_start: {column: {"n_new": int, "n_rows": int}}}
+    — update-mode rows carry absolute counts, so the fold is an
+    idempotent upsert; the drained counts equal the batch GROUP BY.
+    Same resumability contract as StreamingPsiMonitor (checkpoint_dir +
+    state_path).
+    """
+
+    def __init__(self, reference_values: dict, state_path: str | None = None):
+        self.reference_values = {c: set(v) for c, v in reference_values.items()}
+        self.state_path = state_path
+        self.counts: dict = {}
+        if state_path:
+            loaded = _load_monitor_state(state_path)
+            if loaded is not None:
+                import datetime
+
+                self.counts = {
+                    datetime.datetime.fromisoformat(k): {
+                        col: {"n_new": int(v[0]), "n_rows": int(v[1])}
+                        for col, v in cols.items()
+                    }
+                    for k, cols in loaded["counts"].items()
+                }
+
+    def start(self, stream_df: DataFrame, columns: list, time_col: str = "warc_ts",
+              window_duration: str = "1 day", watermark: str = "30 minutes",
+              checkpoint_dir: str | None = None):
+        _warn_unresumable_fold(checkpoint_dir, self.state_path)
+        pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in columns)
+        melted = stream_df.selectExpr(
+            f"`{time_col}`", f"stack({len(columns)}, {pairs}) as (column, value)"
+        ).filter(F.col("value").isNotNull())
+        is_new = F.lit(False)
+        for c in columns:
+            ref = [str(v) for v in self.reference_values.get(c, ())]
+            pred = ~F.col("value").isin(ref) if ref else F.lit(True)
+            is_new = F.when(F.col("column") == c, pred).otherwise(is_new)
+        windowed = (
+            melted.withWatermark(time_col, watermark)
+            .groupBy(F.window(F.col(time_col), window_duration).alias("w"),
+                     F.col("column"))
+            .agg(F.sum(is_new.cast("long")).alias("n_new"),
+                 F.count(F.lit(1)).alias("n_rows"))
+        )
+
+        def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+            touched = False
+            for r in batch_df.collect():  # bounded: windows × columns
+                start = r["w"]["start"]
+                self.counts.setdefault(start, {})[r["column"]] = {
+                    "n_new": int(r["n_new"]), "n_rows": int(r["n_rows"])}
+                touched = True
+            if self.state_path and touched:
+                _save_monitor_state(self.state_path, {
+                    "counts": {
+                        k.isoformat(): {col: [v["n_new"], v["n_rows"]]
+                                        for col, v in cols.items()}
+                        for k, cols in self.counts.items()
+                    },
+                })
+
+        writer = windowed.writeStream.outputMode("update").foreachBatch(_fold)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
+
+
 def stateful_column_monitor(stream_df: DataFrame, key_col: str, value_col: str):
     """Custom stateful streaming operator (applyInPandasWithState): per-key
     running integrity counters that survive across micro-batches.

@@ -411,3 +411,48 @@ def test_streaming_dedup_driver_state_bounded_at_high_key_cardinality(spark, tmp
         assert mon.counts[day]["n"] == r["n"]
         assert mon.counts[day]["n_distinct"] == r["nd"]
         assert mon.counts[day]["n_dup"] == r["n"] - r["nd"]
+
+
+def test_streaming_new_category_monitor_matches_batch(spark, tmp_path):
+    # two-phase drain with checkpoint + state resume; final per-(window,
+    # column) new-category counts must equal the batch GROUP BY
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.streaming import StreamingNewCategoryMonitor
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state.json")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    types = sorted(r["event_type"] for r in events.select("event_type").distinct().collect())
+    ref = {"event_type": types[:-1]}  # the last type is "new"
+    events.filter("event_id % 2 = 0").repartition(2).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        mon = StreamingNewCategoryMonitor(ref, state_path=state)
+        q = mon.start(stream, ["event_type"], time_col="ts",
+                      window_duration="1 day", watermark="60 days",
+                      checkpoint_dir=ckpt)
+        q.processAllAvailable()
+        q.stop()
+        return mon
+
+    run()
+    events.filter("event_id % 2 = 1").repartition(2).write.mode("append").parquet(src)
+    mon = run()
+
+    want = {
+        r["d"]: r for r in events.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+            F.sum((F.col("event_type") == types[-1]).cast("long")).alias("n_new"),
+            F.count("event_type").alias("n"),
+        ).collect()
+    }
+    assert len(mon.counts) == len(want)
+    for day, r in want.items():
+        got = mon.counts[day]["event_type"]
+        assert got["n_new"] == r["n_new"]
+        assert got["n_rows"] == r["n"]
