@@ -17,6 +17,7 @@ import warnings
 from deepchecks_spark.checks.ml import MultivariateDrift
 from deepchecks_spark.checks.performance import (
     RegressionErrorDistribution as _RegressionErrorDistribution,
+    WeakSegmentsPerformance as _WeakSegmentsPerformance,
 )
 from deepchecks_spark.checks.traintest import (
     FeatureDrift,
@@ -32,6 +33,7 @@ __all__ = [
     "TrainTestLabelDrift",
     "TrainTestPredictionDrift",
     "RegressionSystematicError",
+    "SegmentPerformance",
 ]
 
 
@@ -92,4 +94,14 @@ class RegressionSystematicError(_RegressionErrorDistribution):
 
     def __init__(self, *args, **kwargs):
         _warn("RegressionSystematicError", "RegressionErrorDistribution")
+        super().__init__(*args, **kwargs)
+
+
+class SegmentPerformance(_WeakSegmentsPerformance):
+    """Deprecated alias (reference model_evaluation/
+    segment_performance.py:32-88 — deprecated upstream in favor of
+    WeakSegmentsPerformance)."""
+
+    def __init__(self, *args, **kwargs):
+        _warn("SegmentPerformance", "WeakSegmentsPerformance")
         super().__init__(*args, **kwargs)

@@ -555,3 +555,56 @@ def test_roc_auc_property_histogram_equals_sort_based(spark):
                      label="lbl", infer_categorical=False)
         got = RocReport({1: "p"}).run(ds).value[1]
         assert got == pytest.approx(_auc_numpy(y, s), abs=1e-12), trial
+
+
+def test_segment_performance_shim(spark):
+    import warnings as w
+
+    from deepchecks_spark.checks.deprecated import SegmentPerformance
+    from deepchecks_spark.checks.performance import WeakSegmentsPerformance
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        c = SegmentPerformance("pred", columns=["a"])
+    assert any("SegmentPerformance" in str(x.message) for x in caught)
+    assert isinstance(c, WeakSegmentsPerformance)
+
+
+def test_weak_segments_mass_conservation(spark):
+    # property: within every feature pair, segment sizes sum to the total
+    # scored rows and every score sits in [0, 1]
+    from deepchecks_spark.checks.performance import WeakSegmentsPerformance
+
+    rng = np.random.default_rng(23)
+    rows = [(i, "pqrs"[int(rng.integers(0, 4))], float(rng.integers(0, 50)),
+             int(rng.integers(0, 2)), int(rng.integers(0, 2)))
+            for i in range(1500)]
+    ds = Dataset(spark.createDataFrame(rows, "id long, g string, x double, lbl int, pred int"),
+                 label="lbl", cat_features=["g"], infer_categorical=False)
+    check = WeakSegmentsPerformance("pred", columns=["g", "x"],
+                                    segment_minimum_size_ratio=0.0, n_to_show=1000)
+    value = check.run(ds).value
+    segs = value["weak_segments_list"]
+    assert segs
+    total = sum(s["n_samples"] for s in segs if s["Feature1"] == "g" and s["Feature2"] == "x")
+    assert total == 1500
+    assert all(0.0 <= s["Score"] <= 1.0 for s in segs)
+    assert 0.0 <= value["avg_score"] <= 1.0
+
+
+def test_performance_bias_baseline_is_subgroup_weighted_mean(spark):
+    # property: for accuracy, the baseline equals the size-weighted mean
+    # of subgroup scores (cells merge exactly)
+    from deepchecks_spark.checks.performance import PerformanceBias
+
+    rng = np.random.default_rng(29)
+    rows = [(i, "abc"[int(rng.integers(0, 3))], int(rng.integers(0, 2)),
+             int(rng.integers(0, 2))) for i in range(1200)]
+    ds = Dataset(spark.createDataFrame(rows, "id long, g string, lbl int, pred int"),
+                 label="lbl", cat_features=["g"], infer_categorical=False)
+    value = PerformanceBias("pred", protected_feature="g",
+                            min_subgroup_size=1).run(ds).value
+    segs = value["scores_df"]
+    total = sum(s["_count"] for s in segs)
+    weighted = sum(s["_score"] * s["_count"] for s in segs) / total
+    assert segs[0]["_baseline"] == pytest.approx(weighted)
