@@ -1672,6 +1672,32 @@ def o_streaming_dedup_events():
     """
 
 
+def q_dedup_clusters_documents(spark, sf_dir):
+    """Connected-components dedup clustering: CHAIN pairs only —
+    (id, id+1) within each 4-id group, plus a bridge to the next group
+    for every 5th group — so the transitive closure (4- and 8-element
+    clusters) is only reachable through min-label propagation, never
+    from any single pair. The oracle computes each id's component
+    arithmetically: comp = 4·(g − 1{g mod 5 = 1}), g = id div 4."""
+    from deepchecks_spark.pipeline.dedup import connected_components
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id").filter("doc_id < 480")
+    pairs = ids.filter(
+        "doc_id < 479 AND (doc_id % 4 < 3 OR (doc_id % 4 = 3 AND (doc_id div 4) % 5 = 0))"
+    ).selectExpr("doc_id AS id_a", "doc_id + 1 AS id_b")
+    comps = connected_components(pairs)
+    return comps.selectExpr("id AS doc_id", "component")
+
+
+def o_dedup_clusters_documents():
+    return """
+    SELECT doc_id,
+           (4 * ((doc_id // 4) - CASE WHEN (doc_id // 4) % 5 = 1 THEN 1 ELSE 0 END))::BIGINT
+               AS component
+    FROM documents WHERE doc_id < 480
+    """
+
+
 def q_streaming_newcat_events(spark, sf_dir):
     """Third streaming contract row: continuous new-category detection —
     the reference value set is every event_type except the
@@ -2370,6 +2396,7 @@ QUERIES = {
     "performance_bias_orders": q_performance_bias_orders,
     "multi_model_embeddings": q_multi_model_embeddings,
     "streaming_newcat_events": q_streaming_newcat_events,
+    "dedup_clusters_documents": q_dedup_clusters_documents,
 }
 
 ORACLES = {
@@ -2444,4 +2471,5 @@ ORACLES = {
     "performance_bias_orders": o_performance_bias_orders(),
     "multi_model_embeddings": o_multi_model_embeddings(),
     "streaming_newcat_events": o_streaming_newcat_events(),
+    "dedup_clusters_documents": o_dedup_clusters_documents(),
 }

@@ -256,3 +256,99 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """Transitive duplicate clusters from a pair list: min-label
+    propagation until fixpoint. Every near-dup detector in this module
+    emits PAIRS; a production dedup pipeline must collapse them into
+    clusters (a~b, b~c ⇒ {a,b,c}) before choosing representatives —
+    pairwise-only dedup keeps one copy per PAIR, not per cluster.
+
+    Spark shape: edges are symmetrized once; each iteration is one
+    equi-join + groupBy(min) over (node, label) — all shuffles on the
+    node id, no driver state, convergence detected with a cheap
+    empty-check probe. Duplicate clusters have tiny diameter (near-dup
+    chains are short), so iterations ≈ a handful; the per-iteration
+    persist cuts the lineage so plan size stays constant (at true corpus
+    scale swap persist for localCheckpoint every few rounds). Returns
+    (id, component) where component = min id of the cluster.
+
+    The reference has no clustering operator (its DataDuplicates works
+    on exact groupBy groups); this is the engine's scale extension, same
+    role as the alternating-star CC algorithms in the literature but
+    with the simple min-propagation that suffices at dedup diameters.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+    )
+    labels.persist()
+    # labels only ever DECREASE, so Σcomponent is a strict monotone:
+    # equal sums across an iteration ⇔ fixpoint — a 1-scalar convergence
+    # probe on the cached frame, no comparison join
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src").agg(F.min("component").alias("nb_min"))
+            )
+            propagated = (
+                labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+                .select(
+                    labels["id"],
+                    F.least(F.col("component"),
+                            F.coalesce(F.col("nb_min"), F.col("component")))
+                    .alias("component"),
+                )
+            )
+            # pointer jumping: component := component's own label — halves
+            # the remaining path length each round, so chains converge in
+            # O(log diameter) iterations instead of O(diameter)
+            p = propagated.alias("p")
+            q = propagated.alias("q")
+            new_labels = (
+                p.join(q, F.col("p.component") == F.col("q.id"), "left")
+                .select(
+                    F.col("p.id").alias("id"),
+                    F.least(F.col("p.component"),
+                            F.coalesce(F.col("q.component"), F.col("p.component")))
+                    .alias("component"),
+                )
+            )
+            # TRUNCATE the lineage: the pointer-jump self-join references
+            # the previous iteration's plan twice, so without truncation
+            # the logical plan DOUBLES per iteration and Catalyst analysis
+            # goes exponential (hangs ~10 iterations in). localCheckpoint
+            # materializes the partitions and cuts the plan to a leaf —
+            # at corpus scale use reliable checkpoint(dir) for the same
+            # effect with fault tolerance.
+            new_labels = new_labels.localCheckpoint(eager=True)
+            cur_sum = new_labels.agg(F.sum("component")).first()[0]
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def deduplicate_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
+                         id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Keep one representative row per duplicate CLUSTER (the min id),
+    dropping every other member — the end-to-end dedup step over any
+    pair detector's output. Rows that appear in no pair pass through
+    untouched (broadcast-friendly: only clustered ids join)."""
+    comps = connected_components(pairs, id_a, id_b)
+    drop = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")

@@ -266,3 +266,52 @@ def test_autotuned_near_duplicates_hit_target_recall(spark):
     planted = {(2 * k, 2 * k + 1) for k in range(200)}
     recall = len(got & planted) / len(planted)
     assert recall >= 0.95, recall
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    return {i: min(j for j in range(n_nodes) if find(j) == find(i))
+            for i in range(n_nodes)}
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    import random
+
+    from deepchecks_spark.pipeline.dedup import connected_components
+
+    rng = random.Random(17)
+    n = 120
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in ((rng.randrange(n), rng.randrange(n))
+                                 for _ in range(90)) if a != b})
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    want = _union_find_components(n, edges)
+    touched = {a for a, _ in edges} | {b for _, b in edges}
+    assert got == {i: want[i] for i in touched}
+
+
+def test_deduplicate_by_pairs_keeps_one_per_cluster(spark):
+    from deepchecks_spark.pipeline.dedup import deduplicate_by_pairs
+
+    # chain 0-1-2-3 (one cluster), pair 10-11, singleton 20
+    df = spark.createDataFrame([(i, f"d{i}") for i in (0, 1, 2, 3, 10, 11, 20)],
+                               "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (10, 11)],
+                                  "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in
+                  deduplicate_by_pairs(df, pairs, "doc_id").collect())
+    assert kept == [0, 10, 20]
