@@ -458,8 +458,16 @@ class TrainTestPerformance(TrainTestCheck):
     def add_condition_train_test_relative_degradation_less_than(self, threshold: float = 0.1):
         """reference core/check_utils/class_performance_utils.py:63-140
         (get_condition_train_test_relative_degradation_less_than):
-        FAIL when (train − test)/|train| ≥ threshold for any metric."""
+        FAIL when (train − test)/|train| ≥ threshold for any metric.
+
+        The reference computes this on sklearn scorer OUTPUTS, which are
+        uniformly greater-is-better (error metrics arrive as neg_mae
+        etc.); our regression scorers report raw mae/mse/rmse, so those
+        are negated before the ratio — otherwise a worsening test error
+        yields a negative ratio and the condition can never fail."""
         from deepchecks_spark.core.checks import format_percent
+
+        lower_is_better = {"mae", "mse", "rmse"}
 
         def _ratio_of_change(s1, s2):
             if s1 == 0:
@@ -477,9 +485,12 @@ class TrainTestPerformance(TrainTestCheck):
                 m, c = k
                 return f"{m}" if c is None else f"{m} and class {c}"
 
+            def signed(k, v):
+                return -v if k[0].lower() in lower_is_better else v
+
             train = {key(r): r["Value"] for r in result if r["Dataset"] == "Train"}
             test = {key(r): r["Value"] for r in result if r["Dataset"] == "Test"}
-            diffs = {k: _ratio_of_change(train[k], test[k])
+            diffs = {k: _ratio_of_change(signed(k, train[k]), signed(k, test[k]))
                      for k in train if k in test}
             failed = {k: d for k, d in diffs.items() if d >= threshold}
             if failed:
@@ -906,10 +917,18 @@ class SimpleModelComparison(TrainTestCheck):
         p = F.col(f"`{self.prediction_column}`")
         # majority class from the TRAIN label histogram (the reference
         # fits the dummy on train), scored on TEST
-        train_hist = {r["__y"]: r["__n"] for r in
-                      train_df.filter(y.isNotNull())
-                      .groupBy(y.alias("__y")).agg(F.count(F.lit(1)).alias("__n"))
-                      .limit(self.MAX_CONFUSION_CELLS).collect()}
+        hist_rows = (train_df.filter(y.isNotNull())
+                     .groupBy(y.alias("__y")).agg(F.count(F.lit(1)).alias("__n"))
+                     .limit(self.MAX_CONFUSION_CELLS + 1).collect())
+        if len(hist_rows) > self.MAX_CONFUSION_CELLS:
+            # cap+1-and-raise like collect_confusion_cells: a silently
+            # truncated histogram would yield an arbitrary "majority" class
+            raise ValueError(
+                f"{self.name()}: train label column has more than "
+                f"{self.MAX_CONFUSION_CELLS} distinct values — not "
+                "classification-shaped"
+            )
+        train_hist = {r["__y"]: r["__n"] for r in hist_rows}
         if not train_hist:
             raise ValueError("SimpleModelComparison: train label column is all-null")
         majority = max(sorted(train_hist, key=str), key=lambda c: train_hist[c])

@@ -290,10 +290,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .withColumn("component", F.col("id"))
     )
     labels.persist()
-    # labels only ever DECREASE, so Σcomponent is a strict monotone:
-    # equal sums across an iteration ⇔ fixpoint — a 1-scalar convergence
-    # probe on the cached frame, no comparison join
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    # Convergence probe must be TYPE-AGNOSTIC: ids may be strings or
+    # 64-bit hashes, so Σcomponent (the old probe) would ANSI-crash on
+    # strings or overflow on hash ids. Instead carry the previous label
+    # through the iteration and count changed rows — still one scalar
+    # agg on the already-checkpointed frame, no extra comparison join.
     try:
         for _ in range(max_iterations):
             neighbor_min = (
@@ -304,6 +305,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
                 labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
                 .select(
                     labels["id"],
+                    labels["component"].alias("prev_component"),
                     F.least(F.col("component"),
                             F.coalesce(F.col("nb_min"), F.col("component")))
                     .alias("component"),
@@ -318,6 +320,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
                 p.join(q, F.col("p.component") == F.col("q.id"), "left")
                 .select(
                     F.col("p.id").alias("id"),
+                    F.col("p.prev_component").alias("prev_component"),
                     F.least(F.col("p.component"),
                             F.coalesce(F.col("q.component"), F.col("p.component")))
                     .alias("component"),
@@ -331,12 +334,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             # at corpus scale use reliable checkpoint(dir) for the same
             # effect with fault tolerance.
             new_labels = new_labels.localCheckpoint(eager=True)
-            cur_sum = new_labels.agg(F.sum("component")).first()[0]
+            changed = new_labels.filter(
+                ~F.col("component").eqNullSafe(F.col("prev_component"))
+            ).limit(1).count()
             labels.unpersist()
-            labels = new_labels
-            if cur_sum == prev_sum:
+            labels = new_labels.drop("prev_component")
+            if changed == 0:
                 break
-            prev_sum = cur_sum
         return labels
     finally:
         edges.unpersist()

@@ -309,6 +309,7 @@ class StreamingDedupMonitor:
     def start(self, stream_df: DataFrame, key_cols: list, time_col: str = "warc_ts",
               window_duration: str = "1 day", watermark: str = "30 minutes",
               checkpoint_dir: str | None = None):
+        import os
         import shutil
         import tempfile
 
@@ -319,8 +320,25 @@ class StreamingDedupMonitor:
         elif not checkpoint_dir:
             # fresh-run semantics: the stream replays everything with
             # epochs starting at 0 — stale higher-epoch rows from a
-            # previous run would win max_by with outdated counts
-            shutil.rmtree(self._sink_dir, ignore_errors=True)
+            # previous run would win max_by with outdated counts. Only
+            # clear a directory THIS monitor wrote (sentinel present or
+            # empty/absent dir): a user-supplied path may be a shared
+            # directory holding unrelated data.
+            sentinel = os.path.join(self._sink_dir, "_DEDUP_MONITOR_SINK")
+            if os.path.isdir(self._sink_dir):
+                if os.path.exists(sentinel) or not os.listdir(self._sink_dir):
+                    shutil.rmtree(self._sink_dir, ignore_errors=True)
+                else:
+                    raise ValueError(
+                        f"StreamingDedupMonitor: state_path {self._sink_dir!r} "
+                        "exists, is non-empty, and was not written by this "
+                        "monitor (missing sentinel) — refusing to delete it; "
+                        "point state_path at a dedicated sink directory"
+                    )
+        os.makedirs(self._sink_dir, exist_ok=True)
+        with open(os.path.join(self._sink_dir, "_DEDUP_MONITOR_SINK"), "w",
+                  encoding="utf-8") as fh:
+            fh.write("deepchecks_spark streaming dedup sink\n")
         if checkpoint_dir:
             self._refresh(stream_df.sparkSession, None)  # restore counts
         windowed = (

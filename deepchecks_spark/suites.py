@@ -137,9 +137,13 @@ def production_suite(is_comparative: bool = True, prediction_column: str | None 
             NewCategoryTrainTest().add_condition_new_category_ratio_less_or_equal(),
         ]
         if prediction_column:
+            # regression labels are continuous: the per-class classification
+            # defaults would blow the confusion-cell gate, so pick the
+            # matching scorer family (reference selects scorers by task_type)
+            ttp_scorers = ["rmse", "mae"] if task_type == "regression" else None
             checks += [
                 PredictionDrift(prediction_column).add_condition_drift_score_less_than(),
-                TrainTestPerformance(prediction_column)
+                TrainTestPerformance(prediction_column, scorers=ttp_scorers)
                 .add_condition_train_test_relative_degradation_less_than(),
             ]
     else:

@@ -315,3 +315,32 @@ def test_deduplicate_by_pairs_keeps_one_per_cluster(spark):
     kept = sorted(r["doc_id"] for r in
                   deduplicate_by_pairs(df, pairs, "doc_id").collect())
     assert kept == [0, 10, 20]
+
+
+def test_connected_components_string_ids(spark):
+    # regression (r4 ADVICE): the old Σcomponent convergence probe crashed
+    # with CAST_INVALID_INPUT on string ids under ANSI (and could silently
+    # under-merge with ANSI off); the changed-label probe is type-agnostic
+    from deepchecks_spark.pipeline.dedup import connected_components
+
+    # chain a-b-c-d forces >1 iteration; separate pair x-y; min is lexicographic
+    pairs = spark.createDataFrame(
+        [("doc_c", "doc_d"), ("doc_b", "doc_c"), ("doc_a", "doc_b"),
+         ("url_x", "url_y")],
+        "id_a string, id_b string")
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {"doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
+                   "doc_d": "doc_a", "url_x": "url_x", "url_y": "url_x"}
+
+
+def test_connected_components_large_hash_ids(spark):
+    # 64-bit hash ids near Long.MAX: the old Σ probe could overflow under ANSI
+    from deepchecks_spark.pipeline.dedup import connected_components
+
+    big = 2**62
+    pairs = spark.createDataFrame(
+        [(big + 3, big + 5), (big + 5, big + 7), (big + 11, big + 13)],
+        "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {big + 3: big + 3, big + 5: big + 3, big + 7: big + 3,
+                   big + 11: big + 11, big + 13: big + 11}

@@ -417,3 +417,35 @@ def test_production_suite_config_roundtrip_with_performance_checks(spark):
         return sorted(out)
 
     assert summary(restored) == summary(suite)
+
+
+def test_production_suite_regression_uses_regression_scorers(spark):
+    # regression (r4 ADVICE): task_type='regression' used to compose the
+    # comparative TrainTestPerformance with per-class classification
+    # defaults — on continuous labels that check always errored out
+    from deepchecks_spark.suites import production_suite
+    from deepchecks_spark.checks.performance import TrainTestPerformance
+    from deepchecks_spark.dataset import Dataset
+
+    suite = production_suite(is_comparative=True, prediction_column="pred",
+                             task_type="regression")
+    ttp = [c for c in suite.checks if isinstance(c, TrainTestPerformance)]
+    assert len(ttp) == 1 and ttp[0].scorers == ["rmse", "mae"]
+
+    # continuous labels + predictions must produce a real result row, not
+    # a CheckFailure, end-to-end through the suite
+    train = spark.createDataFrame(
+        [(i, float(i) + 0.25, float(i) + 0.5) for i in range(300)],
+        "id long, y double, pred double")
+    test = spark.createDataFrame(
+        [(i, float(i) + 0.25, float(i) + 0.75) for i in range(300)],
+        "id long, y double, pred double")
+    ds_tr = Dataset(train, label="y", infer_categorical=False)
+    ds_te = Dataset(test, label="y", infer_categorical=False)
+    res = suite.run(ds_tr, ds_te)
+    ttp_results = [r for r in res.results
+                   if getattr(r, "header", "").startswith("Train Test Performance")]
+    assert ttp_results, [getattr(r, "header", r) for r in res.results]
+    failures = [r for r in res.results if r.__class__.__name__ == "CheckFailure"
+                and "Performance" in getattr(r, "header", "")]
+    assert not failures, [f.header for f in failures]

@@ -456,3 +456,33 @@ def test_streaming_new_category_monitor_matches_batch(spark, tmp_path):
         got = mon.counts[day]["event_type"]
         assert got["n_new"] == r["n_new"]
         assert got["n_rows"] == r["n"]
+
+
+def test_dedup_monitor_refuses_foreign_state_dir(spark, tmp_path):
+    # regression (r4 ADVICE): start() used to rmtree ANY pre-existing
+    # state_path; pointing it at a shared directory destroyed unrelated
+    # data. Now it only clears dirs carrying the monitor's own sentinel.
+    from deepchecks_spark.streaming import StreamingDedupMonitor
+
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    precious = shared / "precious.txt"
+    precious.write_text("do not delete")
+    mon = StreamingDedupMonitor(state_path=str(shared))
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+              .withColumnRenamed("timestamp", "warc_ts"))
+    with pytest.raises(ValueError, match="refusing to delete"):
+        mon.start(stream, key_cols=["value"])
+    assert precious.read_text() == "do not delete"
+
+    # an empty user dir is fine, gets the sentinel, and a SECOND fresh
+    # run over the now-sentineled dir still starts (self-written state)
+    own = tmp_path / "own_sink"
+    own.mkdir()
+    m2 = StreamingDedupMonitor(state_path=str(own))
+    q = m2.start(stream, key_cols=["value"])
+    q.stop()
+    assert (own / "_DEDUP_MONITOR_SINK").exists()
+    m3 = StreamingDedupMonitor(state_path=str(own))
+    q3 = m3.start(stream, key_cols=["value"])
+    q3.stop()
