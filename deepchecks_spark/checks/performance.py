@@ -516,14 +516,24 @@ class TrainTestPerformance(TrainTestCheck):
         return out
 
 
-def quantile_bin_exprs(df, cols: list, n_bins: int) -> dict:
+def quantile_bin_exprs(df, cols: list, n_bins: int,
+                       cat_top_values: dict | None = None) -> dict:
     """Binning expressions for a mixed set of columns: numeric columns
     get quantile-edge range labels (ONE multi-column approxQuantile
     pass), everything else passes through as its string value; NULL maps
     to the literal "None". Shared by WeakSegmentsPerformance and
     PerformanceBias (the reference's partition_column,
-    utils/performance/partition.py)."""
+    utils/performance/partition.py).
+
+    ``cat_top_values`` = {col: [kept string values]} — when given, a
+    categorical column's values outside its kept list roll into the
+    drift OTHER_CATEGORY_NAME bucket, bounding the segment grid by
+    max_categories instead of the raw column cardinality (reference
+    weak_segment_abstract caps categories the same way via
+    partition_numeric_feature_around_segment / cat frequency cut)."""
     from pyspark.sql import types as T
+
+    from deepchecks_spark.drift.kernels import OTHER_CATEGORY_NAME
 
     numeric_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                      T.FloatType, T.DoubleType)
@@ -546,7 +556,12 @@ def quantile_bin_exprs(df, cols: list, n_bins: int) -> dict:
             for lo, hi in zip(edges, edges[1:]):
                 expr = expr.when(col <= F.lit(hi), F.lit(f"({lo}, {hi}]"))
             return expr.otherwise(F.lit(f"({edges[-1]}, inf)"))
-        return F.coalesce(col.cast("string"), F.lit("None"))
+        s = col.cast("string")
+        if cat_top_values is not None and c in cat_top_values:
+            return (F.when(col.isNull(), F.lit("None"))
+                    .when(s.isin(list(cat_top_values[c])), s)
+                    .otherwise(F.lit(OTHER_CATEGORY_NAME)))
+        return F.coalesce(s, F.lit("None"))
 
     return {c: bin_expr(c) for c in cols}
 
@@ -1174,7 +1189,10 @@ class WeakSegmentsPerformance(SingleDatasetCheck):
     weak_segment_abstract.py:396-421; the reference fits a per-pair
     decision tree over in-memory pandas — at corpus scale the segment
     grid must come from ONE aggregation, so segments here are
-    quantile-binned numeric × categorical value grids).
+    quantile-binned numeric × categorical value grids; categorical
+    candidates are rolled up to the top ``max_categories`` values +
+    'Other rare categories' so the grid stays bounded at any column
+    cardinality).
 
     value = {'weak_segments_list': [{'Score', 'Feature1',
     'Feature1 Range', 'Feature2', 'Feature2 Range', '% of data',
@@ -1185,6 +1203,8 @@ class WeakSegmentsPerformance(SingleDatasetCheck):
     SETS (one shuffle, output bounded by n_pairs × n_bins² cells, each
     cell carrying only (count, n_correct) — the raw rows never move).
     """
+
+    MAX_SEGMENT_CELLS = 1_000_000
 
     def __init__(self, prediction_column: str, columns: list | None = None,
                  n_top_columns: int = 5, segment_minimum_size_ratio: float = 0.05,
@@ -1226,7 +1246,30 @@ class WeakSegmentsPerformance(SingleDatasetCheck):
         if not cands:
             return {"weak_segments_list": [], "avg_score": None,
                     "message": "No segmentable feature columns found"}, None
-        exprs = quantile_bin_exprs(df, cands, self.n_bins)
+        # enforce max_categories on the categorical candidates: top-N by
+        # (count desc, value asc) kept exactly, tail rolled into 'Other'
+        # INSIDE the aggregation (categorical_histograms' bounded pass) —
+        # without this a url-like candidate makes the GROUPING SETS grid
+        # n_pairs × cardinality² cells, all collected to the driver
+        from pyspark.sql import types as T
+
+        numeric_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                         T.FloatType, T.DoubleType)
+        cat_cands = [c for c in cands
+                     if not isinstance(df.schema[c].dataType, numeric_types)]
+        cat_top_values = None
+        if cat_cands:
+            from deepchecks_spark.drift.kernels import OTHER_CATEGORY_NAME
+            from deepchecks_spark.drift.spark import categorical_histograms
+
+            hists = categorical_histograms(df, cat_cands,
+                                           max_categories=self.max_categories)
+            cat_top_values = {}
+            for c, hist in hists.items():
+                vals = [k for k in hist if k != OTHER_CATEGORY_NAME]
+                vals.sort(key=lambda k: (-hist[k], str(k)))
+                cat_top_values[c] = vals[: self.max_categories]
+        exprs = quantile_bin_exprs(df, cands, self.n_bins, cat_top_values)
         bin_cols = [f"__b_{i}" for i in range(len(cands))]
         y = F.col(f"`{ds.label_name}`")
         p = F.col(f"`{self.prediction_column}`")
@@ -1249,7 +1292,16 @@ class WeakSegmentsPerformance(SingleDatasetCheck):
                 if b not in s_cols:
                     gid |= 1 << (len(bin_cols) - 1 - k)
             gid_for_set[gid] = idx
-        grouped = segment_grid(prep, sets, bin_cols).collect()
+        # safety gate (max_categories bounds the grid already, but a
+        # pathological n_bins/columns combination must fail loudly like
+        # PerformanceBias's MAX_CELLS raise, never OOM the driver)
+        cap = self.MAX_SEGMENT_CELLS
+        grouped = segment_grid(prep, sets, bin_cols).limit(cap + 1).collect()
+        if len(grouped) > cap:
+            raise ValueError(
+                f"{self.name()}: segment grid exceeds {cap} cells — reduce "
+                "n_bins / max_categories / number of candidate columns"
+            )
         first_gid = min(gid_for_set)
         total = sum(r["n"] for r in grouped if r["gid"] == first_gid)
         total_correct = sum(r["n_correct"] for r in grouped if r["gid"] == first_gid)
