@@ -378,9 +378,11 @@ class StreamingNewCategoryMonitor:
     snapshot's histograms), count how many arriving rows carry a value
     outside the reference, per (window, column).
 
-    Scale shape: the reference sets are baked into the plan as literal
-    ``isin`` predicates (the batch check's broadcast — bounded by the
-    same cardinality gate its callers apply), the melted stream runs a
+    Scale shape: small reference sets are baked into the plan as literal
+    ``isin`` predicates; above ``ISIN_LITERAL_MAX`` total values the
+    membership test becomes a broadcast stream-static left join against
+    a (column, value) reference DataFrame so plan size stays O(1) in
+    reference cardinality. Either way, the melted stream runs a
     single watermarked groupBy(window, column) with two mergeable
     counters, and the driver folds ONE row per touched (window, column)
     — bounded by windows × columns regardless of value cardinality, so
@@ -411,6 +413,12 @@ class StreamingNewCategoryMonitor:
                     for k, cols in loaded["counts"].items()
                 }
 
+    # above this many total reference values the membership test switches
+    # from isin literals (plan size = O(Σ values)) to a broadcast
+    # stream-static left join against a reference DataFrame — the batch
+    # check's own shape (checks/traintest.py NewCategoryTrainTest)
+    ISIN_LITERAL_MAX = 1000
+
     def start(self, stream_df: DataFrame, columns: list, time_col: str = "warc_ts",
               window_duration: str = "1 day", watermark: str = "30 minutes",
               checkpoint_dir: str | None = None):
@@ -419,16 +427,31 @@ class StreamingNewCategoryMonitor:
         melted = stream_df.selectExpr(
             f"`{time_col}`", f"stack({len(columns)}, {pairs}) as (column, value)"
         ).filter(F.col("value").isNotNull())
-        is_new = F.lit(False)
-        for c in columns:
-            ref = [str(v) for v in self.reference_values.get(c, ())]
-            pred = ~F.col("value").isin(ref) if ref else F.lit(True)
-            is_new = F.when(F.col("column") == c, pred).otherwise(is_new)
+        total_ref = sum(len(self.reference_values.get(c, ())) for c in columns)
+        if total_ref > self.ISIN_LITERAL_MAX:
+            # broadcast join path: the plan stays O(1) in reference size;
+            # columns with no reference entries get no match rows, so
+            # every value there counts as new — same as the literal path
+            spark = stream_df.sparkSession
+            ref_rows = [(c, str(v)) for c in columns
+                        for v in self.reference_values.get(c, ())]
+            ref_df = spark.createDataFrame(
+                ref_rows, "column string, value string"
+            ).distinct().withColumn("__known", F.lit(1))
+            flagged = melted.join(F.broadcast(ref_df), ["column", "value"], "left") \
+                .withColumn("__is_new", F.col("__known").isNull())
+        else:
+            is_new = F.lit(False)
+            for c in columns:
+                ref = [str(v) for v in self.reference_values.get(c, ())]
+                pred = ~F.col("value").isin(ref) if ref else F.lit(True)
+                is_new = F.when(F.col("column") == c, pred).otherwise(is_new)
+            flagged = melted.withColumn("__is_new", is_new)
         windowed = (
-            melted.withWatermark(time_col, watermark)
+            flagged.withWatermark(time_col, watermark)
             .groupBy(F.window(F.col(time_col), window_duration).alias("w"),
                      F.col("column"))
-            .agg(F.sum(is_new.cast("long")).alias("n_new"),
+            .agg(F.sum(F.col("__is_new").cast("long")).alias("n_new"),
                  F.count(F.lit(1)).alias("n_rows"))
         )
 
