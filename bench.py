@@ -106,6 +106,7 @@ def bench_traintest_joins(spark):
 
 def bench_dedup(spark):
     from deepchecks_spark.pipeline.dedup import (
+        deduplicate_by_pairs,
         exact_duplicate_stats,
         minhash_near_duplicates,
         simhash,
@@ -113,8 +114,14 @@ def bench_dedup(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     exact_duplicate_stats(docs, ["lang", "source"])
-    minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5).count()
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    pairs.persist().count()
     simhash(docs, "doc_id", "text").count()
+    # end-to-end: cluster the minhash pairs (iterative pointer-jumping CC)
+    # and keep one representative per cluster — the full dedup pipeline,
+    # so the clustering's per-iteration localCheckpoint cost is measured
+    deduplicate_by_pairs(docs, pairs, "doc_id").count()
+    pairs.unpersist()
     return docs.count()
 
 
