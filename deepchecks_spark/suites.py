@@ -125,8 +125,12 @@ def production_suite(is_comparative: bool = True, prediction_column: str | None 
                 ConfusionMatrixReport(prediction_column),
             ]
             if probability_columns:
-                checks.append(
-                    RocReport(probability_columns).add_condition_auc_greater_than())
+                from deepchecks_spark.checks.performance import CalibrationScore
+
+                checks += [
+                    RocReport(probability_columns).add_condition_auc_greater_than(),
+                    CalibrationScore(probability_columns),
+                ]
     if is_comparative:
         checks += [
             StringMismatchComparison().add_condition_no_new_variants(),

@@ -449,3 +449,75 @@ def test_production_suite_regression_uses_regression_scorers(spark):
     failures = [r for r in res.results if r.__class__.__name__ == "CheckFailure"
                 and "Performance" in getattr(r, "header", "")]
     assert not failures, [f.header for f in failures]
+
+
+@pytest.fixture(scope="module")
+def modeled_corpus_parquet(tmp_path_factory, spark):
+    """Corpus + deterministic label/prediction/probability columns: the
+    model-eval runner surface needs prediction COLUMNS, not a model."""
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.corpus import generate_corpus_spark
+
+    path = str(tmp_path_factory.mktemp("runner_model") / "webpages")
+    df = generate_corpus_spark(spark, 400, seed=7, partitions=4)
+    lbl = (F.length("text") % 2).cast("int")
+    # ~1/8 of rows mispredicted, deterministically; probabilities are
+    # exact sixteenths consistent with the prediction
+    pred = F.when(F.length("text") % 8 == 0, 1 - lbl).otherwise(lbl)
+    p1 = F.when(pred == 1, F.lit(13 / 16)).otherwise(F.lit(3 / 16))
+    df = (df.withColumn("lbl", lbl).withColumn("pred", pred)
+          .withColumn("p1", p1).withColumn("p0", 1 - F.col("p1")))
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_run_job_model_eval_surface(spark, tmp_path, modeled_corpus_parquet):
+    # VERDICT r4 next-5/7: the §2.10 members produce verdict rows through
+    # run_job, and partition_verdicts carries per-partition accuracy
+    out = str(tmp_path / "out_model")
+    run_job(spark, modeled_corpus_parquet, out, label="lbl",
+            cat_features=["lang"], prediction_column="pred",
+            probability_columns={0: "p0", 1: "p1"})
+
+    verdicts = spark.read.parquet(os.path.join(out, "verdicts")).collect()
+    checks = {r["check"] for r in verdicts}
+    for want in ("Single Dataset Performance", "Weak Segments Performance",
+                 "Confusion Matrix Report", "Roc Report", "Calibration Score"):
+        assert any(want in c for c in checks), (want, sorted(checks))
+    assert not [r for r in verdicts if r["category"] == "ERROR"]
+
+    pv = spark.read.parquet(os.path.join(out, "partition_verdicts")).collect()
+    perf_rows = [r for r in pv if r["check"] == "Single Dataset Performance"]
+    assert len(perf_rows) >= 2  # one per input partition
+    assert {r["category"] for r in perf_rows} == {"PASS"}  # accuracy ≈ 7/8
+
+
+def test_performance_partition_rows_sliced_oracle_parity(spark):
+    # per-partition verdicts == running the batch check on each
+    # partition's own slice (the sliced-oracle parity convention)
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.checks.performance import SingleDatasetPerformance
+    from deepchecks_spark.dataset import Dataset
+    from deepchecks_spark.runner import performance_partition_rows
+
+    data = [(i, i % 2, (1 - i % 2) if i % (3 + p) == 0 else i % 2, p)
+            for p in range(3) for i in range(120)]
+    df = spark.sparkContext.parallelize(
+        [tuple(r) for r in data], 3).toDF("id long, lbl int, pred int, part int")
+    df.persist(); df.count()
+    got = performance_partition_rows(df, "lbl", "pred", threshold=0.8)
+    pids = [r[0] for r in got]
+    with_pid = df.withColumn("__pid", F.spark_partition_id())
+    for pid, _, cond_name, category, details in got:
+        part = with_pid.filter(F.col("__pid") == pid).drop("__pid")
+        check = SingleDatasetPerformance("pred", scorers=["accuracy"])
+        check.add_condition_greater_than(0.8)
+        res = check.run(Dataset(part, label="lbl", infer_categorical=False))
+        cr = res.conditions_results[0]
+        assert cr.name == cond_name
+        assert cr.category.value == category
+        assert cr.details == details
+    assert len(set(pids)) == 3
+    df.unpersist()
