@@ -144,9 +144,11 @@ class FeatureDrift(TrainTestCheck):
                 from deepchecks_spark.drift.spark import emd_sketch_bound, ks_sketch_bound
 
                 # sketch-mode score is score ± ε (ROADMAP #4): report ε so
-                # threshold conditions near the bound can be flagged
+                # threshold conditions near the bound can be flagged; KS
+                # gets the data-dependent envelope-intersection bound
                 value[c]["Drift score error bound"] = (
-                    ks_sketch_bound() if method == "Kolmogorov-Smirnov" else emd_sketch_bound()
+                    ks_sketch_bound(value[c]["Drift score"])
+                    if method == "Kolmogorov-Smirnov" else emd_sketch_bound()
                 )
         return value, None
 

@@ -32,13 +32,30 @@ SKETCH_POINTS = 1000
 SKETCH_ACCURACY = 10_000  # percentile_approx GK accuracy (rank error ≤ 1/this)
 
 
-def ks_sketch_bound() -> float:
-    """Worst-case |KS_sketch − KS_exact| when both histograms come from
-    the sketch path: each side's reconstructed ECDF deviates from the
-    true ECDF by at most the quantile-grid resolution (1/SKETCH_POINTS)
-    plus the GK rank error (1/SKETCH_ACCURACY); the KS sup-difference
-    adds the two sides' deviations."""
-    return 2.0 * (1.0 / SKETCH_POINTS + 1.0 / SKETCH_ACCURACY)
+def ks_sketch_bound(ks_estimate: float | None = None) -> float:
+    """Certified |KS_sketch − KS_exact| when both histograms come from
+    the sketch path.
+
+    Envelope-intersection certificate (ROADMAP #4 tightening): with
+    m = SKETCH_POINTS equal-weight atoms at the GK quantiles and
+    ε = 1/SKETCH_ACCURACY rank error, a side's reconstructed ECDF error
+    at a point preceded by k atoms lies in
+    ``[−k/(m(m+1)) − ε, (m+1−k)/(m(m+1)) + ε]`` — a width-(1/m + 2ε)
+    envelope whose CENTER shifts with k. Differencing the two sides,
+    the centers cancel except for the atom-count gap, and
+    ``|k1 − k2| ≤ (m+1)·KS_sketch`` pointwise, so
+
+        |KS_sketch − KS_exact| ≤ (1 + KS_sketch)/m + 2ε .
+
+    With ``ks_estimate`` given this data-dependent bound is returned
+    (≈ 1/m + 2ε for small drift — 1.8× tighter than the worst case);
+    without it, the KS ≤ 1 worst case 2/m + 2ε (the round-2 constant).
+    Weight-rounding noise is O(m/2n) per CDF value, negligible for the
+    n ≫ m² row counts that select the sketch path."""
+    m = SKETCH_POINTS
+    eps = 1.0 / SKETCH_ACCURACY
+    d = 1.0 if ks_estimate is None else min(max(ks_estimate, 0.0), 1.0)
+    return (1.0 + d) / m + 2.0 * eps
 
 
 def emd_sketch_bound() -> float:

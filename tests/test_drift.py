@@ -207,7 +207,10 @@ def test_ks_sketch_error_bound_at_10m_rows(spark):
     vs2, cs2 = numeric_histograms(test, ["x"], "sketch")["x"]
     sketch = ks_from_hist(vs1, cs1, vs2, cs2)
     assert exact == pytest.approx(0.05, abs=1e-4)
-    assert abs(sketch - exact) <= ks_sketch_bound()
+    # the data-dependent envelope-intersection certificate (r5): 1.8×
+    # tighter than the worst case at small drift — and still holds
+    assert ks_sketch_bound(sketch) < ks_sketch_bound()
+    assert abs(sketch - exact) <= ks_sketch_bound(sketch)
 
 
 def test_feature_drift_reports_sketch_bound(spark, monkeypatch):
@@ -223,7 +226,7 @@ def test_feature_drift_reports_sketch_bound(spark, monkeypatch):
     result = FeatureDrift().run(train, test)
     info = result.value["x"]
     assert info["Method"] == "Kolmogorov-Smirnov"
-    assert info["Drift score error bound"] == dspark.ks_sketch_bound()
+    assert info["Drift score error bound"] == dspark.ks_sketch_bound(info["Drift score"])
     assert info["Drift score"] <= info["Drift score error bound"] + 0.01
 
 
