@@ -148,7 +148,8 @@ class FeatureDrift(TrainTestCheck):
                 # gets the data-dependent envelope-intersection bound
                 value[c]["Drift score error bound"] = (
                     ks_sketch_bound(value[c]["Drift score"])
-                    if method == "Kolmogorov-Smirnov" else emd_sketch_bound()
+                    if method == "Kolmogorov-Smirnov"
+                    else emd_sketch_bound(value[c]["Drift score"])
                 )
         return value, None
 

@@ -58,14 +58,20 @@ def ks_sketch_bound(ks_estimate: float | None = None) -> float:
     return (1.0 + d) / m + 2.0 * eps
 
 
-def emd_sketch_bound() -> float:
-    """Worst-case |EMD_sketch − EMD_exact| on sketch-path histograms:
+def emd_sketch_bound(emd_estimate: float | None = None) -> float:
+    """Certified |EMD_sketch − EMD_exact| on sketch-path histograms:
     after joint min-max scaling to [0,1], W1 = ∫|F1−F2| dx over a unit
-    range, and |∫|F̂1−F̂2| − ∫|F1−F2|| ≤ ∫(|F̂1−F1| + |F̂2−F2|) ≤ 2·ε_side
-    with the same per-side CDF deviation as the KS bound. (The scale
-    endpoints q0/q1 are themselves GK-approximate, which perturbs the
-    [0,1] mapping by O(ε) — covered by the same ε_side term.)"""
-    return 2.0 * (1.0 / SKETCH_POINTS + 1.0 / SKETCH_ACCURACY)
+    range, and |∫|F̂1−F̂2| − ∫|F1−F2|| ≤ ∫|e1−e2| dx. The same
+    envelope-intersection argument as ``ks_sketch_bound`` bounds the
+    integrand pointwise by (1 + |F̂1−F̂2|)/m + 2ε, which integrates to
+    ``(1 + W1_sketch)/m + 2ε`` — the data-dependent bound returned when
+    ``emd_estimate`` is given (W1 ≤ 1 worst case without it). (The
+    scale endpoints q0/q1 are themselves GK-approximate, which perturbs
+    the [0,1] mapping by O(ε) — covered by the same ε term.)"""
+    m = SKETCH_POINTS
+    eps = 1.0 / SKETCH_ACCURACY
+    w = 1.0 if emd_estimate is None else min(max(emd_estimate, 0.0), 1.0)
+    return (1.0 + w) / m + 2.0 * eps
 
 
 def _melt(df: DataFrame, cols: list, cast: str | None = None) -> DataFrame:

@@ -249,4 +249,6 @@ def test_emd_sketch_error_bound_at_10m_rows(spark):
     vs2, cs2 = numeric_histograms(test, ["x"], "sketch")["x"]
     sketch = emd_from_hist(vs1, cs1, vs2, cs2, margin_quantile_filter=0.0)
     assert exact > 0.01  # genuinely drifted
-    assert abs(sketch - exact) <= emd_sketch_bound()
+    # data-dependent envelope certificate (r5): tighter, still holds
+    assert emd_sketch_bound(sketch) < emd_sketch_bound()
+    assert abs(sketch - exact) <= emd_sketch_bound(sketch)
