@@ -902,25 +902,59 @@ class SimpleModelComparison(TrainTestCheck):
 
     value = {'scores': {'F1': {class: {'Origin', 'Simple'}}},
     'type': 'binary'|'multiclass', 'scorers_perfect': {'F1': 1.0}} —
-    the reference's value shape for per-class scorers. Strategies other
-    than 'most_frequent' (uniform/stratified/tree) are stochastic or
-    need a fitted model and are not supported (documented deviation).
+    the reference's value shape for per-class scorers.
+
+    All four reference strategies are supported
+    (simple_models.py:49-95, sklearn DummyClassifier semantics):
+
+    * ``most_frequent`` — constant majority-class prediction; per-class
+      F1 is closed-form from the label histograms (majority class
+      scores 2r/(1+r) with r its test frequency; every other class 0).
+    * ``stratified`` — the reference draws ONE realization of
+      predictions i.i.d. from the train label distribution
+      (RandomModel); this engine reports the exact expectation instead:
+      E[precision_c] = p_c (test frequency), E[recall_c] = q_c (train
+      frequency), F1 = 2·p·q/(p+q). Deterministic, and at corpus scale
+      the realized draw converges to this value anyway (documented
+      deviation: expectation, not one seeded draw).
+    * ``uniform`` — predictions uniform over the train class list K:
+      E[precision_c] = p_c, E[recall_c] = 1/|K| (0 for classes absent
+      from train); same expectation convention as 'stratified'.
+    * ``tree`` — a depth-``max_depth`` CART (ml/tree.py, gini,
+      deterministic first-best tie-break; sklearn
+      DecisionTreeClassifier analogue) fit driver-side on a bounded
+      Bernoulli sample of the train NUMERIC features
+      (``tree_fit_samples`` cap), then COMPILED into a nested
+      CASE WHEN column expression so the test-set scoring runs
+      JVM-side and fully distributed — no Python in the scoring path,
+      one confusion pass for Origin and Simple together.
+
+    Non-'tree' strategies cost one confusion-cell pass plus two tiny
+    histogram aggs; 'tree' adds the bounded fit sample collect.
     """
 
     MAX_CONFUSION_CELLS = 1_000_000
+    _STRATEGIES = ("most_frequent", "stratified", "uniform", "tree")
 
     def __init__(self, prediction_column: str, strategy: str = "most_frequent",
-                 max_gain: float = 50.0, n_samples=USE_DEFAULT, **kw):
+                 max_gain: float = 50.0, max_depth: int = 3,
+                 tree_fit_samples: int = 100_000, random_state: int = 42,
+                 n_samples=USE_DEFAULT, **kw):
         super().__init__(n_samples=n_samples, **kw)
-        if strategy != "most_frequent":
+        if strategy not in self._STRATEGIES:
             raise ValueError(
-                f"SimpleModelComparison: strategy {strategy!r} is not supported; the "
-                "predictions-column engine supports 'most_frequent' (uniform/"
-                "stratified are stochastic, tree needs a fitted model)"
+                f"SimpleModelComparison: strategy {strategy!r} is not allowed. "
+                f"allowed strategies are {self._STRATEGIES}."
             )
         self.prediction_column = prediction_column
         self.strategy = strategy
         self.max_gain = max_gain
+        self.max_depth = max_depth
+        self.tree_fit_samples = tree_fit_samples
+        # accepted for reference API parity; every strategy here is
+        # deterministic (expectations / deterministic CART), so the
+        # seed only feeds the Bernoulli fit-sample split
+        self.random_state = random_state
 
     def compute(self, ctx):
         label = ctx.train.label_name
@@ -947,11 +981,36 @@ class SimpleModelComparison(TrainTestCheck):
         if not train_hist:
             raise ValueError("SimpleModelComparison: train label column is all-null")
         majority = max(sorted(train_hist, key=str), key=lambda c: train_hist[c])
-        pairs = test_df.filter(y.isNotNull() & p.isNotNull()).select(
-            y.alias("__y"), p.alias("__p"))
-        cells = collect_confusion_cells(pairs, self.MAX_CONFUSION_CELLS, self.name())
+        base = test_df.filter(y.isNotNull() & p.isNotNull())
+        cells_simple = None
+        if self.strategy == "tree":
+            # one scan, one shuffle: group on (label, model pred, tree
+            # pred) — the tree adds at most 2^max_depth distinct values
+            # per cell — then marginalize driver-side into the Origin
+            # and Simple confusion matrices
+            tree_col = self._fit_tree_expression(ctx, train_df, label)
+            rows = (base.select(y.alias("__y"), p.alias("__p"),
+                                tree_col.alias("__t"))
+                    .groupBy("__y", "__p", "__t")
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .limit(self.MAX_CONFUSION_CELLS + 1).collect())
+            if len(rows) > self.MAX_CONFUSION_CELLS:
+                raise ValueError(
+                    f"{self.name()}: confusion matrix exceeds "
+                    f"{self.MAX_CONFUSION_CELLS} cells — label or prediction "
+                    "column is not classification-shaped")
+            cells, cells_simple = {}, {}
+            for r in rows:
+                cells[(r["__y"], r["__p"])] = cells.get((r["__y"], r["__p"]), 0) + r["__n"]
+                cells_simple[(r["__y"], r["__t"])] = (
+                    cells_simple.get((r["__y"], r["__t"]), 0) + r["__n"])
+        else:
+            pairs = base.select(y.alias("__y"), p.alias("__p"))
+            cells = collect_confusion_cells(pairs, self.MAX_CONFUSION_CELLS,
+                                            self.name())
         classes = sorted({c for c, _ in cells} | {c for _, c in cells}, key=str)
         n_test = sum(cells.values())
+        n_train = sum(train_hist.values())
         true_n = {c: sum(n for (yy, _), n in cells.items() if yy == c) for c in classes}
         pred_n = {c: sum(n for (_, pp), n in cells.items() if pp == c) for c in classes}
         scores = {"F1": {}}
@@ -960,17 +1019,90 @@ class SimpleModelComparison(TrainTestCheck):
             prec = tp / pred_n[c] if pred_n[c] else 0.0
             rec = tp / true_n[c] if true_n[c] else 0.0
             origin = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
-            if c == majority and n_test:
-                r = true_n[c] / n_test
-                simple = 2 * r / (1 + r)  # precision=r, recall=1
-            else:
-                simple = 0.0
+            p_c = true_n[c] / n_test if n_test else 0.0
+            if self.strategy == "most_frequent":
+                # constant majority prediction: precision=p_c, recall=1
+                simple = 2 * p_c / (1 + p_c) if (c == majority and n_test) else 0.0
+            elif self.strategy == "stratified":
+                # E[F1] under i.i.d. draws from the train distribution:
+                # E[precision]=p_c (test freq), E[recall]=q_c (train freq)
+                q_c = train_hist.get(c, 0) / n_train
+                simple = 2 * p_c * q_c / (p_c + q_c) if (p_c + q_c) else 0.0
+            elif self.strategy == "uniform":
+                # uniform over the train class list: E[recall]=1/|K|
+                r_c = 1.0 / len(train_hist) if c in train_hist else 0.0
+                simple = 2 * p_c * r_c / (p_c + r_c) if (p_c + r_c) else 0.0
+            else:  # tree — realized scores from the compiled-tree pass
+                tp_s = cells_simple.get((c, c), 0)
+                pred_s = sum(n for (_, tt), n in cells_simple.items() if tt == c)
+                prec_s = tp_s / pred_s if pred_s else 0.0
+                rec_s = tp_s / true_n[c] if true_n[c] else 0.0
+                simple = (2 * prec_s * rec_s / (prec_s + rec_s)
+                          if (prec_s + rec_s) else 0.0)
             scores["F1"][c] = {"Origin": origin, "Simple": simple}
         return {
             "scores": scores,
             "type": "binary" if len(classes) == 2 else "multiclass",
             "scorers_perfect": {"F1": 1.0},
         }, None
+
+    def _fit_tree_expression(self, ctx, train_df, label):
+        """Fit the CART baseline on a bounded Bernoulli sample of the
+        train NUMERIC features (reference fits
+        DecisionTreeClassifier(max_depth) behind a ScaledNumerics
+        imputer, simple_model_comparison.py:279-300), then compile the
+        fitted tree into a nested CASE WHEN column expression
+        (`feature <= threshold` descents, mean-imputed nulls). Scoring
+        the test set is then whole-stage-codegen'd JVM work — the tree
+        baseline distributes exactly like the closed-form strategies,
+        with Python only in the O(tree_fit_samples) driver-side fit."""
+        import numpy as np
+
+        from deepchecks_spark.ml.tree import DecisionTree
+
+        feats = [f for f in ctx.train.numerical_features
+                 if f not in (label, self.prediction_column)]
+        if not feats:
+            raise ValueError(
+                f"{self.name()}: strategy 'tree' needs at least one numeric "
+                "feature column (categorical encoding is not supported in the "
+                "predictions-column engine)")
+        y = F.col(f"`{label}`")
+        fit_df = train_df.filter(y.isNotNull()).select(
+            *[F.col(f"`{c}`").cast("double").alias(c) for c in feats],
+            y.alias("__y"))
+        total = fit_df.count()
+        if total > self.tree_fit_samples:
+            # same pure-Bernoulli convention as Dataset.sample: a
+            # deterministic per-row coin flip, stable across actions
+            fit_df = fit_df.sample(False, self.tree_fit_samples / total,
+                                   self.random_state)
+        pdf = fit_df.toPandas()
+        if pdf.empty:
+            raise ValueError(
+                f"{self.name()}: empty train fit sample for strategy 'tree'")
+        means = {}
+        for c in feats:
+            m = pdf[c].astype("float64").mean()
+            means[c] = float(m) if np.isfinite(m) else 0.0
+        X = np.column_stack([pdf[c].astype("float64").fillna(means[c]).to_numpy()
+                             for c in feats])
+        tree = DecisionTree("classification", max_depth=self.max_depth).fit(
+            X, pdf["__y"].to_numpy())
+        classes = [c.item() if hasattr(c, "item") else c
+                   for c in tree.classes_.tolist()]
+
+        def compile_node(node):
+            if node.left is None:
+                return F.lit(classes[int(np.argmax(node.value))])
+            name = feats[node.feature]
+            col = F.coalesce(F.col(f"`{name}`").cast("double"),
+                             F.lit(means[name]))
+            return F.when(col <= float(node.threshold),
+                          compile_node(node.left)).otherwise(
+                              compile_node(node.right))
+
+        return compile_node(tree.root)
 
     def add_condition_gain_greater_than(self, min_allowed_gain: float = 0.1,
                                         classes: list | None = None,

@@ -399,8 +399,77 @@ def test_simple_model_comparison_gain(spark):
 def test_simple_model_comparison_rejects_unsupported_strategy():
     from deepchecks_spark.checks.performance import SimpleModelComparison
 
-    with pytest.raises(ValueError, match="most_frequent"):
-        SimpleModelComparison("pred", strategy="tree")
+    with pytest.raises(ValueError, match="allowed strategies"):
+        SimpleModelComparison("pred", strategy="prior")
+
+
+def test_simple_model_comparison_stratified_uniform_expectations(spark):
+    """stratified/uniform baselines are the exact EXPECTED per-class F1
+    (reference RandomModel / ClassificationUniformModel realize one
+    seeded draw; the engine reports E[F1] closed-form — documented
+    deviation, converges at scale)."""
+    from deepchecks_spark.checks.performance import SimpleModelComparison
+
+    # train: P(a)=0.75 (evens + odd multiples of 3), test: P(a)=0.5
+    base = spark.range(0, 1200).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS lbl",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS pred")
+    tr = Dataset(base.filter("id % 2 = 0 OR id % 3 = 0").drop("id"),
+                 label="lbl", infer_categorical=False)
+    te = Dataset(base.filter("id % 2 < 2").drop("id"), label="lbl",
+                 infer_categorical=False)
+    q_a = 600 / 800  # train: 600 evens ('a') + 200 odd multiples of 3 ('b')
+    p = 0.5
+    v, _ = SimpleModelComparison("pred", strategy="stratified").compute(
+        __import__("deepchecks_spark.core.context", fromlist=["Context"]).Context(
+            train=tr, test=te))
+    assert v["scores"]["F1"]["a"]["Simple"] == pytest.approx(
+        2 * p * q_a / (p + q_a))
+    assert v["scores"]["F1"]["b"]["Simple"] == pytest.approx(
+        2 * p * (1 - q_a) / (p + 1 - q_a))
+    v, _ = SimpleModelComparison("pred", strategy="uniform").compute(
+        __import__("deepchecks_spark.core.context", fromlist=["Context"]).Context(
+            train=tr, test=te))
+    # |K| = 2 -> E[recall] = 0.5 for both classes; E[precision] = 0.5
+    assert v["scores"]["F1"]["a"]["Simple"] == pytest.approx(0.5)
+    assert v["scores"]["F1"]["b"]["Simple"] == pytest.approx(0.5)
+
+
+def test_simple_model_comparison_tree_compiled_expression(spark):
+    """'tree' fits the CART on a bounded sample and scores the test set
+    through a compiled CASE WHEN column — on a perfectly separable
+    binary feature (plus a decoy) the baseline must reach F1=1 per
+    class, beating a deliberately weakened Origin."""
+    from deepchecks_spark.checks.performance import SimpleModelComparison
+    from deepchecks_spark.core.context import Context
+
+    base = spark.range(0, 2000).selectExpr(
+        "id", "CAST(id % 2 AS DOUBLE) AS flag",
+        "CAST(id % 7 AS DOUBLE) AS noise",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS lbl",
+        # model wrong on every 10th row -> Origin < 1
+        "CASE WHEN id % 10 = 0 THEN (CASE WHEN id % 2 = 0 THEN 'b' ELSE 'a' END) "
+        "ELSE (CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END) END AS pred")
+    tr = Dataset(base.filter("id % 2 = 0 OR id % 3 = 0").drop("id"),
+                 label="lbl", infer_categorical=False)
+    te = Dataset(base.drop("id"), label="lbl", infer_categorical=False)
+    v, _ = SimpleModelComparison("pred", strategy="tree").compute(
+        Context(train=tr, test=te))
+    for c in ("a", "b"):
+        assert v["scores"]["F1"][c]["Simple"] == pytest.approx(1.0)
+        assert v["scores"]["F1"][c]["Origin"] < 1.0
+
+
+def test_simple_model_comparison_tree_needs_numeric_feature(spark):
+    from deepchecks_spark.checks.performance import SimpleModelComparison
+    from deepchecks_spark.core.context import Context
+
+    df = spark.createDataFrame([("x", "a", "a")] * 10,
+                               "f string, lbl string, pred string")
+    ds = Dataset(df, label="lbl", cat_features=["f"], infer_categorical=False)
+    with pytest.raises(ValueError, match="numeric"):
+        SimpleModelComparison("pred", strategy="tree").compute(
+            Context(train=ds, test=ds))
 
 
 def test_performance_bias_planted_subgroup(spark):
