@@ -2178,6 +2178,60 @@ def o_simple_model_comparison_embeddings():
     """
 
 
+def q_simple_model_comparison_strategies_embeddings(spark, sf_dir):
+    """SimpleModelComparison 'stratified' and 'uniform' baselines: both
+    are closed-form per-class F1 expectations from the train/test label
+    histograms (stratified: E[prec]=p_c test freq, E[rec]=q_c train
+    freq; uniform: E[rec]=1/|K|), so the oracle recomputes the exact
+    same numbers from two GROUP BYs — no model, no randomness."""
+    from deepchecks_spark.checks.performance import SimpleModelComparison
+    from deepchecks_spark.core.context import Context
+
+    base = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label", "label AS pred")
+    train = Dataset(base.filter("vec_id % 2 = 0").drop("vec_id"),
+                    label="label", infer_categorical=False)
+    test = Dataset(base.filter("vec_id % 2 = 1").drop("vec_id"),
+                   label="label", infer_categorical=False)
+    rows = []
+    for strategy in ("stratified", "uniform"):
+        value, _ = SimpleModelComparison("pred", strategy=strategy) \
+            .compute(Context(train=train, test=test))
+        for c, ms in value["scores"]["F1"].items():
+            rows.append((int(c), strategy, round(ms["Simple"], 6)))
+    return spark.createDataFrame(
+        rows, "class int, strategy string, f1_simple double")
+
+
+def o_simple_model_comparison_strategies_embeddings():
+    return """
+    WITH tr AS (SELECT label AS c, count(*) AS n FROM embeddings
+                WHERE vec_id % 2 = 0 AND label IS NOT NULL GROUP BY 1),
+         te AS (SELECT label AS c, count(*) AS n FROM embeddings
+                WHERE vec_id % 2 = 1 AND label IS NOT NULL GROUP BY 1),
+         trt AS (SELECT sum(n)::DOUBLE AS n FROM tr),
+         tet AS (SELECT sum(n)::DOUBLE AS n FROM te),
+         k AS (SELECT count(*)::DOUBLE AS k FROM tr),
+         cls AS (SELECT c FROM te),
+         f AS (SELECT cls.c,
+                      coalesce(te.n, 0) / (SELECT n FROM tet) AS p,
+                      coalesce(tr.n, 0) / (SELECT n FROM trt) AS q,
+                      CASE WHEN tr.n IS NOT NULL
+                           THEN 1.0 / (SELECT k FROM k) ELSE 0.0 END AS r
+               FROM cls LEFT JOIN tr ON tr.c = cls.c
+                        LEFT JOIN te ON te.c = cls.c)
+    SELECT c AS class, 'stratified' AS strategy,
+           round(CASE WHEN p + q = 0 THEN 0.0
+                      ELSE 2.0 * p * q / (p + q) END, 6) AS f1_simple
+    FROM f
+    UNION ALL
+    SELECT c, 'uniform',
+           round(CASE WHEN p + r = 0 THEN 0.0
+                      ELSE 2.0 * p * r / (p + r) END, 6)
+    FROM f
+    """
+
+
 def q_performance_bias_orders(spark, sf_dir):
     """PerformanceBias over a protected categorical feature: the
     '1-URGENT' subgroup mispredicts every 3rd row, the rest are
@@ -2342,6 +2396,8 @@ QUERIES = {
     "calibration_embeddings": q_calibration_embeddings,
     "regression_error_dist_lineitem": q_regression_error_dist_lineitem,
     "simple_model_comparison_embeddings": q_simple_model_comparison_embeddings,
+    "simple_model_comparison_strategies_embeddings":
+        q_simple_model_comparison_strategies_embeddings,
     "performance_bias_orders": q_performance_bias_orders,
     "multi_model_embeddings": q_multi_model_embeddings,
     "streaming_dedup_events": q_streaming_dedup_events,
@@ -2470,6 +2526,8 @@ ORACLES = {
     "lsh_autotune_recall_embeddings": o_lsh_autotune_recall_embeddings(),
     "regression_error_dist_lineitem": o_regression_error_dist_lineitem(),
     "simple_model_comparison_embeddings": o_simple_model_comparison_embeddings(),
+    "simple_model_comparison_strategies_embeddings":
+        o_simple_model_comparison_strategies_embeddings(),
     "performance_bias_orders": o_performance_bias_orders(),
     "multi_model_embeddings": o_multi_model_embeddings(),
     "streaming_newcat_events": o_streaming_newcat_events(),
