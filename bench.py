@@ -128,11 +128,15 @@ def bench_dedup(spark):
 def bench_similarity(spark):
     from pyspark.sql import functions as F
 
-    from deepchecks_spark.pipeline.similarity import brute_force_topk
+    from deepchecks_spark.pipeline.similarity import brute_force_topk, ivf_topk
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 50)
     brute_force_topk(queries, emb, k=10, id_col="vec_id").count()
+    # the IVF scale path: quantizer training (bounded sample) + map-only
+    # cell assignment + broadcast probe join, measured end-to-end
+    ivf_topk(queries, emb, dim=64, k=10, nlist=16, nprobe=2,
+             id_col="vec_id").count()
     return emb.count()
 
 

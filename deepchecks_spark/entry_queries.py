@@ -934,6 +934,69 @@ def o_lsh_topk_embeddings():
     """
 
 
+def q_ivf_topk_embeddings(spark, sf_dir):
+    """Cross-engine-deterministic IVF top-k: embeddings quantized to
+    integers (floor(x·1000)) and a coarse quantizer of INTEGER centroids
+    from a closed-form LCG — dot products are IEEE-exact, so DuckDB
+    reproduces the exact cell assignment, probe order, candidate set
+    and cosine ranking. The approximate inverted-file index itself is
+    under the value-hash."""
+    from deepchecks_spark.pipeline.similarity import (
+        deterministic_int_centroids,
+        ivf_topk,
+    )
+
+    cents = deterministic_int_centroids(nlist=8, dim=64)
+    df = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS DOUBLE)) AS embedding",
+    )
+    queries = df.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries, df, dim=64, k=5, nprobe=2, id_col="vec_id",
+                    centroids=cents).select("query_id", "neighbor_id", "rank")
+
+
+def o_ivf_topk_embeddings():
+    from deepchecks_spark.pipeline.similarity import deterministic_int_centroids
+
+    cents = deterministic_int_centroids(nlist=8, dim=64)
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {c} AS cell, CAST({list(vals)} AS DOUBLE[]) AS ce"
+        for c, vals in enumerate(cents)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS DOUBLE)) e
+               FROM embeddings),
+         cent AS ({cent_rows}),
+         scores AS (SELECT v.vec_id, cent.cell, list_dot_product(v.e, cent.ce) s
+                    FROM v CROSS JOIN cent),
+         assign AS (SELECT vec_id, cell FROM
+                      (SELECT vec_id, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY s DESC, cell ASC) r
+                       FROM scores) WHERE r = 1),
+         probes AS (SELECT vec_id, cell FROM
+                      (SELECT vec_id, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY s DESC, cell ASC) r
+                       FROM scores WHERE vec_id < 10) WHERE r <= 2),
+         cand AS (SELECT p.vec_id qid, a.vec_id nid
+                  FROM probes p JOIN assign a ON p.cell = a.cell
+                  WHERE p.vec_id != a.vec_id),
+         scored AS (SELECT qid, nid,
+                           list_dot_product(a.e, c.e)
+                           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))) s
+                    FROM cand JOIN v a ON a.vec_id = cand.qid
+                              JOIN v c ON c.vec_id = cand.nid),
+         ranked AS (SELECT qid, nid,
+                           row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid ASC) r
+                    FROM scored)
+    SELECT qid::BIGINT AS query_id, nid::BIGINT AS neighbor_id, r::BIGINT AS rank
+    FROM ranked WHERE r <= 5
+    """
+
+
 def q_language_id_documents(spark, sf_dir):
     from deepchecks_spark.pipeline.textstats import language_id
 
@@ -2398,6 +2461,7 @@ QUERIES = {
     "simple_model_comparison_embeddings": q_simple_model_comparison_embeddings,
     "simple_model_comparison_strategies_embeddings":
         q_simple_model_comparison_strategies_embeddings,
+    "ivf_topk_embeddings": q_ivf_topk_embeddings,
     "performance_bias_orders": q_performance_bias_orders,
     "multi_model_embeddings": q_multi_model_embeddings,
     "streaming_dedup_events": q_streaming_dedup_events,
@@ -2528,6 +2592,7 @@ ORACLES = {
     "simple_model_comparison_embeddings": o_simple_model_comparison_embeddings(),
     "simple_model_comparison_strategies_embeddings":
         o_simple_model_comparison_strategies_embeddings(),
+    "ivf_topk_embeddings": o_ivf_topk_embeddings(),
     "performance_bias_orders": o_performance_bias_orders(),
     "multi_model_embeddings": o_multi_model_embeddings(),
     "streaming_newcat_events": o_streaming_newcat_events(),

@@ -1,15 +1,19 @@
 """Similarity search over an embedding column (array<float>).
 
-Brute-force cosine top-k is the exact baseline; the scale path buckets
-with random-hyperplane LSH so each query only scores its bucket. Dot
-products run JVM-side via zip_with/aggregate (no Python). The top-k is
-two-stage (per-partition pre-top-k, then global) so the shuffle carries
-at most n_queries × k × n_partitions rows, never the full cross join.
+Brute-force cosine top-k is the exact baseline; two scale paths avoid
+the n² cross join: random-hyperplane LSH (each query scores only its
+bucket, OR-amplified across tables) and an IVF inverted-file index
+(k-means coarse quantizer, each query exactly scores its nprobe nearest
+cells — the FAISS IVFFlat shape). Dot products run JVM-side via
+zip_with/aggregate (no Python). The top-k is two-stage (per-partition
+pre-top-k, then global) so the shuffle carries at most
+n_queries × k × n_partitions rows, never the full cross join.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -210,6 +214,180 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray):
         )
         bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
     return bucket
+
+
+def train_ivf_centroids(df: DataFrame, nlist: int, sample_size: int = 10_000,
+                        n_iters: int = 10, seed: int = 42,
+                        id_col: str = "id", vec_col: str = "embedding") -> np.ndarray:
+    """Train the IVF coarse quantizer: seeded spherical k-means (Lloyd on
+    unit vectors, cosine = dot) over a bounded deterministic sample — the
+    standard IVF recipe (FAISS trains its quantizer on a corpus sample,
+    not the full set). The sample is the lowest ``sample_size`` ids
+    (cheap TakeOrdered, same convention as autotune_lsh_params), the
+    k-means++-style init is seeded, and empty cells are re-seeded from
+    the farthest points, so the result is deterministic for a given
+    (corpus, seed). Returns a unit-normalized (nlist, dim) array."""
+    rows = (
+        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .orderBy("id").limit(sample_size).collect()
+    )
+    mat = np.asarray([r["v"] for r in rows], dtype=float)
+    if len(mat) < nlist:
+        raise ValueError(
+            f"train_ivf_centroids: sample has {len(mat)} vectors < nlist={nlist}")
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on the sample
+    centers = [unit[rng.integers(len(unit))]]
+    for _ in range(1, nlist):
+        d2 = np.min(
+            np.stack([1.0 - unit @ c for c in centers]), axis=0).clip(min=0)
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(unit), 1 / len(unit))
+        centers.append(unit[rng.choice(len(unit), p=probs)])
+    cent = np.stack(centers)
+    for _ in range(n_iters):
+        assign = np.argmax(unit @ cent.T, axis=1)
+        for c in range(nlist):
+            members = unit[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+            else:  # re-seed an empty cell from the farthest point
+                far = np.argmin(np.max(unit @ cent.T, axis=1))
+                cent[c] = unit[far]
+    return cent
+
+
+def deterministic_int_centroids(nlist: int, dim: int) -> list:
+    """INTEGER-valued centroids from the same pure-integer LCG formula as
+    deterministic_int_hyperplanes — integer dot products are IEEE-exact
+    in doubles, so an external SQL engine (the DuckDB correctness
+    oracle) reproduces the exact cell assignment and probe order,
+    putting the approximate IVF index itself under the value-hash.
+    Returns [nlist][dim] ints in [-1024, 1024]."""
+    return [
+        [((1103515245 * (c * 2003 + d * 257) + 54321) % 2049) - 1024
+         for d in range(dim)]
+        for c in range(nlist)
+    ]
+
+
+_IVF_EXPR_MAX_LITERALS = 16_384
+
+
+def _ivf_cell_scores(vec_name: str, cents: np.ndarray):
+    """Per-cell dot-product structs (score, cell) as JVM expressions;
+    centroids are baked into the plan as literals."""
+    v = _as_double(vec_name)
+    return [
+        F.struct(
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x).alias("s"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(cents)
+    ]
+
+
+def ivf_assign_col(vec_name: str, cents: np.ndarray):
+    """Nearest-centroid cell id for a corpus vector. Small quantizers
+    (nlist × dim ≤ ~16k literals) compile to a whole-stage-codegen'd
+    argmax expression — a map-only pass, no shuffle, and cross-engine
+    deterministic with integer centroids (ties → lowest cell id). Larger
+    quantizers switch to an Arrow-batched pandas UDF doing one numpy
+    matmul per batch — same argmax/tie-break semantics."""
+    if cents.size <= _IVF_EXPR_MAX_LITERALS:
+        # max of struct(s, -cell): score desc, then lowest cell id
+        best = F.array_max(F.array(*[
+            F.struct(s["s"].alias("s"), (-s["cell"]).alias("negc"))
+            for s in _ivf_cell_scores(vec_name, cents)
+        ]))
+        return (-best["negc"]).cast("int")
+
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.ascontiguousarray(cents.T)
+
+    @pandas_udf("int")
+    def assign(batch: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(x, dtype=float) for x in batch])
+        # np.argmax takes the FIRST maximum — same lowest-cell tie-break
+        return pd.Series(np.argmax(m @ cmat, axis=1), dtype="int32")
+
+    return assign(_as_double(vec_name))
+
+
+def ivf_probe_cells_col(vec_name: str, cents: np.ndarray, nprobe: int):
+    """The ``nprobe`` nearest cells for a query vector, as an array
+    ordered (score desc, cell asc) — sort_array over (−score, cell)
+    structs, sliced, then projected to cell ids. Pure JVM expression."""
+    ordered = F.sort_array(F.array(*[
+        F.struct((-s["s"]).alias("negs"), s["cell"].alias("cell"))
+        for s in _ivf_cell_scores(vec_name, cents)
+    ]))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cell"])
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
+             nlist: int = 64, nprobe: int = 4, sample_size: int = 10_000,
+             seed: int = 42, id_col: str = "id", vec_col: str = "embedding",
+             centroids=None) -> DataFrame:
+    """IVF approximate cosine top-k (inverted-file index, the FAISS
+    IVFFlat shape): a k-means coarse quantizer splits the corpus into
+    ``nlist`` cells; each query exactly scores only the vectors in its
+    ``nprobe`` nearest cells.
+
+    Scale shape: centroid training is one bounded-sample collect
+    (O(sample_size · dim) driver work); corpus cell assignment is a
+    map-only JVM pass (no shuffle — the cell id is computed inline, the
+    corpus is never re-partitioned); the probe is an equi-join on cell
+    with the (small) exploded query set broadcast, so each corpus row is
+    scored against only the queries probing its cell —
+    AQE-skew-splittable if cells are unbalanced. At 10^12 rows set
+    nlist ≈ √N so cells stay executor-sized. Unlike LSH, candidate
+    pairs are unique by construction (a corpus vector lives in exactly
+    one cell), so there is no dedup shuffle before ranking.
+
+    ``centroids``: optional explicit (nlist, dim) values — pass
+    deterministic_int_centroids(...) for a cross-engine-reproducible
+    index (the correctness-oracle path); default trains the quantizer
+    with train_ivf_centroids.
+
+    Returns (query_id, neighbor_id, cosine, rank); deterministic
+    tie-break (cosine desc, neighbor_id asc)."""
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=float)
+    else:
+        cents = train_ivf_centroids(corpus, nlist, sample_size=sample_size,
+                                    seed=seed, id_col=id_col, vec_col=vec_col)
+
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(vec_col).alias("ce"))
+        .withColumn("cn", _norm("ce"))
+        .withColumn("cell", ivf_assign_col("ce", cents))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(vec_col).alias("qe"))
+        .withColumn("qn", _norm("qe"))
+        .withColumn("cell", F.explode(ivf_probe_cells_col("qe", cents, nprobe)))
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _dot("qe", "ce") / (F.col("qn") * F.col("cn")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,

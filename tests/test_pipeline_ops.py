@@ -158,6 +158,84 @@ def test_lsh_topk_or_amplification_improves_candidates(spark):
     assert got8 == truth  # full recall on clustered data with 8 tables
 
 
+def test_ivf_topk_full_probe_matches_brute_force(spark):
+    """With nprobe = nlist the IVF index scores every cell, so the
+    result must equal the exact brute-force top-k including rank."""
+    from deepchecks_spark.pipeline.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((120, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    queries = df.filter(F.col("id") < 5)
+    exact = set(map(tuple, brute_force_topk(queries, df, k=4)
+                    .select("query_id", "neighbor_id", "rank").collect()))
+    got = set(map(tuple, ivf_topk(queries, df, dim=8, k=4, nlist=6, nprobe=6,
+                                  sample_size=120)
+                  .select("query_id", "neighbor_id", "rank").collect()))
+    assert got == exact
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """On well-clustered vectors a small nprobe recovers the exact
+    neighbors: each query's true neighbors share its dominant axis, so
+    they land in the same k-means cell."""
+    from deepchecks_spark.pipeline.similarity import ivf_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = df.selectExpr(
+        "vec_id",
+        "transform(sequence(0, 15), d -> CAST((CASE WHEN d = CAST(vec_id % 10 AS INT) "
+        "THEN 40 ELSE 2 END) + ((vec_id * 7 + d * 13) % 5) - 2 AS DOUBLE)) AS embedding",
+    )
+    queries = df.filter(F.col("vec_id") < 10)
+    truth = set(map(tuple, brute_force_topk(queries, df, k=3, id_col="vec_id")
+                    .select("query_id", "neighbor_id").collect()))
+    got = set(map(tuple, ivf_topk(queries, df, dim=16, k=3, nlist=10, nprobe=2,
+                                  id_col="vec_id", sample_size=1000)
+                  .select("query_id", "neighbor_id").collect()))
+    assert got == truth  # full recall on clustered data
+
+
+def test_ivf_assign_arrow_path_matches_expression(spark):
+    """The pandas-UDF assignment (large-nlist path) and the codegen'd
+    argmax expression must agree cell-for-cell, including ties."""
+    from deepchecks_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((5, 6))
+    vecs = rng.standard_normal((80, 6))
+    vecs[7] = 0.0  # all-scores-equal tie → lowest cell id on both paths
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    expr = {r["id"]: r["c"] for r in df.select(
+        "id", sim.ivf_assign_col("embedding", cents).alias("c")).collect()}
+    old = sim._IVF_EXPR_MAX_LITERALS
+    sim._IVF_EXPR_MAX_LITERALS = 0  # force the Arrow path
+    try:
+        arrow = {r["id"]: r["c"] for r in df.select(
+            "id", sim.ivf_assign_col("embedding", cents).alias("c")).collect()}
+    finally:
+        sim._IVF_EXPR_MAX_LITERALS = old
+    assert expr == arrow
+    assert expr[7] == 0
+
+
+def test_train_ivf_centroids_deterministic_and_unit_norm(spark):
+    from deepchecks_spark.pipeline.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    a = train_ivf_centroids(df, nlist=4, sample_size=300)
+    b = train_ivf_centroids(df, nlist=4, sample_size=300)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+    with pytest.raises(ValueError, match="nlist"):
+        train_ivf_centroids(df.limit(3), nlist=4, sample_size=300)
+
+
 def test_minhash_recall_is_total_on_planted_duplicates(spark):
     from deepchecks_spark.pipeline.dedup import (
         brute_force_jaccard_pairs,

@@ -187,7 +187,24 @@ def test_multi_model_melt_single_scan(spark):
     assert {r["Model"] for r in value} == {"A", "B"}
 
 
-def test_performance_bias_single_grouped_pass(spark):
+def test_ivf_topk_broadcast_probe_single_shuffle(spark):
+    """IVF probe: corpus cell assignment is map-only (no Exchange before
+    the join), the exploded query set is the broadcast build side, and
+    the rank window is the ONLY data shuffle — with a map-side
+    WindowGroupLimit so each partition pre-trims to top-k before it."""
+    from deepchecks_spark.pipeline.similarity import (
+        deterministic_int_centroids,
+        ivf_topk,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = deterministic_int_centroids(nlist=4, dim=64)
+    out = ivf_topk(df.filter(F.col("vec_id") < 5), df, dim=64, k=3, nprobe=2,
+                   id_col="vec_id", centroids=cents)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
     # subgroup scores AND baseline come from one grouped cell pass —
     # no second scan for the baseline
     from deepchecks_spark import Dataset
