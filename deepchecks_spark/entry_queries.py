@@ -1808,6 +1808,78 @@ def o_streaming_newcat_events():
     """
 
 
+def q_streaming_performance_events(spark, sf_dir):
+    """Fourth streaming contract row: continuous model-performance
+    monitoring — label/prediction columns derived from event_id (every
+    5th prediction flipped to the next class mod 3), daily windows; the
+    drained per-window accuracy and macro-F1 must equal the batch
+    confusion arithmetic recomputed in SQL, regardless of file-replay
+    order (absolute update-mode cells, idempotent fold)."""
+    import hashlib
+    import os
+
+    from deepchecks_spark.streaming import StreamingPerformanceMonitor
+
+    batch = _t(spark, sf_dir, "events")
+    stage_dir = "/tmp/spark_graft_stream/events_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        batch.repartition(8).write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .selectExpr(
+            "ts",
+            "CAST(event_id % 3 AS INT) AS lbl",
+            "CAST(CASE WHEN event_id % 5 = 0 THEN (event_id + 1) % 3 "
+            "ELSE event_id % 3 END AS INT) AS pred",
+        )
+    )
+    mon = StreamingPerformanceMonitor("lbl", "pred")
+    q = mon.start(stream, time_col="ts", window_duration="1 day",
+                  watermark="40 days")
+    q.processAllAvailable()
+    q.stop()
+    rows = [
+        (start.strftime("%Y-%m-%d"), round(float(v["accuracy"]), 6),
+         round(float(v["macro_f1"]), 6), int(v["n"]))
+        for start, v in sorted(mon.scores.items())
+    ]
+    return spark.createDataFrame(
+        rows, "window_start string, accuracy double, macro_f1 double, n long")
+
+
+def o_streaming_performance_events():
+    return """
+    WITH d AS (SELECT date_trunc('day', ts) w,
+                      (event_id % 3) y,
+                      CASE WHEN event_id % 5 = 0 THEN (event_id + 1) % 3
+                           ELSE event_id % 3 END p
+               FROM events),
+         cells AS (SELECT w, y, p, count(*) n FROM d GROUP BY 1, 2, 3),
+         cls AS (SELECT DISTINCT w, y AS c FROM d
+                 UNION SELECT DISTINCT w, p FROM d),
+         st AS (SELECT cls.w, cls.c,
+                       coalesce(sum(CASE WHEN ce.y = cls.c AND ce.p = cls.c THEN ce.n END), 0) tp,
+                       coalesce(sum(CASE WHEN ce.p = cls.c THEN ce.n END), 0) pn,
+                       coalesce(sum(CASE WHEN ce.y = cls.c THEN ce.n END), 0) tn
+                FROM cls LEFT JOIN cells ce ON ce.w = cls.w GROUP BY 1, 2),
+         f1 AS (SELECT w, avg(CASE WHEN tp = 0 OR pn = 0 OR tn = 0 THEN 0.0
+                                   ELSE 2.0 * (tp / pn) * (tp / tn)
+                                        / ((tp / pn) + (tp / tn)) END) macro_f1
+                FROM st GROUP BY w),
+         acc AS (SELECT w, sum(CASE WHEN y = p THEN n ELSE 0 END)::DOUBLE
+                            / sum(n) a,
+                        sum(n) nt
+                 FROM cells GROUP BY w)
+    SELECT strftime(acc.w, '%Y-%m-%d') AS window_start,
+           round(a, 6) AS accuracy, round(macro_f1, 6) AS macro_f1,
+           nt::BIGINT AS n
+    FROM acc JOIN f1 ON acc.w = f1.w
+    """
+
+
 def q_multimodal_dims_documents(spark, sf_dir):
     """REAL header parsing in the correctness gate (VERDICT r2 next-6):
     valid PNG / GIF / JPEG header bytes are constructed in Spark SQL
@@ -2466,6 +2538,7 @@ QUERIES = {
     "multi_model_embeddings": q_multi_model_embeddings,
     "streaming_dedup_events": q_streaming_dedup_events,
     "streaming_newcat_events": q_streaming_newcat_events,
+    "streaming_performance_events": q_streaming_performance_events,
     "referential_integrity_orders": q_referential_integrity_orders,
     "lsh_autotune_recall_embeddings": q_lsh_autotune_recall_embeddings,
     "dedup_clusters_documents": q_dedup_clusters_documents,
@@ -2596,5 +2669,6 @@ ORACLES = {
     "performance_bias_orders": o_performance_bias_orders(),
     "multi_model_embeddings": o_multi_model_embeddings(),
     "streaming_newcat_events": o_streaming_newcat_events(),
+    "streaming_performance_events": o_streaming_performance_events(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),
 }

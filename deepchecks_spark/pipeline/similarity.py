@@ -96,6 +96,46 @@ def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
     )
 
 
+def ivf_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
+                        nlist: int = 64, nprobe: int = 2,
+                        sample_size: int = 10_000, seed: int = 42,
+                        id_col: str = "id", vec_col: str = "embedding",
+                        centroids=None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the IVF quantizer — the
+    cell-join alternative to the LSH-bucketed embedding_near_duplicates:
+    every vector is exploded into its ``nprobe`` nearest cells (probing
+    BOTH sides recovers pairs that straddle a cell boundary, the IVF
+    analogue of OR-amplification), pairs are formed by a cell equi-join
+    with id_a < id_b, exactly scored, and filtered at ``threshold``.
+
+    Scale shape: the explode multiplies the corpus by nprobe (not by
+    n_tables × every vector as LSH multi-probe does); the self-join is
+    an equi-join on cell — never all-pairs — and AQE splits skewed
+    cells. Multi-cell double-hits are deduped AFTER the threshold
+    filter, so the dedup shuffle carries only true near-duplicates.
+    Returns (id_a, id_b, cosine)."""
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=float)
+    else:
+        cents = train_ivf_centroids(df, nlist, sample_size=sample_size,
+                                    seed=seed, id_col=id_col, vec_col=vec_col)
+    base = (
+        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        .withColumn("n", _norm("v"))
+        .withColumn("cell", F.explode(ivf_probe_cells_col("v", cents, nprobe)))
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", _dot("a.v", "b.v") / (F.col("a.n") * F.col("b.n")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def autotune_lsh_params(df: DataFrame, threshold: float, target_recall: float = 0.9,
                         max_planes: int = 16, max_tables: int = 64,
                         sample_size: int = 1000, id_col: str = "id",

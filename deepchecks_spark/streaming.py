@@ -477,6 +477,175 @@ class StreamingNewCategoryMonitor:
         return writer.start()
 
 
+class StreamingPerformanceMonitor:
+    """Continuous model-performance monitoring over prediction COLUMNS —
+    the streaming twin of SingleDatasetPerformance
+    (checks/performance.py:190): per event-time window, classification
+    accuracy + macro-F1 from the confusion cells, or regression
+    MAE/RMSE from distributive sums.
+
+    Scale shape: classification runs ONE watermarked
+    ``groupBy(window, label, pred).count()`` — the stateful-agg state is
+    mergeable and bounded by windows × classes², and the driver folds
+    absolute-count UPDATE rows (idempotent upsert), rescoring only the
+    touched windows with the same closed-form per-class F1 arithmetic
+    as the batch check. Regression runs
+    ``groupBy(window).agg(count, Σ|d|, Σd²)`` — three mergeable scalars
+    per window, O(windows) driver state, exactly the batch scorers'
+    one-pass aggregate (checks/performance.py:49-82).
+
+    ``MAX_CELLS_PER_WINDOW`` kills the stream LOUDLY if the
+    label/prediction columns are not classification-shaped (the batch
+    collect_confusion_cells convention — silent truncation would report
+    a wrong score forever).
+
+    ``scores``: classification
+    {window_start: {"accuracy": float, "macro_f1": float, "n": int}};
+    regression {window_start: {"mae": float, "rmse": float, "n": int}}.
+
+    Same resumability contract as StreamingPsiMonitor: checkpoint_dir
+    persists streaming state/offsets, state_path the driver-side fold;
+    update-mode rows carry absolute values so checkpoint replay
+    converges.
+    """
+
+    MAX_CELLS_PER_WINDOW = 10_000
+
+    def __init__(self, label_col: str, prediction_column: str,
+                 task: str = "classification", state_path: str | None = None):
+        if task not in ("classification", "regression"):
+            raise ValueError(
+                f"StreamingPerformanceMonitor: unknown task {task!r}")
+        self.label_col = label_col
+        self.prediction_column = prediction_column
+        self.task = task
+        self.state_path = state_path
+        self.scores: dict = {}
+        self._cells: dict = {}   # classification: {win: {(y, p): count}}
+        self._sums: dict = {}    # regression: {win: [n, sum_abs_d, sum_d2]}
+        if state_path:
+            loaded = _load_monitor_state(state_path)
+            if loaded is not None:
+                import datetime
+
+                if "cells" in loaded:
+                    self._cells = {
+                        datetime.datetime.fromisoformat(k):
+                            {(y, p): int(n) for y, p, n in v}
+                        for k, v in loaded["cells"].items()
+                    }
+                if "sums" in loaded:
+                    self._sums = {
+                        datetime.datetime.fromisoformat(k): list(v)
+                        for k, v in loaded["sums"].items()
+                    }
+
+    def _rescore(self, start) -> None:
+        if self.task == "regression":
+            n, sad, sse = self._sums[start]
+            self.scores[start] = {
+                "mae": sad / n if n else 0.0,
+                "rmse": (sse / n) ** 0.5 if n else 0.0,
+                "n": int(n),
+            }
+            return
+        cells = self._cells[start]
+        n = sum(cells.values())
+        classes = sorted({y for y, _ in cells} | {p for _, p in cells},
+                         key=str)
+        f1s = []
+        for c in classes:
+            tp = cells.get((c, c), 0)
+            pred_n = sum(v for (_, p), v in cells.items() if p == c)
+            true_n = sum(v for (y, _), v in cells.items() if y == c)
+            prec = tp / pred_n if pred_n else 0.0
+            rec = tp / true_n if true_n else 0.0
+            f1s.append(2 * prec * rec / (prec + rec) if (prec + rec) else 0.0)
+        self.scores[start] = {
+            "accuracy": sum(v for (y, p), v in cells.items() if y == p) / n
+            if n else 0.0,
+            "macro_f1": sum(f1s) / len(f1s) if f1s else 0.0,
+            "n": int(n),
+        }
+
+    def _save(self) -> None:
+        if not self.state_path:
+            return
+        state: dict = {}
+        if self.task == "classification":
+            state["cells"] = {
+                k.isoformat(): [[y, p, n] for (y, p), n in v.items()]
+                for k, v in self._cells.items()
+            }
+        else:
+            state["sums"] = {k.isoformat(): v for k, v in self._sums.items()}
+        _save_monitor_state(self.state_path, state)
+
+    def start(self, stream_df: DataFrame, time_col: str = "warc_ts",
+              window_duration: str = "1 day", watermark: str = "30 minutes",
+              checkpoint_dir: str | None = None):
+        _warn_unresumable_fold(checkpoint_dir, self.state_path)
+        for start in list(self._cells) + list(self._sums):  # restored state
+            self._rescore(start)
+        y = F.col(f"`{self.label_col}`")
+        p = F.col(f"`{self.prediction_column}`")
+        base = stream_df.filter(y.isNotNull() & p.isNotNull())
+        win = F.window(F.col(time_col), window_duration).alias("w")
+        if self.task == "regression":
+            d = p.cast("double") - y.cast("double")
+            windowed = (
+                base.withWatermark(time_col, watermark)
+                .groupBy(win)
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.abs(d)).alias("sad"),
+                     F.sum(d * d).alias("sse"))
+            )
+
+            def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+                touched = set()
+                for r in batch_df.collect():  # bounded: touched windows
+                    start = r["w"]["start"]
+                    self._sums[start] = [int(r["n"]), float(r["sad"]),
+                                         float(r["sse"])]
+                    touched.add(start)
+                for start in touched:
+                    self._rescore(start)
+                if touched:
+                    self._save()
+        else:
+            # strings for JSON-round-trippable state (PSI convention)
+            windowed = (
+                base.withWatermark(time_col, watermark)
+                .groupBy(win, y.cast("string").alias("__y"),
+                         p.cast("string").alias("__p"))
+                .count()
+            )
+
+            def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+                touched = set()
+                # bounded: touched windows × classes², gated below
+                for r in batch_df.collect():
+                    start = r["w"]["start"]
+                    cells = self._cells.setdefault(start, {})
+                    cells[(r["__y"], r["__p"])] = int(r["count"])
+                    if len(cells) > self.MAX_CELLS_PER_WINDOW:
+                        raise ValueError(
+                            f"StreamingPerformanceMonitor: window {start} "
+                            f"exceeds {self.MAX_CELLS_PER_WINDOW} confusion "
+                            "cells — label or prediction column is not "
+                            "classification-shaped")
+                    touched.add(start)
+                for start in touched:
+                    self._rescore(start)
+                if touched:
+                    self._save()
+
+        writer = windowed.writeStream.outputMode("update").foreachBatch(_fold)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
+
+
 def stateful_column_monitor(stream_df: DataFrame, key_col: str, value_col: str):
     """Custom stateful streaming operator (applyInPandasWithState): per-key
     running integrity counters that survive across micro-batches.

@@ -221,6 +221,25 @@ def test_ivf_assign_arrow_path_matches_expression(spark):
     assert expr[7] == 0
 
 
+def test_ivf_near_duplicates_recovers_planted_pairs(spark):
+    """Planted near-identical pairs must all survive the cell join:
+    near-duplicates share their probe cells (nearly identical centroid
+    scores), so both-side nprobe probing recovers every pair."""
+    from deepchecks_spark.pipeline.similarity import ivf_near_duplicates
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 8))
+    for i in range(10):  # vec[100+i] is a near-duplicate of vec[i]
+        vecs[100 + i] = vecs[i] + rng.standard_normal(8) * 0.01
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    got = ivf_near_duplicates(df, dim=8, threshold=0.99, nlist=8, nprobe=3,
+                              sample_size=200).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert {(i, 100 + i) for i in range(10)} <= pairs
+    assert all(r["cosine"] >= 0.99 for r in got)
+
+
 def test_train_ivf_centroids_deterministic_and_unit_norm(spark):
     from deepchecks_spark.pipeline.similarity import train_ivf_centroids
 

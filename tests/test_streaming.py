@@ -525,3 +525,124 @@ def test_streaming_new_category_monitor_broadcast_ref_path(spark, tmp_path):
         got = mon.counts[day]["event_type"]
         assert got["n_new"] == r["n_new"]
         assert got["n_rows"] == r["n"]
+
+
+def test_streaming_performance_matches_batch_classification(spark, tmp_path):
+    """Two event-time windows with different error rates: the final
+    streaming accuracy/macro-F1 per window equals the batch confusion
+    arithmetic over the same rows, and the fold state round-trips."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.streaming import StreamingPerformanceMonitor
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(600):
+        # window 0: every 10th wrong; window 1: every 3rd wrong; labels
+        # alternate WITHIN each window
+        hour = (i // 2) % 2
+        y = "a" if i % 2 == 0 else "b"
+        wrong = (i % 10 == 0) if hour == 0 else (i % 3 == 0)
+        p = ("b" if y == "a" else "a") if wrong else y
+        rows.append((base + datetime.timedelta(hours=hour, seconds=i // 4), y, p))
+    df = spark.createDataFrame(rows, "ts timestamp, lbl string, pred string")
+    path = str(tmp_path / "perf_in")
+    df.repartition(4).write.parquet(path)
+
+    state = str(tmp_path / "perf_state.json")
+    mon = StreamingPerformanceMonitor("lbl", "pred", state_path=state)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    q = mon.start(stream, time_col="ts", window_duration="1 hour",
+                  watermark="10 minutes")
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(mon.scores) == 2
+    cells = {}
+    for r in df.groupBy(F.window("ts", "1 hour").alias("w"), "lbl", "pred") \
+               .count().collect():
+        cells.setdefault(r["w"]["start"], {})[(r["lbl"], r["pred"])] = r["count"]
+    for start, c in cells.items():
+        n = sum(c.values())
+        acc = sum(v for (y, p), v in c.items() if y == p) / n
+        f1s = []
+        for cl in ("a", "b"):
+            tp = c.get((cl, cl), 0)
+            pn = sum(v for (_, p), v in c.items() if p == cl)
+            tn = sum(v for (y, _), v in c.items() if y == cl)
+            pr, rc = tp / pn, tp / tn
+            f1s.append(2 * pr * rc / (pr + rc) if (pr + rc) else 0.0)
+        assert mon.scores[start]["accuracy"] == pytest.approx(acc)
+        assert mon.scores[start]["macro_f1"] == pytest.approx(sum(f1s) / 2)
+        assert mon.scores[start]["n"] == n
+    # the noisier window scores materially lower
+    s = sorted(mon.scores.items())
+    assert s[1][1]["accuracy"] < s[0][1]["accuracy"] - 0.1
+    # state round-trip: a fresh monitor restores the fold and rescores
+    mon2 = StreamingPerformanceMonitor("lbl", "pred", state_path=state)
+    assert mon2._cells == mon._cells
+    for start in mon2._cells:
+        mon2._rescore(start)
+    assert mon2.scores == mon.scores
+
+
+def test_streaming_performance_regression_matches_batch(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.streaming import StreamingPerformanceMonitor
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [(base + datetime.timedelta(hours=i % 2, seconds=i), float(i % 7),
+             float(i % 7) + (i % 5 - 2) * 0.5) for i in range(400)]
+    df = spark.createDataFrame(rows, "ts timestamp, y double, pred double")
+    path = str(tmp_path / "regr_in")
+    df.repartition(3).write.parquet(path)
+
+    mon = StreamingPerformanceMonitor("y", "pred", task="regression")
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    q = mon.start(stream, time_col="ts", window_duration="1 hour",
+                  watermark="10 minutes")
+    q.processAllAvailable()
+    q.stop()
+
+    want = {r["w"]["start"]: r for r in
+            df.withColumn("d", F.col("pred") - F.col("y"))
+              .groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("n"), F.avg(F.abs("d")).alias("mae"),
+                   F.sqrt(F.avg(F.col("d") * F.col("d"))).alias("rmse"))
+              .collect()}
+    assert len(mon.scores) == len(want) == 2
+    for start, r in want.items():
+        assert mon.scores[start]["mae"] == pytest.approx(r["mae"])
+        assert mon.scores[start]["rmse"] == pytest.approx(r["rmse"])
+        assert mon.scores[start]["n"] == r["n"]
+
+
+def test_streaming_performance_cell_gate_kills_stream(spark, tmp_path):
+    """A not-classification-shaped prediction column must fail LOUDLY
+    (the batch collect_confusion_cells convention), not silently skew."""
+    import datetime
+
+    from deepchecks_spark.streaming import StreamingPerformanceMonitor
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [(base + datetime.timedelta(seconds=i), "a", f"v{i}")
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "ts timestamp, lbl string, pred string")
+    path = str(tmp_path / "gate_in")
+    df.write.parquet(path)
+
+    mon = StreamingPerformanceMonitor("lbl", "pred")
+    mon.MAX_CELLS_PER_WINDOW = 10
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = mon.start(stream, time_col="ts", window_duration="1 hour",
+                  watermark="10 minutes")
+    with pytest.raises(Exception, match="confusion cells"):
+        q.processAllAvailable()
+    q.stop()
