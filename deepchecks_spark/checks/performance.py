@@ -27,6 +27,18 @@ SUPPORTED_SCORERS = ("accuracy", "f1_weighted", "precision_macro", "recall_macro
 REGRESSION_SCORERS = ("mae", "mse", "rmse", "r2")
 
 
+def segment_numeric_types():
+    """The ONE numeric/categorical split used by the weak-segments
+    surface — quantile binning, candidate selection and the
+    max_categories roll-up must agree on it, or a column binned as
+    numeric in one place gets a categorical histogram in another
+    (unbounded-grid hazard)."""
+    from pyspark.sql import types as T
+
+    return (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType)
+
+
 def _validate_scorers(scorers) -> str:
     """Return 'classification' or 'regression'; reject unknown or mixed
     scorer lists with the reference's descriptive-error convention
@@ -531,12 +543,9 @@ def quantile_bin_exprs(df, cols: list, n_bins: int,
     max_categories instead of the raw column cardinality (reference
     weak_segment_abstract caps categories the same way via
     partition_numeric_feature_around_segment / cat frequency cut)."""
-    from pyspark.sql import types as T
-
     from deepchecks_spark.drift.kernels import OTHER_CATEGORY_NAME
 
-    numeric_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                     T.FloatType, T.DoubleType)
+    numeric_types = segment_numeric_types()
     numeric_cols = [c for c in cols if isinstance(df.schema[c].dataType, numeric_types)]
     probs = [i / n_bins for i in range(1, n_bins)]
     edges_by_col = {}
@@ -1096,8 +1105,12 @@ class SimpleModelComparison(TrainTestCheck):
             if node.left is None:
                 return F.lit(classes[int(np.argmax(node.value))])
             name = feats[node.feature]
-            col = F.coalesce(F.col(f"`{name}`").cast("double"),
-                             F.lit(means[name]))
+            raw = F.col(f"`{name}`").cast("double")
+            # NULL **and NaN** route to the mean (the fit's fillna sees
+            # both as missing; Spark's NaN > everything would otherwise
+            # send NaN rows down the right branch unconditionally)
+            col = F.when(raw.isNull() | F.isnan(raw),
+                         F.lit(means[name])).otherwise(raw)
             return F.when(col <= float(node.threshold),
                           compile_node(node.left)).otherwise(
                               compile_node(node.right))
@@ -1352,10 +1365,7 @@ class WeakSegmentsPerformance(SingleDatasetCheck):
         self.max_categories = max_categories
 
     def _candidate_columns(self, ds, df):
-        from pyspark.sql import types as T
-
-        numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                   T.FloatType, T.DoubleType)
+        numeric = segment_numeric_types()
         if self.columns is not None:
             cands = [c for c in self.columns]
         else:
@@ -1383,10 +1393,7 @@ class WeakSegmentsPerformance(SingleDatasetCheck):
         # INSIDE the aggregation (categorical_histograms' bounded pass) —
         # without this a url-like candidate makes the GROUPING SETS grid
         # n_pairs × cardinality² cells, all collected to the driver
-        from pyspark.sql import types as T
-
-        numeric_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                         T.FloatType, T.DoubleType)
+        numeric_types = segment_numeric_types()
         cat_cands = [c for c in cands
                      if not isinstance(df.schema[c].dataType, numeric_types)]
         cat_top_values = None

@@ -344,22 +344,35 @@ def ivf_assign_col(vec_name: str, cents: np.ndarray):
     quantizers switch to an Arrow-batched pandas UDF doing one numpy
     matmul per batch — same argmax/tie-break semantics."""
     if cents.size <= _IVF_EXPR_MAX_LITERALS:
-        # max of struct(s, -cell): score desc, then lowest cell id
+        # max of struct(s, -cell): score desc, then lowest cell id;
+        # null vectors -> null cell (struct-max over null scores would
+        # otherwise tie-break to cell 0), so the probe join drops them
         best = F.array_max(F.array(*[
             F.struct(s["s"].alias("s"), (-s["cell"]).alias("negc"))
             for s in _ivf_cell_scores(vec_name, cents)
         ]))
-        return (-best["negc"]).cast("int")
+        return F.when(_as_double(vec_name).isNotNull(),
+                      (-best["negc"]).cast("int"))
 
     from pyspark.sql.functions import pandas_udf
 
     cmat = np.ascontiguousarray(cents.T)
 
+    dim = cents.shape[1]
+
     @pandas_udf("int")
     def assign(batch: pd.Series) -> pd.Series:
-        m = np.asarray([np.asarray(x, dtype=float) for x in batch])
-        # np.argmax takes the FIRST maximum — same lowest-cell tie-break
-        return pd.Series(np.argmax(m @ cmat, axis=1), dtype="int32")
+        # null/ragged rows -> null cell (the expression path's argmax is
+        # null on a null vector and the probe join drops it — same
+        # semantics here)
+        mask = batch.map(lambda x: x is not None and len(x) == dim)
+        out = pd.Series([None] * len(batch), index=batch.index, dtype="object")
+        if mask.any():
+            m = np.asarray([np.asarray(x, dtype=float)
+                            for x in batch[mask]])
+            # np.argmax takes the FIRST maximum — same lowest-cell tie-break
+            out[mask] = np.argmax(m @ cmat, axis=1)
+        return out.astype("Int32")
 
     return assign(_as_double(vec_name))
 

@@ -263,32 +263,71 @@ def new_category_partition_rows(test_df: DataFrame, train_df: DataFrame, cat_col
 
 
 def performance_partition_rows(df: DataFrame, label_col: str, prediction_column: str,
-                               threshold: float = 0.5) -> list:
-    """Per-partition SingleDatasetPerformance(accuracy) verdicts
-    (VERDICT r4 next-5): the batch check's accuracy condition evaluated
-    on every input partition's own rows.
+                               threshold: float = 0.5,
+                               task: str = "classification",
+                               mae_factor: float = 2.0) -> list:
+    """Per-partition SingleDatasetPerformance verdicts (VERDICT r4
+    next-5): classification = the batch accuracy condition evaluated on
+    every input partition's own rows; regression = each partition's MAE
+    compared against ``mae_factor`` × the global MAE (anomalous-shard
+    detection, the drift_partition_rows convention — regression errors
+    have no natural absolute threshold).
 
     Scale shape: ONE extra group key (spark_partition_id) on the
-    correctness pass — a single scan reducing to one (pid, n, n_correct)
-    row per partition map-side, so driver state is O(partitions)
-    regardless of row count or label cardinality (no confusion cells
-    needed for accuracy: it is Σcorrect/Σn, a distributive pair)."""
+    correctness pass — a single scan reducing to one counter row per
+    partition map-side, so driver state is O(partitions) regardless of
+    row count or label cardinality (no confusion cells needed: accuracy
+    and MAE are distributive pairs). The group keys come from the
+    UNFILTERED frame, so a partition whose every row has a null
+    label/prediction still gets a row — an ERROR verdict, since a fully
+    unscored shard is exactly the corrupt-partition case this surface
+    exists to catch."""
     from deepchecks_spark.core.checks import format_number
 
     y = F.col(f"`{label_col}`")
     p = F.col(f"`{prediction_column}`")
+    usable = y.isNotNull() & p.isNotNull()
+    if task == "regression":
+        d = p.cast("double") - y.cast("double")
+        score_agg = F.sum(F.when(usable, F.abs(d)).otherwise(F.lit(0.0))).alias("s")
+    else:
+        score_agg = F.sum(F.when(usable & (y == p), 1).otherwise(0)
+                          .cast("long")).alias("s")
     per = (
         df.withColumn("__pid", F.spark_partition_id())
-        .filter(y.isNotNull() & p.isNotNull())
         .groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.sum((y == p).cast("long")).alias("n_correct"))
+        .agg(F.count(F.lit(1)).alias("n_total"),
+             F.sum(usable.cast("long")).alias("n"),
+             score_agg)
         .collect()
     )
-    cond_name = f"Selected metrics are greater than {threshold}"
     rows = []
+    if task == "regression":
+        tot_n = sum(r["n"] for r in per)
+        global_mae = (sum(r["s"] for r in per) / tot_n) if tot_n else 0.0
+        cond_name = (f"Partition MAE not greater than {mae_factor}x "
+                     "the global MAE")
+    else:
+        cond_name = f"Selected metrics are greater than {threshold}"
     for r in sorted(per, key=lambda r: r["__pid"]):
-        acc = (r["n_correct"] / r["n"]) if r["n"] else 0.0
+        if not r["n"]:
+            rows.append((r["__pid"], "Single Dataset Performance", cond_name,
+                         "ERROR",
+                         f"no scored rows: all {r['n_total']} rows have null "
+                         "label or prediction"))
+            continue
+        if task == "regression":
+            mae = r["s"] / r["n"]
+            if global_mae and mae > mae_factor * global_mae:
+                rows.append((r["__pid"], "Single Dataset Performance", cond_name,
+                             "FAIL",
+                             f"partition MAE {format_number(mae)} vs global "
+                             f"{format_number(global_mae)}"))
+            else:
+                rows.append((r["__pid"], "Single Dataset Performance", cond_name,
+                             "PASS", f"partition MAE {format_number(mae)}"))
+            continue
+        acc = r["s"] / r["n"]
         if acc <= threshold:
             failing = {"accuracy": format_number(acc)}  # batch dict-repr parity
             rows.append((r["__pid"], "Single Dataset Performance", cond_name, "FAIL",
@@ -523,7 +562,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
             concurrent_stages: bool = True,
             reference_input: str | None = None,
             prediction_column: str | None = None,
-            probability_columns: dict | None = None) -> dict:
+            probability_columns: dict | None = None,
+            task_type: str = "classification") -> dict:
     """Execute the integrity suite with per-partition lineage and
     checkpointed stage outputs. Returns the manifest dict."""
     os.makedirs(output_dir, exist_ok=True)
@@ -531,13 +571,23 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
     fingerprint = (
         str(snapshot_id) if snapshot_id is not None else snapshot_fingerprint(input_path, fmt)
     )
-    manifest = {"fingerprint": fingerprint, "input": input_path, "stages": {}, "run_id": f"run-{fingerprint}"}
+    # the parameterization is part of the resume identity: re-running the
+    # same input with e.g. a newly-added --prediction-column must NOT
+    # skip the done stages (their outputs lack the model-eval rows)
+    params = {"label": label, "cat_features": sorted(cat_features or []),
+              "reference_input": reference_input,
+              "prediction_column": prediction_column,
+              "probability_columns": probability_columns,
+              "task_type": task_type}
+    manifest = {"fingerprint": fingerprint, "input": input_path,
+                "params": params, "stages": {}, "run_id": f"run-{fingerprint}"}
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             prev = json.load(f)
-        if prev.get("fingerprint") == fingerprint:
+        if prev.get("fingerprint") == fingerprint and prev.get("params") == params:
             manifest = prev  # resume: completed stages are skipped below
-        # different fingerprint → fresh manifest, stale stages recompute
+        # different fingerprint or params → fresh manifest, stale stages
+        # recompute
 
     df = read_table(spark, input_path, fmt, snapshot_id)
     # one materialization shared by every stage: repartition up to the
@@ -606,7 +656,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
 
         psuite = production_suite(is_comparative=False,
                                   prediction_column=prediction_column,
-                                  probability_columns=probability_columns)
+                                  probability_columns=probability_columns,
+                                  task_type=task_type)
         perf_checks = [c for c in psuite.checks
                        if c.__class__.__module__.endswith("checks.performance")]
 
@@ -645,7 +696,7 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
                 ds.df, [c for c in ds.features if c != ds.label_name], ds.label_name)
         if prediction_column and ds.label_name:
             rows += performance_partition_rows(
-                ds.df, ds.label_name, prediction_column)
+                ds.df, ds.label_name, prediction_column, task=task_type)
         if reference_input:
             # join checks vs a reference snapshot, per partition: new
             # categories and train/test samples mix (VERDICT r3 next-8)
@@ -716,6 +767,9 @@ def main(argv=None):
     parser.add_argument("--probability-columns", default=None,
                         help="JSON dict {class: probability_column} for "
                              "RocReport/CalibrationScore")
+    parser.add_argument("--task-type", default="classification",
+                        choices=("classification", "regression"),
+                        help="model-eval scorer family for --prediction-column")
     args = parser.parse_args(argv)
     from deepchecks_spark.session import get_spark
 
@@ -727,6 +781,7 @@ def main(argv=None):
         prediction_column=args.prediction_column,
         probability_columns=(json.loads(args.probability_columns)
                              if args.probability_columns else None),
+        task_type=args.task_type,
     )
     print(json.dumps(manifest))
 

@@ -315,6 +315,12 @@ class StreamingDedupMonitor:
 
         _warn_unresumable_fold(checkpoint_dir, self.state_path)
         self._key_cols = list(key_cols)
+        if self._sink_dir is not None and os.path.isfile(self._sink_dir):
+            raise ValueError(
+                f"StreamingDedupMonitor: state_path {self._sink_dir!r} is an "
+                "existing FILE — since round 4 state_path names a parquet sink "
+                "DIRECTORY; point it at a dedicated directory path"
+            )
         if self._sink_dir is None:
             self._sink_dir = tempfile.mkdtemp(prefix="dedup_monitor_sink_")
         elif not checkpoint_dir:

@@ -763,3 +763,30 @@ def test_weak_segments_grid_cell_gate(spark, monkeypatch):
                  label="lbl", cat_features=["a", "b"], infer_categorical=False)
     with pytest.raises(ValueError, match="segment grid exceeds"):
         WeakSegmentsPerformance("pred", columns=["a", "b"]).run(ds)
+
+
+def test_simple_model_comparison_tree_imputes_nan_like_fit(spark):
+    """The compiled tree must impute NaN features to the column mean
+    (matching the fit's fillna) — Spark's NaN-greater-than-everything
+    ordering would otherwise route every NaN row down the right branch."""
+    import math
+
+    from deepchecks_spark.checks.performance import SimpleModelComparison
+    from deepchecks_spark.core.context import Context
+
+    base = spark.range(0, 600).selectExpr(
+        "id", "CAST(id % 2 AS DOUBLE) AS flag",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS lbl",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS pred")
+    tr = Dataset(base.drop("id"), label="lbl", infer_categorical=False)
+    check = SimpleModelComparison("pred", strategy="tree")
+    expr = check._fit_tree_expression(Context(train=tr, test=tr), tr.df, "lbl")
+    probe = spark.createDataFrame(
+        [(0.0, ), (1.0, ), (float("nan"), ), (None, )], "flag double")
+    got = {("nan" if r["flag"] is not None and math.isnan(r["flag"])
+            else r["flag"]): r["t"]
+           for r in probe.withColumn("t", expr).collect()}
+    assert got[0.0] == "a" and got[1.0] == "b"
+    # mean(flag) = 0.5 → NaN and NULL both take the <= 0.5 branch
+    assert got["nan"] == "a"
+    assert got[None] == "a"

@@ -207,6 +207,7 @@ def test_ivf_assign_arrow_path_matches_expression(spark):
     vecs = rng.standard_normal((80, 6))
     vecs[7] = 0.0  # all-scores-equal tie → lowest cell id on both paths
     rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    rows.append((99, None))  # null vector → null cell on BOTH paths
     df = spark.createDataFrame(rows, "id long, embedding array<double>")
     expr = {r["id"]: r["c"] for r in df.select(
         "id", sim.ivf_assign_col("embedding", cents).alias("c")).collect()}
@@ -219,6 +220,7 @@ def test_ivf_assign_arrow_path_matches_expression(spark):
         sim._IVF_EXPR_MAX_LITERALS = old
     assert expr == arrow
     assert expr[7] == 0
+    assert expr[99] is None
 
 
 def test_ivf_near_duplicates_recovers_planted_pairs(spark):

@@ -205,6 +205,9 @@ def test_ivf_topk_broadcast_probe_single_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_performance_bias_single_grouped_pass(spark):
     # subgroup scores AND baseline come from one grouped cell pass —
     # no second scan for the baseline
     from deepchecks_spark import Dataset

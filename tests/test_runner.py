@@ -521,3 +521,76 @@ def test_performance_partition_rows_sliced_oracle_parity(spark):
         assert cr.details == details
     assert len(set(pids)) == 3
     df.unpersist()
+
+
+def test_resume_invalidated_by_param_change(spark, tmp_path):
+    """Adding --prediction-column to a completed output dir must re-run
+    the done stages: the resume identity includes the parameterization,
+    not just the input fingerprint."""
+    src = str(tmp_path / "in_params")
+    spark.range(0, 400).selectExpr(
+        "id", "CAST(id % 2 AS INT) AS lbl",
+        "CAST(CASE WHEN id % 10 = 0 THEN 1 - id % 2 ELSE id % 2 END AS INT) AS pred",
+    ).repartition(4).write.parquet(src)
+    out = str(tmp_path / "out_params")
+    run_job(spark, src, out, label="lbl")
+    v1 = spark.read.parquet(os.path.join(out, "verdicts")).collect()
+    assert not [r for r in v1 if r["check"] == "Single Dataset Performance"]
+    run_job(spark, src, out, label="lbl", prediction_column="pred")
+    v2 = spark.read.parquet(os.path.join(out, "verdicts")).collect()
+    assert [r for r in v2 if r["check"] == "Single Dataset Performance"]
+    # and with identical params the stages ARE skipped (manifest reused)
+    m3 = run_job(spark, src, out, label="lbl", prediction_column="pred")
+    assert all(v == "done" for v in m3["stages"].values())
+
+
+def test_performance_partition_rows_regression_and_unscored(spark, tmp_path):
+    """Regression verdicts flag a partition whose MAE exceeds 2x global;
+    a partition with zero scored rows gets an ERROR row instead of
+    silently vanishing from the table."""
+    from deepchecks_spark.runner import performance_partition_rows
+
+    src = str(tmp_path / "ppr_in")
+    a = spark.createDataFrame([(0.0, 0.1)] * 150, "y double, pred double").coalesce(1)
+    b = spark.createDataFrame([(0.0, 10.0)] * 10, "y double, pred double").coalesce(1)
+    c = spark.createDataFrame([(0.0, None)] * 20, "y double, pred double").coalesce(1)
+    # three parquet files → three physical scan partitions (a union of
+    # local relations would be collapsed into one by Catalyst)
+    a.write.parquet(src)
+    b.write.mode("append").parquet(src)
+    c.write.mode("append").parquet(src)
+    df = spark.read.parquet(src)
+    rows = performance_partition_rows(df, "y", "pred", task="regression")
+    assert len(rows) == 3
+    cats = sorted(r[3] for r in rows)
+    assert cats == ["ERROR", "FAIL", "PASS"]  # MAE 0.1 / MAE 10 vs
+    # global ~0.72 / no scored rows — file→partition order is not pinned
+    err = next(r for r in rows if r[3] == "ERROR")
+    assert "null label or prediction" in err[4]
+    # classification path: the unscored partition also gets the ERROR row
+    cls = performance_partition_rows(
+        df.selectExpr("CAST(y AS INT) y", "CAST(pred AS INT) pred"),
+        "y", "pred")
+    assert len(cls) == 3
+    assert [r for r in cls if r[3] == "ERROR"]
+
+
+def test_run_job_regression_task_type(spark, tmp_path):
+    """task_type='regression' composes the regression scorer family: the
+    verdicts table carries the performance rows with zero ERROR rows,
+    and partition verdicts use the MAE-vs-global condition."""
+    src = str(tmp_path / "in_regr")
+    spark.range(0, 400).selectExpr(
+        "id", "CAST(id % 7 AS DOUBLE) AS lbl",
+        "CAST(id % 7 AS DOUBLE) + (id % 5 - 2) * 0.1 AS pred",
+    ).repartition(4).write.parquet(src)
+    out = str(tmp_path / "out_regr")
+    run_job(spark, src, out, label="lbl", prediction_column="pred",
+            task_type="regression")
+    v = spark.read.parquet(os.path.join(out, "verdicts")).collect()
+    assert [r for r in v if r["check"] == "Single Dataset Performance"]
+    assert not [r for r in v if r["category"] == "ERROR"], \
+        [r for r in v if r["category"] == "ERROR"]
+    pv = spark.read.parquet(os.path.join(out, "partition_verdicts")).collect()
+    perf = [r for r in pv if r["check"] == "Single Dataset Performance"]
+    assert perf and all("MAE" in r["condition"] for r in perf)

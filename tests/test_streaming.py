@@ -646,3 +646,14 @@ def test_streaming_performance_cell_gate_kills_stream(spark, tmp_path):
     with pytest.raises(Exception, match="confusion cells"):
         q.processAllAvailable()
     q.stop()
+
+
+def test_dedup_monitor_rejects_file_state_path(tmp_path):
+    """state_path pointing at an existing regular FILE (the pre-r4 JSON
+    contract) must raise the descriptive error, not FileExistsError."""
+    from deepchecks_spark.streaming import StreamingDedupMonitor
+
+    p = tmp_path / "old_state.json"
+    p.write_text("{}")
+    with pytest.raises(ValueError, match="DIRECTORY"):
+        StreamingDedupMonitor(state_path=str(p)).start(None, ["k"])
