@@ -554,6 +554,86 @@ def o_ngram_jaccard_adjacent_documents():
     """
 
 
+def q_repetition_stats_documents(spark, sf_dir):
+    from deepchecks_spark.pipeline.textstats import repetition_stats
+
+    df = _t(spark, sf_dir, "documents")
+    out = repetition_stats(df, "text", ngram=2)
+    return out.select(
+        "doc_id",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("dup_ngram_frac", 6).alias("dup_ngram_frac"),
+        "top_ngram_count",
+        F.round("top_ngram_char_frac", 6).alias("top_ngram_char_frac"),
+    )
+
+
+def o_repetition_stats_documents():
+    # word bigrams: t[i:i+1] is the INCLUSIVE 2-element slice; ties on the
+    # max count break to the lexicographically smallest gram on both
+    # engines (Spark: first strictly-longer run over the sorted array)
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, text, t, len(t) AS nt,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+                  ELSE [] END AS grams
+      FROM toks),
+    tg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    cnt AS (SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+    top AS (SELECT doc_id, gram, c,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+            FROM cnt)
+    SELECT g.doc_id,
+           round(CASE WHEN nt > 0 THEN (nt - len(list_distinct(t))) / nt::double ELSE 0 END, 6) AS dup_word_frac,
+           round(CASE WHEN len(grams) > 0 THEN (len(grams) - len(list_distinct(grams))) / len(grams)::double ELSE 0 END, 6) AS dup_ngram_frac,
+           coalesce(top.c, 0)::BIGINT AS top_ngram_count,
+           round(coalesce(top.c * length(top.gram) / greatest(length(g.text), 1)::double, 0), 6) AS top_ngram_char_frac
+    FROM g LEFT JOIN top ON top.doc_id = g.doc_id AND top.rn = 1
+    """
+
+
+def q_duplicate_chunks_documents(spark, sf_dir):
+    from deepchecks_spark.pipeline.dedup import duplicate_chunk_stats
+
+    df = _t(spark, sf_dir, "documents")
+    return duplicate_chunk_stats(df, "doc_id", "text", chunk_words=5).select(
+        "doc_id", "n_chunks", "n_shared_chunks",
+        F.round("shared_chunk_frac", 6).alias("shared_chunk_frac"),
+    )
+
+
+def o_duplicate_chunks_documents():
+    # the oracle groups by chunk TEXT; the engine groups by xxhash64 of
+    # the chunk — identical results absent a 64-bit collision
+    return r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+      FROM documents),
+    ch AS (SELECT doc_id,
+                  unnest(list_transform(range(len(t) // 5),
+                         i -> array_to_string(t[i*5+1:i*5+5], ' '))) AS chunk
+           FROM toks),
+    pair AS (SELECT doc_id, chunk, count(*) AS n_in_doc FROM ch GROUP BY 1, 2),
+    pc AS (SELECT chunk, count(*) AS n_docs FROM pair GROUP BY 1),
+    roll AS (SELECT doc_id, sum(n_in_doc) AS n_chunks,
+                    sum(CASE WHEN n_docs >= 2 THEN n_in_doc ELSE 0 END) AS n_shared
+             FROM pair JOIN pc USING (chunk) GROUP BY 1)
+    SELECT d.doc_id, coalesce(n_chunks, 0)::BIGINT AS n_chunks,
+           coalesce(n_shared, 0)::BIGINT AS n_shared_chunks,
+           round(CASE WHEN coalesce(n_chunks, 0) > 0
+                      THEN n_shared / n_chunks::double ELSE 0 END, 6) AS shared_chunk_frac
+    FROM documents d LEFT JOIN roll USING (doc_id)
+    """
+
+
 def q_embedding_cosine_topk(spark, sf_dir):
     from deepchecks_spark.pipeline.similarity import brute_force_topk
 
@@ -2542,6 +2622,9 @@ QUERIES = {
     "referential_integrity_orders": q_referential_integrity_orders,
     "lsh_autotune_recall_embeddings": q_lsh_autotune_recall_embeddings,
     "dedup_clusters_documents": q_dedup_clusters_documents,
+    # round-5 additions — kept inside the driver's 50-query window
+    "repetition_stats_documents": q_repetition_stats_documents,
+    "duplicate_chunks_documents": q_duplicate_chunks_documents,
     "percent_of_nulls_lineitem": q_percent_of_nulls_lineitem,
     "is_single_value_orders": q_is_single_value_orders,
     "class_imbalance_embeddings": q_class_imbalance_embeddings,
@@ -2671,4 +2754,7 @@ ORACLES = {
     "streaming_newcat_events": o_streaming_newcat_events(),
     "streaming_performance_events": o_streaming_performance_events(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),
+    # round-5: Gopher-style repetition signals + cross-corpus chunk dedup
+    "repetition_stats_documents": o_repetition_stats_documents(),
+    "duplicate_chunks_documents": o_duplicate_chunks_documents(),
 }

@@ -258,6 +258,69 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def duplicate_chunk_stats(df: DataFrame, id_col: str, text_col: str,
+                          chunk_words: int = 10) -> DataFrame:
+    """Cross-corpus duplicated-passage detection (the CCNet/RefinedWeb
+    shared-paragraph signal): split every document into consecutive
+    NON-overlapping ``chunk_words``-word chunks (the trailing partial
+    chunk is dropped), find chunks that occur in more than one document,
+    and report per document::
+
+        n_chunks, n_shared_chunks, shared_chunk_frac
+
+    where a chunk is *shared* when its content appears in ≥2 distinct
+    documents.
+
+    Scale shape: the chunk text never shuffles — each chunk is reduced
+    to its ``xxhash64`` before the explode, so every exchange moves
+    (8-byte hash, id) rows only. Three narrow shuffles: (hash, id)
+    pre-aggregation (map-side combine collapses within-doc repeats),
+    hash → distinct-doc count, and the id roll-up; the hash↔count join
+    broadcasts nothing and skew on a viral chunk is AQE-splittable.
+    Collision risk is the 64-bit birthday bound (≈n²/2^65: ~0.03 at
+    10^9 distinct chunks — acceptable for a dedup *signal*; exact
+    passage dedup would carry the chunk text at shuffle cost);
+    documents shorter than one chunk keep a row with ``n_chunks = 0``."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_chunks = F.floor(n / F.lit(chunk_words)).cast("int")
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.xxhash64(F.array_join(
+                F.slice(toks, i * chunk_words + 1, chunk_words), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    ids = df.select(F.col(id_col).alias("__id"))
+    exploded = (
+        df.select(F.col(id_col).alias("__id"), F.explode(chunks).alias("h"))
+    )
+    per_pair = exploded.groupBy("h", "__id").agg(F.count(F.lit(1)).alias("n_in_doc"))
+    per_chunk = per_pair.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    rolled = (
+        per_pair.join(per_chunk, "h")
+        .groupBy("__id")
+        .agg(
+            F.sum("n_in_doc").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("n_in_doc"))
+                  .otherwise(F.lit(0))).alias("n_shared_chunks"),
+        )
+    )
+    return (
+        ids.join(rolled, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_shared_chunks", F.lit(0)).cast("long").alias("n_shared_chunks"),
+            F.when(F.coalesce("n_chunks", F.lit(0)) > 0,
+                   F.coalesce("n_shared_chunks", F.lit(0))
+                   / F.col("n_chunks").cast("double"))
+            .otherwise(F.lit(0.0)).alias("shared_chunk_frac"),
+        )
+    )
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                          max_iterations: int = 25) -> DataFrame:
     """Transitive duplicate clusters from a pair list: min-label

@@ -91,6 +91,74 @@ def language_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> Dat
     )
 
 
+def _word_ngrams(toks, n, ngram: int):
+    """Array of space-joined word ``ngram``-grams (empty when the doc is
+    shorter than one gram)."""
+    return F.when(
+        n >= ngram,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(ngram)),
+            lambda i: F.array_join(F.slice(toks, i + 1, ngram), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str, ngram: int = 3) -> DataFrame:
+    """Per-document repetition signals in the style of the
+    MassiveText/Gopher quality filters (Rae et al. 2021, table A1):
+
+    - ``dup_word_frac``    — fraction of word instances that repeat an
+      earlier word (``(n − n_distinct)/n``),
+    - ``dup_ngram_frac``   — same over word ``ngram``-grams,
+    - ``top_ngram_count``  — occurrences of the most frequent gram,
+    - ``top_ngram_char_frac`` — characters covered by occurrences of
+      that gram / total characters (the Gopher "top n-gram" signal).
+
+    Scale shape: ZERO shuffle — every signal is computed inside one
+    projection with higher-order functions on the per-row token array.
+    The most-frequent gram comes from a single linear ``aggregate`` pass
+    over the SORTED gram array (duplicates are adjacent, so the max
+    count is the longest equal-run); ties break to the lexicographically
+    smallest gram, deterministically, because array_sort puts it first
+    and only a STRICTLY longer run displaces the incumbent. A 100 TB
+    corpus maps straight through — no groupBy, no explode, no driver
+    state."""
+    toks = _tokens(text_col)
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    grams = _word_ngrams(toks, n, ngram)
+    ng = F.size(grams)
+    # longest equal-run over the sorted grams: acc = (prev, run, best, bestg)
+    run_zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(None).cast("string").alias("bestg"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    top = F.aggregate(F.array_sort(grams), run_zero, step)
+    nchars = F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double")
+    return df.select(
+        "*",
+        F.when(n > 0, (n - F.size(F.array_distinct(toks))) / n.cast("double"))
+        .otherwise(F.lit(0.0)).alias("dup_word_frac"),
+        F.when(ng > 0, (ng - F.size(F.array_distinct(grams))) / ng.cast("double"))
+        .otherwise(F.lit(0.0)).alias("dup_ngram_frac"),
+        F.coalesce(top["best"], F.lit(0)).cast("long").alias("top_ngram_count"),
+        F.when(ng > 0, top["best"] * F.length(top["bestg"]) / nchars)
+        .otherwise(F.lit(0.0)).alias("top_ngram_char_frac"),
+    )
+
+
 def document_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint",
                          ngram: int = 4) -> DataFrame:
     """Winnowing-style fingerprint: min over rolling word-ngram hashes

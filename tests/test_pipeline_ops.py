@@ -443,3 +443,51 @@ def test_connected_components_large_hash_ids(spark):
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {big + 3: big + 3, big + 5: big + 3, big + 7: big + 3,
                    big + 11: big + 11, big + 13: big + 11}
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher-style repetition signals against a hand-computed fixture:
+    'a b a b a b c' has 7 tokens / 3 distinct (dup_word 4/7), five
+    3-grams with two repeats (dup_ngram 2/5), and top gram 'a b a'
+    occurring twice (char frac 2*5/13)."""
+    from deepchecks_spark.pipeline.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, "x y z"), (3, ""), (4, "q")],
+        "id long, text string")
+    rows = {r["id"]: r for r in repetition_stats(df, "text", ngram=3).collect()}
+    assert abs(rows[1]["dup_word_frac"] - 4 / 7) < 1e-12
+    assert abs(rows[1]["dup_ngram_frac"] - 2 / 5) < 1e-12
+    assert rows[1]["top_ngram_count"] == 2
+    assert abs(rows[1]["top_ngram_char_frac"] - 10 / 13) < 1e-12
+    # no repeats: the single 3-gram of 'x y z' is the whole text, so
+    # the top count is 1 and its characters cover everything
+    assert rows[2]["dup_ngram_frac"] == 0.0
+    assert rows[2]["top_ngram_count"] == 1
+    assert rows[2]["top_ngram_char_frac"] == 1.0
+    # empty text and sub-gram docs yield zeros, not nulls
+    for i in (3, 4):
+        assert rows[i]["dup_word_frac"] == 0.0
+        assert rows[i]["top_ngram_count"] == 0
+        assert rows[i]["top_ngram_char_frac"] == 0.0
+
+
+def test_duplicate_chunk_stats_cross_corpus(spark):
+    """A chunk repeated WITHIN one doc is not 'shared'; a chunk present
+    in two docs is, counted once per occurrence; sub-chunk docs keep a
+    zero row."""
+    from deepchecks_spark.pipeline.dedup import duplicate_chunk_stats
+
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"),
+         (2, "w1 w2 w3 a b"),
+         (3, "z z z w4 w5 w6 z z z"),
+         (4, "short")],
+        "id long, text string")
+    out = {r["id"]: r for r in
+           duplicate_chunk_stats(df, "id", "text", chunk_words=3).collect()}
+    assert (out[1]["n_chunks"], out[1]["n_shared_chunks"]) == (2, 2)
+    assert (out[2]["n_chunks"], out[2]["n_shared_chunks"]) == (1, 1)
+    assert (out[3]["n_chunks"], out[3]["n_shared_chunks"]) == (3, 1)
+    assert abs(out[3]["shared_chunk_frac"] - 1 / 3) < 1e-12
+    assert (out[4]["n_chunks"], out[4]["shared_chunk_frac"]) == (0, 0.0)

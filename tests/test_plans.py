@@ -237,3 +237,28 @@ def test_performance_bias_single_grouped_pass(spark):
         dataframe_mod.DataFrame.collect = orig
     assert len(n_collects) == 1  # exactly one action: the grouped cells
     assert len(value["scores_df"]) == 5
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    # every signal folds inside one projection over the token array —
+    # a groupBy/explode sneaking in would shuffle 10^12 gram rows
+    from deepchecks_spark.pipeline.textstats import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(repetition_stats(docs, "text"))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode either
+
+
+def test_duplicate_chunk_stats_shuffles_hashes_not_text(spark):
+    # the chunk text is reduced to xxhash64 BEFORE the explode: no
+    # Exchange may carry the text column, and the explode feeds from
+    # the narrow (id, hash-array) projection
+    from deepchecks_spark.pipeline.dedup import duplicate_chunk_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(duplicate_chunk_stats(docs, "doc_id", "text", chunk_words=5))
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
