@@ -2590,6 +2590,214 @@ def o_weak_segments_orders():
 
 
 # ---------------------------------------------------------------------------
+# round-5 training-data-pipeline operators: Gopher rule filter, self-trained
+# unigram LM scoring, benchmark decontamination, SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+# derived multi-line fixture: the synthetic corpus is single-line, so inject
+# deterministic line structure — every ' row ' ends a line with an ellipsis,
+# every ' agg ' starts a bullet line. Plain substring replace is semantically
+# identical in Spark and DuckDB.
+_GOPHER_FIXTURE_SQL = (
+    "replace(replace(text, ' row ', ' row...\n'), ' agg ', '\n• agg ')"
+)
+
+
+def q_gopher_quality_documents(spark, sf_dir):
+    """Gopher/MassiveText rule filter (Rae et al. 2021 A1.1) over a
+    derived multi-line corpus: per-document word/line signals, the
+    comma-joined failed-rule list, and the keep verdict — all from one
+    shuffle-free projection. The oracle recomputes every signal with
+    DuckDB list lambdas; the rule thresholds are chosen so each rule
+    fires on part of the corpus (value-hash covers the rule logic, not
+    just the signals)."""
+    from deepchecks_spark.pipeline.textstats import gopher_quality_rules
+
+    df = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _GOPHER_FIXTURE_SQL + " AS text")
+    out = gopher_quality_rules(
+        df, "text", min_words=40, max_words=100_000,
+        min_avg_word_len=3.0, max_avg_word_len=10.0,
+        max_symbol_word_ratio=0.02, max_bullet_line_frac=0.15,
+        max_ellipsis_line_frac=0.15, min_alpha_word_frac=0.97,
+        min_stopword_hits=1)
+    return out.select(
+        "doc_id", "n_words", "avg_word_len", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "stopword_hits", "failed_rules", "quality_keep",
+    )
+
+
+def o_gopher_quality_documents():
+    return r"""
+    WITH f AS (SELECT doc_id, """ + _GOPHER_FIXTURE_SQL + r""" AS text FROM documents),
+    toks AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\s+') END AS t,
+             string_split(text, chr(10)) AS lines
+      FROM f),
+    sig AS (
+      SELECT doc_id, len(t) AS n, greatest(len(t), 1)::DOUBLE AS nd,
+             coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS total_len,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell3,
+             length(text) - length(replace(text, '…', '')) AS n_ellu,
+             greatest(len(lines), 1)::DOUBLE AS nlines,
+             len(list_filter(lines, x -> list_contains(['•','‣','▪','◦','-','*'],
+                                                       substr(ltrim(x), 1, 1)))) AS n_bullet,
+             len(list_filter(lines, x -> ends_with(rtrim(x), '...')
+                                          OR ends_with(rtrim(x), '…'))) AS n_ellline,
+             len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+             len(list_intersect(list_distinct(list_transform(t, x -> lower(x))),
+                                ['the','be','to','of','and','that','have','with'])) AS stop_hits
+      FROM toks),
+    r AS (
+      SELECT doc_id, n::BIGINT AS n_words,
+             round(CASE WHEN n > 0 THEN total_len / nd ELSE 0.0 END, 6) AS avg_word_len,
+             round((n_hash + n_ell3 + n_ellu) / nd, 6) AS symbol_word_ratio,
+             round(n_bullet / nlines, 6) AS bullet_line_frac,
+             round(n_ellline / nlines, 6) AS ellipsis_line_frac,
+             round(CASE WHEN n > 0 THEN n_alpha / nd ELSE 0.0 END, 6) AS alpha_word_frac,
+             stop_hits::BIGINT AS stopword_hits
+      FROM sig)
+    SELECT *,
+           concat_ws(',',
+             CASE WHEN n_words < 40 OR n_words > 100000 THEN 'word_count' END,
+             CASE WHEN avg_word_len < 3.0 OR avg_word_len > 10.0 THEN 'avg_word_length' END,
+             CASE WHEN symbol_word_ratio > 0.02 THEN 'symbol_ratio' END,
+             CASE WHEN bullet_line_frac > 0.15 THEN 'bullet_lines' END,
+             CASE WHEN ellipsis_line_frac > 0.15 THEN 'ellipsis_lines' END,
+             CASE WHEN alpha_word_frac < 0.97 THEN 'alpha_words' END,
+             CASE WHEN stopword_hits < 1 THEN 'stopwords' END) AS failed_rules,
+           concat_ws(',',
+             CASE WHEN n_words < 40 OR n_words > 100000 THEN 'word_count' END,
+             CASE WHEN avg_word_len < 3.0 OR avg_word_len > 10.0 THEN 'avg_word_length' END,
+             CASE WHEN symbol_word_ratio > 0.02 THEN 'symbol_ratio' END,
+             CASE WHEN bullet_line_frac > 0.15 THEN 'bullet_lines' END,
+             CASE WHEN ellipsis_line_frac > 0.15 THEN 'ellipsis_lines' END,
+             CASE WHEN alpha_word_frac < 0.97 THEN 'alpha_words' END,
+             CASE WHEN stopword_hits < 1 THEN 'stopwords' END) = '' AS quality_keep
+    FROM r
+    """
+
+
+def q_unigram_logprob_documents(spark, sf_dir):
+    """CCNet-style self-trained unigram LM scoring: the corpus trains
+    its own smoothed unigram model (vocab_size exceeds the synthetic
+    vocabulary, so the top-V cut is a no-op and the oracle needs no
+    tie-break); every document is scored by mean token negative
+    log-probability. avg_nll is a mean of ≤ ~100 IEEE-exact terms, so
+    6-decimal rounding absorbs engine-order float noise."""
+    from deepchecks_spark.pipeline.textstats import unigram_logprob
+
+    df = _t(spark, sf_dir, "documents")
+    out = unigram_logprob(df, "doc_id", "text", vocab_size=1000)
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_nll", 6).alias("avg_nll"))
+
+
+def o_unigram_logprob_documents():
+    return r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    tok2 AS (SELECT * FROM tok WHERE token <> ''),
+    cnt AS (SELECT token, count(*) AS c FROM tok2 GROUP BY 1),
+    tot AS (SELECT sum(c) AS n_total, least(count(*), 1000) AS v_kept FROM cnt),
+    sc AS (SELECT doc_id, -ln((c + 1) / (n_total + v_kept + 1)::DOUBLE) AS nll
+           FROM tok2 JOIN cnt USING (token), tot),
+    p AS (SELECT doc_id, count(*) AS n_tokens, avg(nll) AS avg_nll
+          FROM sc GROUP BY 1)
+    SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+           round(p.avg_nll, 6) AS avg_nll
+    FROM documents d LEFT JOIN p USING (doc_id)
+    """
+
+
+def q_decontamination_documents(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: every 37th document plays
+    the benchmark set, so those documents are fully contaminated
+    (frac = 1.0) and any other overlap is a genuine shared 13-gram.
+    The engine compares xxhash64 gram hashes; the oracle compares the
+    gram STRINGS — identical absent a 64-bit collision. The benchmark
+    gram count at test scale keeps the literal zero-shuffle path on;
+    the join path is unit-locked separately."""
+    from deepchecks_spark.pipeline.decontam import ngram_decontamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    out = ngram_decontamination(docs, bench, "doc_id", "text", ngram=13)
+    return out.select(
+        "doc_id", "n_grams", "n_contaminated",
+        F.round("contaminated_frac", 6).alias("contaminated_frac"),
+        "is_contaminated",
+    )
+
+
+def o_decontamination_documents():
+    return r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 13
+                  THEN list_distinct(list_transform(range(1, len(t) - 11),
+                                                    i -> array_to_string(t[i:i+12], ' ')))
+                  ELSE [] END AS grams
+      FROM toks),
+    bg AS (SELECT DISTINCT unnest(grams) AS h FROM g WHERE doc_id % 37 = 0),
+    e AS (SELECT doc_id, unnest(grams) AS h FROM g),
+    hits AS (SELECT doc_id, count(*) AS c FROM e JOIN bg USING (h) GROUP BY 1)
+    SELECT g.doc_id, len(grams)::BIGINT AS n_grams,
+           coalesce(c, 0)::BIGINT AS n_contaminated,
+           round(coalesce(c, 0) / greatest(len(grams), 1)::DOUBLE, 6) AS contaminated_frac,
+           coalesce(c, 0) / greatest(len(grams), 1)::DOUBLE > 0.0 AS is_contaminated
+    FROM g LEFT JOIN hits USING (doc_id)
+    """
+
+
+# planted-clone fixture for semantic dedup: group g = vec_id % 83 maps to a
+# deterministic 32-dim integer vector via a NONLINEAR polynomial mod 97
+# (linear LCGs are periodic in g and collide); within a group vectors are
+# exact clones (cosine 1), across groups max cosine = 0.549 (verified
+# numerically) — so at threshold 0.8 the semantic components are exactly the
+# residue classes and the representative is the min id.
+_SEMDEDUP_VEC_SPARK = (
+    "transform(sequence(0, 31), d -> CAST("
+    "(( (vec_id % 83) * (vec_id % 83) * (d + 7) + (vec_id % 83) * (d * d + 11)"
+    " + d * d * d) % 97) - 48 AS DOUBLE))"
+)
+
+
+def q_semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023) on the
+    planted-clone corpus: IVF cell-join pairs (nprobe = nlist ⇒ exact)
+    → connected components → min-id representative. The oracle derives
+    the same clusters arithmetically (component = min vec_id of the
+    mod-83 residue class), so a missed pair, an under-merged component,
+    or a wrong representative all break the value-hash."""
+    from deepchecks_spark.pipeline.similarity import semantic_dedup
+
+    df = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", _SEMDEDUP_VEC_SPARK + " AS embedding")
+    return semantic_dedup(df, dim=32, threshold=0.8, nlist=8, nprobe=8,
+                          id_col="vec_id", vec_col="embedding")
+
+
+def o_semantic_dedup_embeddings():
+    return """
+    SELECT vec_id AS id,
+           min(vec_id) OVER (PARTITION BY vec_id % 83) AS component,
+           vec_id = min(vec_id) OVER (PARTITION BY vec_id % 83) AS is_representative
+    FROM embeddings
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2625,6 +2833,10 @@ QUERIES = {
     # round-5 additions — kept inside the driver's 50-query window
     "repetition_stats_documents": q_repetition_stats_documents,
     "duplicate_chunks_documents": q_duplicate_chunks_documents,
+    "gopher_quality_documents": q_gopher_quality_documents,
+    "unigram_logprob_documents": q_unigram_logprob_documents,
+    "decontamination_documents": q_decontamination_documents,
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "percent_of_nulls_lineitem": q_percent_of_nulls_lineitem,
     "is_single_value_orders": q_is_single_value_orders,
     "class_imbalance_embeddings": q_class_imbalance_embeddings,
@@ -2757,4 +2969,9 @@ ORACLES = {
     # round-5: Gopher-style repetition signals + cross-corpus chunk dedup
     "repetition_stats_documents": o_repetition_stats_documents(),
     "duplicate_chunks_documents": o_duplicate_chunks_documents(),
+    # round-5: rule filter, LM scoring, decontamination, semantic dedup
+    "gopher_quality_documents": o_gopher_quality_documents(),
+    "unigram_logprob_documents": o_unigram_logprob_documents(),
+    "decontamination_documents": o_decontamination_documents(),
+    "semantic_dedup_embeddings": o_semantic_dedup_embeddings(),
 }

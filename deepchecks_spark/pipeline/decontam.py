@@ -1,0 +1,115 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark set — the standard pre-training
+contamination check (GPT-3 appendix C / PaLM use 8–13-gram overlap).
+The reference has no analogue; this is the engine's training-data
+pipeline extension, same family as pipeline/dedup.py.
+
+Scale shape: the benchmark side is SMALL by definition (an eval set),
+so its distinct gram-hash set is computed once, gated, and broadcast;
+the corpus side never all-pairs-joins. Two paths:
+
+- literal path (tiny benchmarks): the sorted hash set becomes one
+  in-plan array and the corpus pass is a ZERO-shuffle projection
+  (``array_intersect`` per row);
+- join path: corpus grams explode to ``(id, hash)`` rows — the only
+  shuffle moves those pairs plus the per-doc counts, never the text —
+  and hit counts re-join to the id spine so clean documents keep
+  zero rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class BenchmarkTooLargeError(ValueError):
+    """The benchmark gram set exceeded max_benchmark_grams."""
+
+
+def _gram_hashes(text_col: str, ngram: int):
+    """Distinct xxhash64 hashes of the space-joined word ``ngram``-grams
+    of ``text_col`` (empty array when the doc is shorter than one gram)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    grams = F.when(
+        n >= ngram,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(ngram)),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, ngram), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(grams)
+
+
+def ngram_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    ngram: int = 13,
+    threshold: float = 0.0,
+    max_benchmark_grams: int = 5_000_000,
+    literal_threshold: int = 10_000,
+) -> DataFrame:
+    """Per corpus document: how many of its distinct word ``ngram``-grams
+    appear anywhere in ``benchmark``. Returns the corpus id spine with
+
+    - ``n_grams``          — distinct grams in the document,
+    - ``n_contaminated``   — of those, grams present in the benchmark,
+    - ``contaminated_frac``— ratio (0 for sub-gram documents),
+    - ``is_contaminated``  — ``contaminated_frac > threshold`` (the
+      default 0.0 flags ANY overlap, the GPT-3 convention).
+
+    Grams are compared by xxhash64 — identical to comparing the gram
+    text absent a 64-bit collision. The benchmark gram set is counted
+    with a ``limit(cap+1)`` probe and a descriptive
+    :class:`BenchmarkTooLargeError` is raised above
+    ``max_benchmark_grams`` (a benchmark that large is a corpus, not an
+    eval set — broadcasting it would flatten the executors)."""
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(_gram_hashes(bench_text, ngram)).alias("__h"))
+        .distinct()
+    )
+    probe = bench_grams.limit(max_benchmark_grams + 1).count()
+    if probe > max_benchmark_grams:
+        raise BenchmarkTooLargeError(
+            f"benchmark has more than {max_benchmark_grams:,} distinct "
+            f"{ngram}-grams; decontamination broadcasts the benchmark gram set, "
+            "so pass a smaller benchmark or raise max_benchmark_grams explicitly"
+        )
+    base = corpus.select(
+        F.col(id_col).alias("__id"), _gram_hashes(text_col, ngram).alias("__grams")
+    ).withColumn("n_grams", F.size("__grams").cast("long"))
+
+    if probe <= literal_threshold:
+        hashes = sorted(r["__h"] for r in bench_grams.collect())
+        lit_set = F.array(*[F.lit(int(h)).cast("bigint") for h in hashes])
+        out = base.withColumn(
+            "n_contaminated",
+            F.size(F.array_intersect("__grams", lit_set)).cast("long"),
+        )
+    else:
+        hits = (
+            base.select("__id", F.explode("__grams").alias("__h"))
+            .join(F.broadcast(bench_grams), "__h")
+            .groupBy("__id")
+            .agg(F.count("*").alias("__hits"))
+        )
+        out = base.join(hits, "__id", "left").withColumn(
+            "n_contaminated", F.coalesce(F.col("__hits"), F.lit(0)).cast("long")
+        ).drop("__hits")
+    frac = F.col("n_contaminated") / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+    return (
+        out.withColumn("contaminated_frac", frac)
+        .withColumn("is_contaminated", frac > threshold)
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            "n_contaminated",
+            "contaminated_frac",
+            "is_contaminated",
+        )
+    )

@@ -494,3 +494,41 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(df: DataFrame, dim: int, threshold: float = 0.95,
+                   nlist: int = 64, nprobe: int = 2,
+                   sample_size: int = 10_000, seed: int = 42,
+                   id_col: str = "id", vec_col: str = "embedding",
+                   centroids=None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with the IVF quantizer, find within-cluster
+    cosine near-duplicate PAIRS, collapse them into transitive clusters,
+    and keep one representative per semantic group. Where the paper
+    keeps the vector farthest from the centroid, this keeps the MIN id —
+    deterministic, order-free, and oracle-checkable; the choice only
+    affects WHICH copy survives, never how many.
+
+    Scale shape: entirely a composition of already-bucketed stages —
+    ivf_near_duplicates (cell equi-join, never all-pairs; ``nprobe``
+    recovers boundary-straddling pairs; ``nprobe = nlist`` makes the
+    pair stage EXACT for verification), connected_components
+    (min-label propagation, O(log diameter) rounds), and one left join
+    back to the id spine so singletons pass through as their own
+    representative. Returns (id, component, is_representative).
+    """
+    from deepchecks_spark.pipeline.dedup import connected_components
+
+    pairs = ivf_near_duplicates(
+        df, dim, threshold=threshold, nlist=nlist, nprobe=nprobe,
+        sample_size=sample_size, seed=seed, id_col=id_col, vec_col=vec_col,
+        centroids=centroids,
+    )
+    comps = connected_components(pairs).withColumnRenamed("id", "__cid")
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comps, F.col("id") == F.col("__cid"), "left")
+        .drop("__cid")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("id")))
+        .withColumn("is_representative", F.col("component") == F.col("id"))
+    )

@@ -491,3 +491,141 @@ def test_duplicate_chunk_stats_cross_corpus(spark):
     assert (out[3]["n_chunks"], out[3]["n_shared_chunks"]) == (3, 1)
     assert abs(out[3]["shared_chunk_frac"] - 1 / 3) < 1e-12
     assert (out[4]["n_chunks"], out[4]["shared_chunk_frac"]) == (0, 0.0)
+
+
+def test_gopher_quality_rules_hand_computed(spark):
+    """Every Gopher rule verified on a crafted document, plus the
+    empty-document degenerate path (zeros, never nulls)."""
+    from deepchecks_spark.pipeline.textstats import gopher_quality_rules
+
+    df = spark.createDataFrame(
+        [(1, "the elephant and the giraffe have wandered with plenty of that grass"),
+         (2, ""),                                              # empty
+         (3, "aa bb cc the of"),                               # short words
+         (4, "• one two\n• three four\nfive six the of and"),  # bullet lines
+         (5, "ends here...\nand here…\nthe of and clean"),     # ellipsis lines
+         (6, "a # b # c # the of")],                           # symbols
+        "id long, text string")
+    out = {r["id"]: r for r in gopher_quality_rules(
+        df, "text", min_words=3, max_words=100,
+        min_avg_word_len=3.0, max_avg_word_len=10.0,
+        max_symbol_word_ratio=0.1, max_bullet_line_frac=0.5,
+        max_ellipsis_line_frac=0.5, min_alpha_word_frac=0.7,
+        min_stopword_hits=2).collect()}
+
+    assert out[1]["quality_keep"] and out[1]["failed_rules"] == ""
+    assert out[1]["n_words"] == 12 and out[1]["stopword_hits"] >= 5
+
+    assert out[2]["n_words"] == 0 and not out[2]["quality_keep"]
+    assert "word_count" in out[2]["failed_rules"]
+    assert out[2]["avg_word_len"] == 0.0 and out[2]["alpha_word_frac"] == 0.0
+
+    # "aa bb cc the of": 5 words, 11 chars -> avg 2.2 < 3.0
+    assert abs(out[3]["avg_word_len"] - 2.2) < 1e-9
+    assert "avg_word_length" in out[3]["failed_rules"]
+
+    # 2 of 3 lines start with a bullet -> 2/3 > 0.5
+    assert abs(out[4]["bullet_line_frac"] - 2 / 3) < 1e-6
+    assert "bullet_lines" in out[4]["failed_rules"]
+    # the two "•" tokens carry no alphabetic char
+    assert out[4]["alpha_word_frac"] < 1.0
+
+    assert abs(out[5]["ellipsis_line_frac"] - 2 / 3) < 1e-6
+    assert "ellipsis_lines" in out[5]["failed_rules"]
+
+    # 3 '#' over 8 words -> 0.375 > 0.1; alpha words 5/8 = 0.625 < 0.7
+    assert abs(out[6]["symbol_word_ratio"] - 0.375) < 1e-6
+    assert "symbol_ratio" in out[6]["failed_rules"]
+    assert abs(out[6]["alpha_word_frac"] - 0.625) < 1e-9
+    assert "alpha_words" in out[6]["failed_rules"]
+
+
+def test_unigram_logprob_exact_and_vocab_cut(spark):
+    """Smoothed probabilities verified against hand math; the top-V cut
+    sends out-of-vocabulary tokens to the reserve-mass bucket; empty
+    docs keep n_tokens = 0 with NULL scores."""
+    import math
+
+    from deepchecks_spark.pipeline.textstats import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")], "id long, text string")
+
+    # full vocabulary: N=5 instances, V=3 kept, denom = 9
+    out = {r["id"]: r for r in
+           unigram_logprob(df, "id", "text", vocab_size=100).collect()}
+    nll_a = -math.log(3 / 9)   # c=2
+    nll_b = -math.log(3 / 9)   # c=2
+    nll_c = -math.log(2 / 9)   # c=1
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["avg_nll"] - (2 * nll_a + nll_b) / 3) < 1e-12
+    assert abs(out[2]["avg_nll"] - (nll_b + nll_c) / 2) < 1e-12
+    assert abs(out[2]["pseudo_perplexity"]
+               - math.exp(out[2]["avg_nll"])) < 1e-12
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["avg_nll"] is None and out[3]["pseudo_perplexity"] is None
+
+    # vocab_size=1 keeps only 'a' (count ties break to the smaller
+    # token); b and c score as OOV: denom = N + v_kept + 1 = 7
+    out1 = {r["id"]: r for r in
+            unigram_logprob(df, "id", "text", vocab_size=1).collect()}
+    oov = -math.log(1 / 7)
+    assert abs(out1[2]["avg_nll"] - oov) < 1e-12
+    assert abs(out1[1]["avg_nll"]
+               - (2 * -math.log(3 / 7) + oov) / 3) < 1e-12
+
+
+def test_ngram_decontamination_literal_and_join_paths(spark):
+    """Both execution paths produce identical hand-computed results;
+    the threshold gates is_contaminated; sub-gram docs pass through
+    clean."""
+    from deepchecks_spark.pipeline.decontam import ngram_decontamination
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y"), (3, "p q r s t"), (4, "xy")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([("a b c",)], "text string")
+
+    for lit_threshold in (10_000, 0):   # literal path, then join path
+        out = {r["doc_id"]: r for r in ngram_decontamination(
+            corpus, bench, "doc_id", "text", ngram=3,
+            literal_threshold=lit_threshold).collect()}
+        assert (out[1]["n_grams"], out[1]["n_contaminated"]) == (3, 1)
+        assert abs(out[1]["contaminated_frac"] - 1 / 3) < 1e-12
+        assert out[1]["is_contaminated"] and out[2]["is_contaminated"]
+        assert (out[3]["n_contaminated"], out[3]["is_contaminated"]) == (0, False)
+        assert (out[4]["n_grams"], out[4]["contaminated_frac"]) == (0, 0.0)
+
+    # a fractional threshold above the overlap suppresses the flag
+    out = {r["doc_id"]: r for r in ngram_decontamination(
+        corpus, bench, "doc_id", "text", ngram=3, threshold=0.5).collect()}
+    assert not out[1]["is_contaminated"] and out[1]["n_contaminated"] == 1
+
+
+def test_ngram_decontamination_benchmark_gate(spark):
+    from deepchecks_spark.pipeline.decontam import (
+        BenchmarkTooLargeError,
+        ngram_decontamination,
+    )
+
+    corpus = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    bench = spark.createDataFrame([("a b c d e f",)], "text string")
+    with pytest.raises(BenchmarkTooLargeError):
+        ngram_decontamination(corpus, bench, "doc_id", "text", ngram=3,
+                              max_benchmark_grams=2)
+
+
+def test_semantic_dedup_clusters_and_singletons(spark):
+    """Exact clones collapse to min-id components; vectors with no
+    near-duplicate pass through as their own representative."""
+    from deepchecks_spark.pipeline.similarity import semantic_dedup
+
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]), (4, [0.0, 0.0, 1.0, 0.0]),
+            (5, [0.0, 0.0, 0.0, 1.0]), (6, [0.0, 0.0, 0.0, 1.0])]
+    out = {r["id"]: r for r in semantic_dedup(
+        spark.createDataFrame(rows, "id long, embedding array<double>"),
+        dim=4, threshold=0.9, nlist=2, nprobe=2).collect()}
+    assert {i: out[i]["component"] for i in out} == {
+        1: 1, 2: 1, 3: 3, 4: 4, 5: 5, 6: 5}
+    assert {i for i in out if out[i]["is_representative"]} == {1, 3, 4, 5}
