@@ -2798,6 +2798,247 @@ def o_semantic_dedup_embeddings():
 
 
 # ---------------------------------------------------------------------------
+# round-5 web-corpus cleaning operators: C4 rules, PII redaction, URL
+# normalization/dedup, cross-corpus line dedup, domain mixture
+# ---------------------------------------------------------------------------
+
+# derived multi-line fixture shared by the Spark query and the DuckDB
+# oracle (chr(10) keeps the snippet dialect-portable): every ' row '
+# terminates a sentence/line; selected docs gain C4 page-drop markers.
+_C4_FIXTURE_SQL = (
+    "concat(replace(text, ' row ', concat('.', chr(10))),"
+    " CASE WHEN doc_id % 11 = 0 THEN ' extra Lorem Ipsum filler' ELSE '' END,"
+    " CASE WHEN doc_id % 13 = 0 THEN ' brace {' ELSE '' END,"
+    " CASE WHEN doc_id % 17 = 0 THEN concat(chr(10), 'calls javascript init now.')"
+    " ELSE '' END)"
+)
+
+
+def q_c4_clean_documents(spark, sf_dir):
+    """C4 cleaning rule set (Raffel et al. 2020 §2.2) over a derived
+    multi-line corpus with planted page-drop markers (lorem ipsum on
+    doc_id%11, '{' on %13, a javascript line on %17): line filters,
+    sentence counting on the KEPT text, rebuilt cleaned_text, and the
+    page verdict — one shuffle-free projection. The oracle recomputes
+    every rule with DuckDB list lambdas."""
+    from deepchecks_spark.pipeline.webclean import c4_clean
+
+    df = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _C4_FIXTURE_SQL + " AS text")
+    out = c4_clean(df, "text", min_words_per_line=3, min_sentences=5)
+    return out.select("doc_id", "n_lines", "n_lines_kept", "n_sentences",
+                      "cleaned_text", "drop_reasons", "page_keep")
+
+
+def o_c4_clean_documents():
+    return r"""
+    WITH f AS (SELECT doc_id, """ + _C4_FIXTURE_SQL + r""" AS text FROM documents),
+    l AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM f),
+    k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, x ->
+               list_contains(['.','!','?','"'], right(rtrim(x), 1))
+               AND (CASE WHEN length(trim(x)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(x), '\s+')) END) >= 3
+               AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM l),
+    c AS (
+      SELECT doc_id, text, lines, kept,
+             -- DuckDB array_to_string([]) is NULL; Spark gives ''
+             coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text
+      FROM k),
+    s AS (
+      SELECT doc_id, text, lines, kept, cleaned_text,
+             CASE WHEN length(cleaned_text) = 0 THEN 0
+                  ELSE len(regexp_extract_all(cleaned_text, '[.!?"]+')) END
+               AS n_sentences
+      FROM c)
+    SELECT doc_id, len(lines)::BIGINT AS n_lines,
+           len(kept)::BIGINT AS n_lines_kept,
+           n_sentences::BIGINT AS n_sentences, cleaned_text,
+           concat_ws(',',
+             CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum' END,
+             CASE WHEN contains(text, '{') THEN 'curly_brace' END,
+             CASE WHEN n_sentences < 5 THEN 'too_few_sentences' END) AS drop_reasons,
+           concat_ws(',',
+             CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum' END,
+             CASE WHEN contains(text, '{') THEN 'curly_brace' END,
+             CASE WHEN n_sentences < 5 THEN 'too_few_sentences' END) = '' AS page_keep
+    FROM s
+    """
+
+
+# PII fixture: deterministic emails / IPv4s / phone numbers planted on
+# common corpus tokens (portable SQL, used verbatim by both engines)
+_PII_FIXTURE_SQL = (
+    "replace(replace(replace(text,"
+    " ' hash ', concat(' user', CAST(doc_id % 50 AS STRING), '@example.com ')),"
+    " ' merge ', concat(' 10.0.', CAST(doc_id % 20 AS STRING), '.7 ')),"
+    " ' sort ', ' +1 555-123-4567 ')"
+)
+
+
+def q_pii_redaction_documents(spark, sf_dir):
+    """Regex PII pass over a corpus with planted emails, IPv4s and
+    phone numbers: per-document match counts and the rewritten text.
+    The oracle replays the same three patterns in DuckDB (RE2) in the
+    same order — a dialect divergence in any pattern breaks the
+    value-hash on the rewritten text itself."""
+    from deepchecks_spark.pipeline.webclean import pii_redaction
+
+    df = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _PII_FIXTURE_SQL + " AS text")
+    out = pii_redaction(df, "text")
+    return out.select("doc_id", "n_email", "n_ip", "n_phone", "redacted_text")
+
+
+def o_pii_redaction_documents():
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    phone = r"\+?\d[\d\- ]{7,}\d"
+    return f"""
+    WITH f AS (SELECT doc_id, {_PII_FIXTURE_SQL} AS text FROM documents),
+    s1 AS (SELECT doc_id, text,
+                  len(regexp_extract_all(text, '{email}')) AS n_email,
+                  regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+           FROM f),
+    s2 AS (SELECT doc_id, n_email,
+                  len(regexp_extract_all(t1, '{ip}')) AS n_ip,
+                  regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ip,
+                  len(regexp_extract_all(t2, '{phone}')) AS n_phone,
+                  regexp_replace(t2, '{phone}', '<PHONE>', 'g') AS redacted_text
+           FROM s2)
+    SELECT doc_id, n_email::BIGINT AS n_email, n_ip::BIGINT AS n_ip,
+           n_phone::BIGINT AS n_phone, redacted_text
+    FROM s3
+    """
+
+
+# URL fixture: raw URLs that differ only in case / default port /
+# tracking params / fragment, collapsing onto (doc_id%5, doc_id%7) forms
+_URL_FIXTURE_SQL = (
+    "concat('HTTP://Example', CAST(doc_id % 5 AS STRING), '.COM',"
+    " CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END,"
+    " '/path', CAST(doc_id % 7 AS STRING),"
+    " CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def q_url_dedup_documents(spark, sf_dir):
+    """URL normalization + duplicate collapse: raw URLs that differ
+    only in scheme/host case, default port, tracking params and
+    fragment must land on one canonical form per (doc_id%5, doc_id%7)
+    class. The oracle builds the canonical form ARITHMETICALLY from
+    doc_id (never running the normalizer), so any normalization slip —
+    a surviving utm param, an unstripped port — changes the group key
+    and breaks the hash."""
+    from deepchecks_spark.pipeline.webclean import url_duplicate_stats
+
+    df = _t(spark, sf_dir, "documents").selectExpr(
+        _URL_FIXTURE_SQL + " AS url")
+    return url_duplicate_stats(df, "url").orderBy("normalized_url")
+
+
+def o_url_dedup_documents():
+    return f"""
+    WITH f AS (SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM documents),
+    g AS (
+      SELECT concat('http://example', CAST(doc_id % 5 AS STRING), '.com/path',
+                    CAST(doc_id % 7 AS STRING)) AS normalized_url,
+             count(*) AS n_raw, count(DISTINCT url) AS n_distinct_raw
+      FROM f GROUP BY 1)
+    SELECT normalized_url, n_raw::BIGINT AS n_raw,
+           n_distinct_raw::BIGINT AS n_distinct_raw
+    FROM g WHERE n_raw >= 2 ORDER BY normalized_url
+    """
+
+
+# line-dedup fixture: every ' table ' becomes an identical boilerplate
+# line, shared across every document that contains the token
+_LINEDEDUP_FIXTURE_SQL = (
+    "replace(text, ' table ',"
+    " concat(chr(10), 'shared boilerplate line', chr(10)))"
+)
+
+
+def q_line_dedup_documents(spark, sf_dir):
+    """Cross-corpus duplicated-line removal over a corpus with a
+    planted boilerplate line (plus any organically repeated segment
+    lines): lines occurring in ≥2 distinct documents vanish everywhere.
+    The engine compares trimmed-line xxhash64 values; the oracle
+    compares the trimmed line TEXT — identical absent a 64-bit
+    collision, and the rebuilt cleaned_text is value-hashed in full."""
+    from deepchecks_spark.pipeline.webclean import remove_duplicated_lines
+
+    df = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _LINEDEDUP_FIXTURE_SQL + " AS text")
+    return remove_duplicated_lines(df, "doc_id", "text", min_docs=2)
+
+
+def o_line_dedup_documents():
+    return r"""
+    WITH f AS (SELECT doc_id, """ + _LINEDEDUP_FIXTURE_SQL + r""" AS text FROM documents),
+    l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM f),
+    e AS (SELECT DISTINCT doc_id, trim(x) AS t
+          FROM (SELECT doc_id, unnest(lines) AS x FROM l)
+          WHERE length(trim(x)) > 0),
+    flag AS (SELECT t FROM e GROUP BY t HAVING count(*) >= 2),
+    fl AS (SELECT doc_id, list(t) AS fset FROM e JOIN flag USING (t) GROUP BY doc_id),
+    r AS (SELECT l.doc_id, lines, coalesce(fset, []) AS fset
+          FROM l LEFT JOIN fl ON l.doc_id = fl.doc_id),
+    k AS (SELECT doc_id, lines,
+                 list_filter(lines, x -> length(trim(x)) = 0
+                                         OR NOT list_contains(fset, trim(x))) AS kept
+          FROM r)
+    SELECT doc_id, len(lines)::BIGINT AS n_lines,
+           (len(lines) - len(kept))::BIGINT AS n_lines_removed,
+           coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text
+    FROM k
+    """
+
+
+def q_domain_mixture_documents(spark, sf_dir):
+    """Per-domain mixture statistics + DoReMi-style static sampling
+    weights toward a target share map (two sources targeted, the rest
+    NULL-weighted): one groupBy on the source key with a one-row totals
+    broadcast."""
+    from deepchecks_spark.pipeline.webclean import domain_mixture
+
+    df = _t(spark, sf_dir, "documents")
+    out = domain_mixture(df, "source", "text",
+                         {"src0": 0.2, "src1": 0.1})
+    return out.select(
+        "domain", "n_docs", "n_tokens",
+        F.round("token_share", 6).alias("token_share"),
+        "target_share",
+        F.round("sampling_weight", 6).alias("sampling_weight"),
+    )
+
+
+def o_domain_mixture_documents():
+    return r"""
+    WITH per AS (
+      SELECT source AS domain, count(*) AS n_docs,
+             sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END) AS n_tokens
+      FROM documents GROUP BY 1),
+    t AS (SELECT sum(n_tokens) AS total FROM per)
+    SELECT domain, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+           round(n_tokens / total::DOUBLE, 6) AS token_share,
+           CAST(CASE WHEN domain = 'src0' THEN 0.2
+                     WHEN domain = 'src1' THEN 0.1 END AS DOUBLE) AS target_share,
+           round(CAST(CASE WHEN domain = 'src0' THEN 0.2
+                           WHEN domain = 'src1' THEN 0.1 END AS DOUBLE)
+                 / (n_tokens / total::DOUBLE), 6) AS sampling_weight
+    FROM per, t ORDER BY domain
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2837,6 +3078,11 @@ QUERIES = {
     "unigram_logprob_documents": q_unigram_logprob_documents,
     "decontamination_documents": q_decontamination_documents,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+    "c4_clean_documents": q_c4_clean_documents,
+    "pii_redaction_documents": q_pii_redaction_documents,
+    "url_dedup_documents": q_url_dedup_documents,
+    "line_dedup_documents": q_line_dedup_documents,
+    "domain_mixture_documents": q_domain_mixture_documents,
     "percent_of_nulls_lineitem": q_percent_of_nulls_lineitem,
     "is_single_value_orders": q_is_single_value_orders,
     "class_imbalance_embeddings": q_class_imbalance_embeddings,
@@ -2974,4 +3220,10 @@ ORACLES = {
     "unigram_logprob_documents": o_unigram_logprob_documents(),
     "decontamination_documents": o_decontamination_documents(),
     "semantic_dedup_embeddings": o_semantic_dedup_embeddings(),
+    # round-5: web-corpus cleaning (C4, PII, URL, line dedup, mixture)
+    "c4_clean_documents": o_c4_clean_documents(),
+    "pii_redaction_documents": o_pii_redaction_documents(),
+    "url_dedup_documents": o_url_dedup_documents(),
+    "line_dedup_documents": o_line_dedup_documents(),
+    "domain_mixture_documents": o_domain_mixture_documents(),
 }

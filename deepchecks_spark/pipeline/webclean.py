@@ -1,0 +1,271 @@
+"""Web-corpus cleaning operators: the C4 line/page rule set, PII
+redaction, URL normalization, cross-corpus duplicated-line removal and
+domain mixture statistics — the standard transformations between a raw
+Common-Crawl-style crawl and a training corpus (Raffel et al. 2020 §2.2
+for the C4 rules; Wenzek et al. 2020 / Penedo et al. 2023 for line
+dedup; Du et al. 2022 for domain mixtures). The reference
+(deepchecks/deepchecks) validates corpora but has no cleaning
+operators; this module is the engine's training-data pipeline
+extension, same family as pipeline/dedup.py.
+
+Scale shapes, per operator:
+
+- ``c4_clean`` / ``pii_redaction`` / ``normalize_urls``: pure per-row
+  projections built from higher-order array functions and
+  ``regexp_replace`` — zero shuffle, zero Python, full codegen; a
+  100 TB corpus maps straight through.
+- ``remove_duplicated_lines``: the only cross-document operator. Lines
+  never shuffle as text — each line reduces to its ``xxhash64`` before
+  the explode, so every exchange moves (8-byte hash, id) pairs; the
+  flagged-hash set joins back per document and the rewrite is an
+  array filter against that per-doc set. Skew on a viral line is
+  AQE-splittable.
+- ``domain_mixture``: one groupBy on the domain key (map-side
+  combine) plus a one-row totals broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# C4 keeps lines that end in a terminal punctuation mark (the closing
+# quote counts, matching the paper's "terminal punctuation" footnote)
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def _line_words(line):
+    """Word count of one line (0 for blank lines)."""
+    return F.when(
+        F.length(F.trim(line)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(line), r"\s+")))
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    cleaned_col: str = "cleaned_text",
+) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2) as one
+    shuffle-free projection:
+
+    line level — a line survives iff it ends in terminal punctuation
+    (``. ! ? "``), has ≥ ``min_words_per_line`` words, and does not
+    contain the word "javascript" (case-insensitive);
+
+    page level — the page is dropped when the ORIGINAL text contains
+    "lorem ipsum" (case-insensitive) or a ``{`` (code marker), or when
+    fewer than ``min_sentences`` sentences survive line filtering
+    (sentences counted as terminal-punctuation runs in the kept text).
+
+    Adds ``n_lines`` / ``n_lines_kept`` / ``n_sentences``, the rebuilt
+    ``cleaned_text`` (kept lines joined with newlines), the
+    comma-joined ``drop_reasons`` (empty = keep) and the ``page_keep``
+    verdict. Rule thresholds are the paper's defaults."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda x: (
+            F.substring(F.rtrim(x), -1, 1).isin(*C4_TERMINAL)
+            & (_line_words(x) >= min_words_per_line)
+            & ~F.lower(x).contains("javascript")
+        ),
+    )
+    cleaned = F.array_join(kept, "\n")
+    # sentence count = runs of terminal punctuation in the kept text
+    n_sentences = F.when(
+        F.length(cleaned) == 0, F.lit(0)
+    ).otherwise(F.size(F.regexp_extract_all(cleaned, F.lit(r'[.!?"]+'), 0)))
+    out = df.select(
+        "*",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sentences.cast("long").alias("n_sentences"),
+        cleaned.alias(cleaned_col),
+    )
+    reasons = [
+        ("lorem_ipsum", F.lower(text).contains("lorem ipsum")),
+        ("curly_brace", text.contains("{")),
+        ("too_few_sentences", F.col("n_sentences") < min_sentences),
+    ]
+    drop = F.concat_ws(",", *[F.when(cond, F.lit(name)) for name, cond in reasons])
+    return out.withColumn("drop_reasons", drop).withColumn(
+        "page_keep", F.col("drop_reasons") == ""
+    )
+
+
+# PII patterns chosen to mean the same thing under Java regex (Spark)
+# and RE2 (DuckDB oracle): no backreferences, no lookaround.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_redaction(df: DataFrame, text_col: str,
+                  redacted_col: str = "redacted_text") -> DataFrame:
+    """BigScience-style regex PII pass: replace emails, IPv4 addresses
+    and phone-like digit runs with typed placeholder tokens, in that
+    order (emails before IPs before phones, so an address inside an
+    email is counted once). Adds ``n_email`` / ``n_ip`` / ``n_phone``
+    match counts and the rewritten ``redacted_text``. One per-row
+    projection — zero shuffle, full codegen; counts come from
+    ``regexp_count`` on the text as seen by that stage."""
+    out = df
+    col = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}",
+                             F.regexp_count(col, F.lit(pat)).cast("long"))
+        col = F.regexp_replace(col, pat, token)
+    return out.withColumn(redacted_col, col)
+
+
+# tracking parameters stripped by URL normalization (the common
+# utm_* family plus the click-id parameters ad networks append)
+TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
+
+
+def normalize_urls(df: DataFrame, url_col: str,
+                   out_col: str = "normalized_url") -> DataFrame:
+    """Canonical URL form for URL-level dedup: lower-case the scheme
+    and host, drop the fragment, strip tracking query parameters
+    (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``, ``ref``), collapse
+    a now-empty query string, strip default ports and a trailing slash
+    on a bare path. A regexp_replace chain — zero shuffle; the same
+    chain is expressible verbatim in ANSI SQL for oracle parity."""
+    u = F.col(url_col)
+    # lower-case scheme://host (authority ends at /, ?, # or EOS)
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(u, F.length(head) + 1, F.length(u))
+    u = F.concat(F.lower(head), rest)
+    u = F.regexp_replace(u, r"#.*$", "")              # fragment
+    u = F.regexp_replace(u, TRACKING_PARAM_RE, "")     # tracking params
+    u = F.regexp_replace(u, r"([?&])&+", r"$1")        # param gaps
+    u = F.regexp_replace(u, r"[?&]$", "")              # dangling ? / &
+    u = F.regexp_replace(u, r":(80|443)(/|$)", r"$2")  # default ports
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", r"$1")
+    return df.withColumn(out_col, u)
+
+
+def url_duplicate_stats(df: DataFrame, url_col: str) -> DataFrame:
+    """Normalize URLs, then report each normalized form that more than
+    one raw URL collapses onto: (normalized_url, n_raw, n_distinct_raw).
+    One groupBy on the normalized key — map-side combine collapses
+    within-partition repeats, the shuffle moves (url, counts) rows."""
+    norm = normalize_urls(df.select(F.col(url_col)), url_col)
+    return (
+        norm.groupBy("normalized_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct(url_col).alias("n_distinct_raw"),
+        )
+        .filter(F.col("n_raw") >= 2)
+    )
+
+
+def remove_duplicated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    cleaned_col: str = "cleaned_text",
+) -> DataFrame:
+    """Cross-corpus duplicated-line removal (the CCNet/RefinedWeb
+    boilerplate pass): a (trimmed, non-blank) line that occurs in
+    ≥ ``min_docs`` DISTINCT documents is removed from every document.
+    Returns the full id spine with ``n_lines``, ``n_lines_removed``
+    and the rewritten ``cleaned_col``.
+
+    Scale shape: lines shuffle only as 8-byte ``xxhash64`` values —
+    (hash, id) pre-aggregation with map-side combine, a distinct-doc
+    count per hash, and the flagged set re-joined per document where it
+    becomes one array-membership filter; the line TEXT never leaves its
+    row. 64-bit collision risk is the birthday bound (≈n²/2^65), the
+    same documented trade as ``duplicate_chunk_stats``."""
+    lines = F.split(F.col(text_col), "\n")
+    h = lambda x: F.xxhash64(F.trim(x))  # noqa: E731
+    nonblank = F.filter(lines, lambda x: F.length(F.trim(x)) > 0)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        lines.alias("__lines"),
+        F.array_distinct(F.transform(nonblank, h)).alias("__hashes"),
+    )
+    exploded = base.select("__id", F.explode("__hashes").alias("__h"))
+    flagged = (
+        exploded.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))  # __hashes is distinct per doc
+        .filter(F.col("n_docs") >= min_docs)
+        .select("__h")
+    )
+    doc_flagged = (
+        exploded.join(flagged, "__h")
+        .groupBy("__id")
+        .agg(F.collect_set("__h").alias("__flagged"))
+    )
+    rebuilt = (
+        base.join(doc_flagged, "__id", "left")
+        .withColumn(
+            "__flagged",
+            F.coalesce(F.col("__flagged"), F.array().cast("array<bigint>")),
+        )
+        .withColumn(
+            "__kept",
+            F.filter(
+                F.col("__lines"),
+                lambda x: (F.length(F.trim(x)) == 0)
+                | ~F.array_contains(F.col("__flagged"), h(x)),
+            ),
+        )
+    )
+    return rebuilt.select(
+        F.col("__id").alias(id_col),
+        F.size("__lines").cast("long").alias("n_lines"),
+        (F.size("__lines") - F.size("__kept")).cast("long").alias("n_lines_removed"),
+        F.array_join("__kept", "\n").alias(cleaned_col),
+    )
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-domain corpus mixture statistics and, when a target mixture
+    is given, the per-domain sampling weight that reweights the corpus
+    toward it (Du et al. 2022 / DoReMi-style static mixing):
+
+        weight(d) = target_share(d) / actual_token_share(d)
+
+    (NULL for domains with no target entry). One groupBy on the domain
+    key — whitespace token counts are computed per row BEFORE the
+    aggregation so the shuffle moves (domain, two longs); the one-row
+    corpus totals broadcast back. Sort by domain for determinism."""
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    per = (
+        df.select(F.col(domain_col).alias("domain"), toks.alias("__n"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("n_tokens"),
+        )
+    )
+    totals = per.agg(F.sum("n_tokens").alias("__total"))
+    out = per.crossJoin(F.broadcast(totals)).withColumn(
+        "token_share", F.col("n_tokens") / F.col("__total").cast("double")
+    ).drop("__total")
+    if target_shares is not None:
+        target = F.create_map(
+            *[F.lit(x) for kv in sorted(target_shares.items()) for x in kv]
+        )
+        out = out.withColumn("target_share", target[F.col("domain")]).withColumn(
+            "sampling_weight", F.col("target_share") / F.col("token_share")
+        )
+    return out.orderBy("domain")

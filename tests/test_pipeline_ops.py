@@ -629,3 +629,133 @@ def test_semantic_dedup_clusters_and_singletons(spark):
     assert {i: out[i]["component"] for i in out} == {
         1: 1, 2: 1, 3: 3, 4: 4, 5: 5, 6: 5}
     assert {i for i in out if out[i]["is_representative"]} == {1, 3, 4, 5}
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    """Every C4 rule on crafted pages: line filters (terminal punct,
+    min words, javascript), page drops (lorem ipsum, curly brace,
+    too-few-sentences) and the rebuilt cleaned text."""
+    from deepchecks_spark.pipeline.webclean import c4_clean
+
+    df = spark.createDataFrame(
+        [(1, "This is a good sentence.\nshort\nAnother fine sentence here!\n"
+             "no punct line at all\nhas javascript in this line.\n"
+             "Sentence two is here.\nSentence three is here.\n"
+             "Sentence four is here.\nSentence five is here."),
+         (2, "Lorem Ipsum dolor sit. One two three. Four five six. "
+             "Seven eight nine. Ten eleven twelve."),
+         (3, "code page { braces. One two three. Four five six. "
+             "Seven eight nine. Ten eleven twelve."),
+         (4, "Only one full sentence here.\nnothing else survives")],
+        "id long, text string")
+    out = {r["id"]: r for r in c4_clean(df, "text").collect()}
+
+    r1 = out[1]
+    assert r1["page_keep"] and r1["drop_reasons"] == ""
+    assert r1["n_lines"] == 9 and r1["n_lines_kept"] == 6
+    assert "short" not in r1["cleaned_text"]
+    assert "javascript" not in r1["cleaned_text"]
+    assert "no punct" not in r1["cleaned_text"]
+    assert r1["cleaned_text"].startswith("This is a good sentence.")
+
+    assert not out[2]["page_keep"] and "lorem_ipsum" in out[2]["drop_reasons"]
+    assert not out[3]["page_keep"] and "curly_brace" in out[3]["drop_reasons"]
+    assert not out[4]["page_keep"]
+    assert out[4]["drop_reasons"] == "too_few_sentences"
+    assert out[4]["n_sentences"] == 1
+
+
+def test_pii_redaction_counts_and_order(spark):
+    """Emails are consumed before the IP pass (an address-like token
+    inside an email is counted once); counts match the rewrites."""
+    from deepchecks_spark.pipeline.webclean import pii_redaction
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@test.org or 10.0.0.1 or +1 555-123-4567 end"),
+         (2, "user@10.0.0.1.example.com only"),
+         (3, "no pii at all here"),
+         (4, "two ips 1.2.3.4 and 5.6.7.8")],
+        "id long, text string")
+    out = {r["id"]: r for r in pii_redaction(df, "text").collect()}
+
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[1]["redacted_text"] == "mail <EMAIL> or <IP> or <PHONE> end"
+    # the dotted-quad inside the email was consumed by the email pass
+    assert (out[2]["n_email"], out[2]["n_ip"]) == (1, 0)
+    assert out[2]["redacted_text"] == "<EMAIL> only"
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
+    assert out[3]["redacted_text"] == out[3]["text"]
+    assert out[4]["n_ip"] == 2 and out[4]["redacted_text"].count("<IP>") == 2
+
+
+def test_normalize_urls_canonical_forms(spark):
+    from deepchecks_spark.pipeline.webclean import normalize_urls
+
+    cases = [
+        ("HTTP://Example.COM:80/path?utm_source=x&q=1#frag",
+         "http://example.com/path?q=1"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("https://Example.com/", "https://example.com"),
+        ("http://example.com/p?utm_campaign=a&utm_medium=b",
+         "http://example.com/p"),
+        ("http://example.com/p?q=1&fbclid=xyz", "http://example.com/p?q=1"),
+        ("relative/path?gclid=1", "relative/path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["normalized_url"]
+           for r in normalize_urls(df, "url").collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_url_duplicate_stats_collapses_variants(spark):
+    from deepchecks_spark.pipeline.webclean import url_duplicate_stats
+
+    df = spark.createDataFrame(
+        [("HTTP://A.com/x?utm_source=1",), ("http://a.com/x",),
+         ("http://a.com/x#frag",), ("http://b.com/only",)], "url string")
+    rows = url_duplicate_stats(df, "url").collect()
+    assert len(rows) == 1
+    assert rows[0]["normalized_url"] == "http://a.com/x"
+    assert rows[0]["n_raw"] == 3 and rows[0]["n_distinct_raw"] == 3
+
+
+def test_remove_duplicated_lines_cross_corpus(spark):
+    """A line shared by >=2 docs is removed everywhere (compared on the
+    trimmed form); blank lines and within-doc repeats survive."""
+    from deepchecks_spark.pipeline.webclean import remove_duplicated_lines
+
+    df = spark.createDataFrame(
+        [(1, "unique one\nshared boiler\n\nunique two"),
+         (2, "  shared boiler  \nother unique"),
+         (3, "repeat me\nrepeat me\nsolo"),
+         (4, "")],
+        "id long, text string")
+    out = {r["id"]: r for r in
+           remove_duplicated_lines(df, "id", "text").collect()}
+
+    assert out[1]["n_lines"] == 4 and out[1]["n_lines_removed"] == 1
+    assert out[1]["cleaned_text"] == "unique one\n\nunique two"
+    # trimmed-form match: the padded variant is removed too
+    assert out[2]["n_lines_removed"] == 1
+    assert out[2]["cleaned_text"] == "other unique"
+    # within-doc repeats are NOT cross-corpus duplicates
+    assert out[3]["n_lines_removed"] == 0
+    assert out[4]["n_lines"] == 1 and out[4]["n_lines_removed"] == 0
+
+
+def test_domain_mixture_weights(spark):
+    from deepchecks_spark.pipeline.webclean import domain_mixture
+
+    df = spark.createDataFrame(
+        [("a", "one two three"), ("a", "four five"), ("b", "six"), ("c", "x y")],
+        "d string, text string")
+    rows = {r["domain"]: r for r in
+            domain_mixture(df, "d", "text", {"a": 0.5, "b": 0.5}).collect()}
+    assert rows["a"]["n_docs"] == 2 and rows["a"]["n_tokens"] == 5
+    assert abs(rows["a"]["token_share"] - 5 / 8) < 1e-12
+    assert abs(rows["a"]["sampling_weight"] - 0.5 / (5 / 8)) < 1e-12
+    assert abs(rows["b"]["sampling_weight"] - 0.5 / (1 / 8)) < 1e-12
+    # no target entry -> NULL weight, stats still present
+    assert rows["c"]["target_share"] is None
+    assert rows["c"]["sampling_weight"] is None
