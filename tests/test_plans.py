@@ -262,3 +262,60 @@ def test_duplicate_chunk_stats_shuffles_hashes_not_text(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_gopher_and_c4_rules_are_shuffle_free(spark):
+    # both rule sets are pure higher-order-function projections: an
+    # Exchange or Generate in either plan means a 10^12-row corpus
+    # suddenly shuffles or explodes per-token rows
+    from deepchecks_spark.pipeline.textstats import gopher_quality_rules
+    from deepchecks_spark.pipeline.webclean import c4_clean, pii_redaction
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for out in (gopher_quality_rules(docs, "text"),
+                c4_clean(docs, "text"),
+                pii_redaction(docs, "text")):
+        plan = _plan(out)
+        assert "Exchange" not in plan
+        assert "Generate" not in plan
+
+
+def test_unigram_vocab_cut_is_take_ordered(spark):
+    # the top-V vocabulary cut must plan as TakeOrderedAndProject
+    # (per-partition partial top-K), never a global Sort of the
+    # distinct-token table
+    from deepchecks_spark.pipeline.textstats import unigram_logprob
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(unigram_logprob(docs, "doc_id", "text", vocab_size=100))
+    assert "TakeOrderedAndProject" in plan
+    # vocabulary + totals reach the scoring pass as broadcasts
+    assert "BroadcastExchange" in plan
+
+
+def test_line_dedup_shuffles_hashes_not_text(spark):
+    # duplicated-line removal: every Exchange key set must be hash/id
+    # columns — the line text stays in its row end-to-end
+    import re
+
+    from deepchecks_spark.pipeline.webclean import remove_duplicated_lines
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(remove_duplicated_lines(docs, "doc_id", "text"))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_decontamination_literal_path_is_shuffle_free(spark):
+    # a small benchmark takes the in-plan literal array path: the
+    # corpus pass is one projection, no Exchange, no Generate
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.pipeline.decontam import ngram_decontamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select("text")
+    out = ngram_decontamination(docs, bench, "doc_id", "text", ngram=13)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
