@@ -3038,6 +3038,127 @@ def o_domain_mixture_documents():
     """
 
 
+def q_quality_classifier_documents(spark, sf_dir):
+    """Learned quality-filter stage (Wenzek et al. 2020 CCNet; Brown et
+    al. 2020 appendix A): a planted fixture where odd doc_ids have every
+    letter replaced by a digit (the noise class) trains the logistic
+    model end-to-end inside the engine; the classes are separated by an
+    enormous margin on the digit-ratio/stopword features, so the trained
+    boundary must reproduce the planted rule exactly — which is the
+    oracle. Scores are engine-internal (iterative float64 GD); the
+    contract row checks the keep/drop decisions."""
+    from deepchecks_spark.pipeline.classifier import (
+        score_quality, train_quality_classifier)
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 1,
+               F.regexp_replace("text", "[a-z]", "7"))
+        .otherwise(F.col("text")).alias("text"),
+        (1 - F.col("doc_id") % 2).cast("int").alias("label"),
+    )
+    model = train_quality_classifier(labeled, "text", "label")
+    out = score_quality(labeled, "text", model, threshold=0.5)
+    return out.select("doc_id",
+                      F.col("quality_score_pred").alias("pred_good"))
+
+
+def o_quality_classifier_documents():
+    return """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::INTEGER AS pred_good
+    FROM documents
+    """
+
+
+def q_bigram_logprob_documents(spark, sf_dir):
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007), self-
+    trained on the corpus: seen bigrams score c(w1w2)/c(w1), the first
+    token and (in held-out use) unseen continuations back off to the
+    Laplace unigram p1(w) = (c+1)/(N+V+1). Self-trained, every scored
+    bigram is seen, so this row locks the count tables + conditional
+    path; the backoff branch is unit-locked with a held-out train_df.
+    avg_nll is a mean of ≤ ~100 IEEE-exact terms — 6-decimal rounding
+    absorbs engine-order float noise (same convention as the unigram
+    row)."""
+    from deepchecks_spark.pipeline.textstats import bigram_logprob
+
+    df = _t(spark, sf_dir, "documents")
+    out = bigram_logprob(df, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_nll", 6).alias("avg_nll"))
+
+
+def o_bigram_logprob_documents():
+    return r"""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+               FROM documents WHERE length(trim(text)) > 0),
+    ucnt AS (SELECT w, count(*) AS cu
+             FROM (SELECT unnest(l) AS w FROM d) WHERE w <> '' GROUP BY 1),
+    tot AS (SELECT (sum(cu) + count(*) + 1)::DOUBLE AS denom FROM ucnt),
+    bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+             SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(l) - 1),
+                           i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS b
+             FROM d WHERE len(l) >= 2)),
+    bcnt AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+    fs AS (SELECT doc_id,
+                  -ln((coalesce(cu, 0) + 1) / (SELECT denom FROM tot)) AS nll
+           FROM (SELECT doc_id, l[1] AS w FROM d) f LEFT JOIN ucnt USING (w)),
+    rs AS (SELECT bg.doc_id,
+                  -ln(CASE WHEN bcnt.cb IS NOT NULL
+                           THEN bcnt.cb / u1.cu::DOUBLE
+                           ELSE 0.4 * (coalesce(u2.cu, 0) + 1)
+                                / (SELECT denom FROM tot) END) AS nll
+           FROM bg LEFT JOIN bcnt USING (w1, w2)
+           LEFT JOIN ucnt u1 ON bg.w1 = u1.w
+           LEFT JOIN ucnt u2 ON bg.w2 = u2.w),
+    p AS (SELECT doc_id, count(*) AS n_tokens, avg(nll) AS avg_nll
+          FROM (SELECT * FROM fs UNION ALL SELECT * FROM rs) GROUP BY 1)
+    SELECT d0.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+           round(p.avg_nll, 6) AS avg_nll
+    FROM documents d0 LEFT JOIN p USING (doc_id)
+    """
+
+
+def q_perplexity_buckets_documents(spark, sf_dir):
+    """CCNet's head/middle/tail perplexity split over the self-trained
+    unigram scores. Thresholds are explicit literals chosen ≥1.9e-4
+    away from every document's avg_nll at every test scale factor —
+    far beyond the last-ulp float disagreement two engines can have on
+    a 100-term mean — so the bucket assignment is engine-independent.
+    (The percentile_approx auto-threshold path is unit-locked.)"""
+    from deepchecks_spark.pipeline.textstats import (
+        perplexity_buckets, unigram_logprob)
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs, "doc_id", "text", vocab_size=1000)
+    out = perplexity_buckets(scored, "avg_nll",
+                             thresholds=[3.39017, 3.42878])
+    return out.select("doc_id", "ppl_bucket")
+
+
+def o_perplexity_buckets_documents():
+    return r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    tok2 AS (SELECT * FROM tok WHERE token <> ''),
+    cnt AS (SELECT token, count(*) AS c FROM tok2 GROUP BY 1),
+    tot AS (SELECT sum(c) AS n_total, least(count(*), 1000) AS v_kept FROM cnt),
+    sc AS (SELECT doc_id, -ln((c + 1) / (n_total + v_kept + 1)::DOUBLE) AS nll
+           FROM tok2 JOIN cnt USING (token), tot),
+    p AS (SELECT doc_id, avg(nll) AS avg_nll FROM sc GROUP BY 1)
+    SELECT d.doc_id,
+           CASE WHEN p.avg_nll IS NULL THEN NULL
+                WHEN p.avg_nll <= 3.39017 THEN 'head'
+                WHEN p.avg_nll <= 3.42878 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM documents d LEFT JOIN p USING (doc_id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3083,6 +3204,9 @@ QUERIES = {
     "url_dedup_documents": q_url_dedup_documents,
     "line_dedup_documents": q_line_dedup_documents,
     "domain_mixture_documents": q_domain_mixture_documents,
+    "quality_classifier_documents": q_quality_classifier_documents,
+    "bigram_logprob_documents": q_bigram_logprob_documents,
+    "perplexity_buckets_documents": q_perplexity_buckets_documents,
     "percent_of_nulls_lineitem": q_percent_of_nulls_lineitem,
     "is_single_value_orders": q_is_single_value_orders,
     "class_imbalance_embeddings": q_class_imbalance_embeddings,
@@ -3226,4 +3350,9 @@ ORACLES = {
     "url_dedup_documents": o_url_dedup_documents(),
     "line_dedup_documents": o_line_dedup_documents(),
     "domain_mixture_documents": o_domain_mixture_documents(),
+    # round-5 (late): learned quality filter, stupid-backoff bigram LM,
+    # CCNet perplexity buckets
+    "quality_classifier_documents": o_quality_classifier_documents(),
+    "bigram_logprob_documents": o_bigram_logprob_documents(),
+    "perplexity_buckets_documents": o_perplexity_buckets_documents(),
 }

@@ -299,6 +299,132 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def _doc_grams(df: DataFrame, id_col: str, text_col: str):
+    """(id, token-list) for non-blank docs, plus the exploded unigram
+    and bigram position frames used by the stupid-backoff scorer."""
+    base = df.select(
+        F.col(id_col).alias("__id"), _tokens(text_col).alias("__l")
+    ).filter(F.length(F.trim(F.col(text_col))) > 0)
+    n = F.size(F.col("__l"))
+    bigr = base.filter(n >= 2).select(
+        "__id",
+        F.explode(
+            F.zip_with(
+                F.slice("__l", 1, n - 1),
+                F.slice("__l", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("__id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    return base, bigr
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                   alpha: float = 0.4,
+                   train_df: DataFrame | None = None) -> DataFrame:
+    """Distributed stupid-backoff bigram LM scoring (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the original
+    MapReduce LM, re-expressed as DataFrame aggregations). Count tables
+    come from ``train_df`` (default: the scored corpus itself, the CCNet
+    self-training shape); each document position is scored
+
+        S(w2 | w1) = c(w1 w2) / c(w1)        if the bigram was seen
+                   = alpha * p1(w2)           otherwise (backoff)
+
+    with the Laplace unigram base ``p1(w) = (c(w) + 1)/(N + V + 1)``
+    (the same smoothing convention as :func:`unigram_logprob`, so OOV
+    tokens in held-out text stay finite) and the first token scored by
+    ``p1(w1)``. Stupid backoff is deliberately unnormalized — Brants et
+    al.'s point is that at corpus scale the unsmoothed score ranks as
+    well as Kneser-Ney at a fraction of the cost, which is exactly the
+    trade this engine wants at 100 TB. Output per document:
+    ``n_tokens``, ``avg_nll`` (mean negative log-score),
+    ``pseudo_perplexity``; empty documents keep NULL scores.
+
+    Scale shape: the two count passes are token/bigram groupBys with
+    map-side combine (shuffle bounded by DISTINCT grams, not corpus
+    size); scoring joins the exploded positions against the count
+    tables on their gram keys — keyed equi-joins AQE can broadcast when
+    the vocabulary is small and shuffle-hash otherwise; the one-row
+    totals broadcast; the per-doc agg moves (id, double) pairs. No
+    Python anywhere."""
+    train_base, train_bigr = _doc_grams(train_df if train_df is not None
+                                        else df, id_col, text_col)
+    uni = (
+        train_base.select(F.explode("__l").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("cu"))
+    )
+    totals = uni.agg(
+        (F.sum("cu") + F.count("*") + 1).cast("double").alias("denom"))
+    bcnt = train_bigr.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+
+    base, bigr = _doc_grams(df, id_col, text_col)
+    first = (
+        base.select("__id", F.element_at("__l", 1).alias("w"))
+        .join(uni, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("__id", (-F.log(
+            (F.coalesce(F.col("cu"), F.lit(0)) + 1) / F.col("denom")
+        )).alias("nll"))
+    )
+    rest = (
+        bigr.join(bcnt, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1")),
+              "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2")),
+              "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__id",
+            (-F.log(
+                F.when(F.col("cb").isNotNull(),
+                       F.col("cb") / F.col("c1").cast("double"))
+                .otherwise(F.lit(alpha)
+                           * (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                           / F.col("denom"))
+            )).alias("nll"),
+        )
+    )
+    per_doc = first.unionByName(rest).groupBy("__id").agg(
+        F.count("*").alias("n_tokens"), F.avg("nll").alias("avg_nll")
+    )
+    return (
+        df.join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .drop("__id")
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .withColumn("pseudo_perplexity", F.exp("avg_nll"))
+    )
+
+
+def perplexity_buckets(df: DataFrame, score_col: str, n_buckets: int = 3,
+                       labels: tuple = ("head", "middle", "tail"),
+                       thresholds: list | None = None,
+                       accuracy: int = 1_000_000) -> DataFrame:
+    """CCNet's perplexity-bucket split (Wenzek et al. 2020 §4.4): rank
+    documents by LM score and cut the corpus into head/middle/tail —
+    the head (lowest perplexity) feeds training, the tail is dropped.
+    ``thresholds`` (ascending cut points) can be supplied; otherwise
+    they come from one ``percentile_approx`` aggregation (n_buckets - 1
+    scalars to the driver — a GK-sketch aggregation, never a sort).
+    Assignment is a CASE WHEN projection: map-only, shuffle-free. NULL
+    scores (e.g. empty documents) get a NULL bucket."""
+    if len(labels) != n_buckets:
+        raise ValueError("labels must have n_buckets entries")
+    if thresholds is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        thresholds = df.agg(
+            F.percentile_approx(score_col, qs, accuracy).alias("t")
+        ).collect()[0]["t"]
+    if len(thresholds) != n_buckets - 1:
+        raise ValueError("thresholds must have n_buckets - 1 entries")
+    bucket = F.when(F.col(score_col).isNull(), F.lit(None).cast("string"))
+    for cut, label in zip(thresholds, labels):
+        bucket = bucket.when(F.col(score_col) <= float(cut), F.lit(label))
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return df.withColumn("ppl_bucket", bucket)
+
+
 def document_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint",
                          ngram: int = 4) -> DataFrame:
     """Winnowing-style fingerprint: min over rolling word-ngram hashes

@@ -759,3 +759,149 @@ def test_domain_mixture_weights(spark):
     # no target entry -> NULL weight, stats still present
     assert rows["c"]["target_share"] is None
     assert rows["c"]["sampling_weight"] is None
+
+
+# ------------------------------------------------- learned quality classifier
+
+GOOD_DOCS = [
+    "the quick brown fox jumps over the lazy dog in the morning light",
+    "a careful reader will notice that the argument rests on a subtle point",
+    "the committee agreed to publish the report and to revisit the question",
+    "in the middle of the forest there is a clearing where the deer gather",
+    "she walked to the market and bought bread cheese and a basket of plums",
+    "the results of the experiment were consistent with the earlier findings",
+]
+BAD_DOCS = [
+    "77 88 99 @@ ## $$ 1234567 !!!! 0000 9999 %% ^^ && ** (( )) 314159",
+    "click here 999 free 777 win $$$ 0000 now 1111 !!! buy 2222 ??? 3333",
+    "x9 z8 q7 w6 v5 u4 t3 s2 r1 q0 9z 8y 7x 6w 5v 4u 3t 2s 1r 0q 42 43",
+    "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 21 22 23 24 25",
+    "## // \\ || @@ ^^ %% 55555 .. ,, ;; :: !! ?? 66666 ~~ `` 77777",
+    "aaa111 bbb222 ccc333 ddd444 eee555 fff666 ggg777 hhh888 iii999 000",
+]
+
+
+@pytest.fixture(scope="module")
+def labeled_quality(spark):
+    rows = [(i, t, 1) for i, t in enumerate(GOOD_DOCS)]
+    rows += [(100 + i, t, 0) for i, t in enumerate(BAD_DOCS)]
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_quality_features_hand_computed(spark):
+    from deepchecks_spark.pipeline.classifier import quality_features
+
+    df = spark.createDataFrame([(1, "The cat sat!"), (2, "   ")],
+                               "id int, text string")
+    rows = {r["id"]: r for r in quality_features(df, "text").collect()}
+    r = rows[1]  # tokens: The/cat/sat! -> n=3, total_len=10
+    assert abs(r["f_log_tokens"] - np.log1p(3)) < 1e-12
+    assert abs(r["f_avg_token_len"] - 10 / 3) < 1e-12
+    assert r["f_stopword_ratio"] == 0.0  # "The" is cased; isin is case-sensitive
+    assert abs(r["f_punct_ratio"] - 1 / 12) < 1e-12
+    assert abs(r["f_upper_ratio"] - 1 / 12) < 1e-12
+    assert r["f_digit_ratio"] == 0.0
+    blank = rows[2]
+    assert all(blank[f] == 0.0 for f in
+               ("f_log_tokens", "f_avg_token_len", "f_stopword_ratio",
+                "f_punct_ratio", "f_upper_ratio", "f_digit_ratio"))
+
+
+def test_quality_classifier_separates_planted_labels(spark, labeled_quality):
+    from deepchecks_spark.pipeline.classifier import (
+        score_quality, train_quality_classifier)
+
+    model = train_quality_classifier(labeled_quality, "text", "label")
+    assert set(model["weights"]) == set(model["features"])
+    out = score_quality(labeled_quality, "text", model,
+                        threshold=0.5).collect()
+    assert all(r["quality_score_pred"] == r["label"] for r in out)
+    assert all(0.0 < r["quality_score"] < 1.0 for r in out)
+
+
+def test_quality_classifier_distributed_matches_local(spark, labeled_quality):
+    from deepchecks_spark.pipeline.classifier import train_quality_classifier
+
+    local = train_quality_classifier(labeled_quality, "text", "label",
+                                     iters=50)
+    dist = train_quality_classifier(labeled_quality, "text", "label",
+                                    iters=50, distributed=True)
+    assert abs(local["intercept"] - dist["intercept"]) < 1e-6
+    for k in local["weights"]:
+        assert abs(local["weights"][k] - dist["weights"][k]) < 1e-6
+
+
+def test_quality_classifier_train_gate(spark, labeled_quality):
+    from deepchecks_spark.pipeline.classifier import train_quality_classifier
+
+    with pytest.raises(ValueError, match="max_train_rows"):
+        train_quality_classifier(labeled_quality, "text", "label",
+                                 max_train_rows=5)
+
+
+def test_quality_filter_keeps_good(spark, labeled_quality):
+    from deepchecks_spark.pipeline.classifier import (
+        quality_filter, train_quality_classifier)
+
+    model = train_quality_classifier(labeled_quality, "text", "label")
+    kept = quality_filter(labeled_quality, "text", model).collect()
+    assert {r["doc_id"] for r in kept} == {i for i in range(len(GOOD_DOCS))}
+    assert "quality_score" not in kept[0].asDict()
+
+
+# ------------------------------------------------ stupid-backoff bigram LM
+
+def test_bigram_logprob_hand_computed(spark):
+    from deepchecks_spark.pipeline.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            bigram_logprob(df, "doc_id", "text").collect()}
+    # counts: c(a)=3 c(b)=2 N=5 V=2 denom=8; c(a,b)=2 c(b,a)=1
+    import math
+    d1 = [-math.log(4 / 8), -math.log(2 / 3), -math.log(1 / 2)]
+    assert rows[1]["n_tokens"] == 3
+    assert abs(rows[1]["avg_nll"] - sum(d1) / 3) < 1e-12
+    d2 = [-math.log(4 / 8), -math.log(2 / 3)]
+    assert rows[2]["n_tokens"] == 2
+    assert abs(rows[2]["avg_nll"] - sum(d2) / 2) < 1e-12
+    assert abs(rows[2]["pseudo_perplexity"]
+               - math.exp(sum(d2) / 2)) < 1e-12
+    assert rows[3]["n_tokens"] == 0 and rows[3]["avg_nll"] is None
+
+
+def test_bigram_logprob_backoff_on_heldout_text(spark):
+    from deepchecks_spark.pipeline.textstats import bigram_logprob
+
+    train = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    score = spark.createDataFrame([(9, "b b c")], "doc_id long, text string")
+    r = bigram_logprob(score, "doc_id", "text", train_df=train).collect()[0]
+    # train counts: c(a)=2 c(b)=1 N=3 V=2 denom=6; bigrams {(a,b),(b,a)}
+    import math
+    exp = [-math.log((1 + 1) / 6),            # first token b: p1(b)
+           -math.log(0.4 * (1 + 1) / 6),       # (b,b) unseen -> backoff p1(b)
+           -math.log(0.4 * (0 + 1) / 6)]       # (b,c) unseen, c OOV -> p1(c)
+    assert r["n_tokens"] == 3
+    assert abs(r["avg_nll"] - sum(exp) / 3) < 1e-12
+
+
+def test_perplexity_buckets_explicit_and_auto(spark):
+    from deepchecks_spark.pipeline.textstats import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 10)] + [(99, None)],
+        "id long, ppl double")
+    rows = {r["id"]: r["ppl_bucket"] for r in
+            perplexity_buckets(df, "ppl", thresholds=[3.0, 6.0]).collect()}
+    assert rows[1] == rows[3] == "head"
+    assert rows[4] == rows[6] == "middle"
+    assert rows[7] == rows[9] == "tail"
+    assert rows[99] is None
+    auto = {r["id"]: r["ppl_bucket"] for r in
+            perplexity_buckets(df, "ppl").collect()}
+    assert auto[1] == "head" and auto[9] == "tail"
+    assert sorted(set(v for v in auto.values() if v)) == [
+        "head", "middle", "tail"]
+    with pytest.raises(ValueError, match="thresholds"):
+        perplexity_buckets(df, "ppl", thresholds=[1.0])

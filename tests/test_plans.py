@@ -319,3 +319,38 @@ def test_decontamination_literal_path_is_shuffle_free(spark):
     plan = _plan(out)
     assert "Exchange" not in plan
     assert "Generate" not in plan
+
+
+def test_quality_scoring_is_shuffle_free(spark):
+    # the 100 TB filter path: feature extraction + linear + sigmoid must
+    # stay a single map-only projection (no Exchange, no Python)
+    from deepchecks_spark.pipeline.classifier import score_quality
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = {"features": ["f_log_tokens", "f_stopword_ratio"],
+             "weights": {"f_log_tokens": 0.5, "f_stopword_ratio": -2.0},
+             "intercept": 0.1}
+    plan = _plan(score_quality(df, "text", model, threshold=0.5))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_bigram_counts_have_mapside_partial_agg(spark):
+    # both LM count passes must partial-aggregate before their Exchange
+    # (the shuffle is bounded by DISTINCT grams, not corpus positions)
+    from deepchecks_spark.pipeline.textstats import bigram_logprob
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(bigram_logprob(df, "doc_id", "text"))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_perplexity_bucket_assignment_is_map_only(spark):
+    from deepchecks_spark.pipeline.textstats import perplexity_buckets
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .withColumn("ppl", F.length("text").cast("double"))
+    plan = _plan(perplexity_buckets(df, "ppl", thresholds=[100.0, 200.0]))
+    assert "Exchange" not in plan
