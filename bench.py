@@ -109,6 +109,7 @@ def bench_dedup(spark):
         deduplicate_by_pairs,
         exact_duplicate_stats,
         minhash_near_duplicates,
+        repeated_span_stats,
         simhash,
     )
 
@@ -122,6 +123,10 @@ def bench_dedup(spark):
     # so the clustering's per-iteration localCheckpoint cost is measured
     deduplicate_by_pairs(docs, pairs, "doc_id").count()
     pairs.unpersist()
+    # exact-substring duplication (Lee et al. semantics; added r5 —
+    # delta documented in BENCH/BASELINE.md)
+    repeated_span_stats(docs, "doc_id", "text", window_words=10) \
+        .agg({"dup_tokens": "sum"}).collect()
     return docs.count()
 
 

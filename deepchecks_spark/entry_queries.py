@@ -3159,6 +3159,55 @@ def o_perplexity_buckets_documents():
     """
 
 
+def q_repeated_spans_documents(spark, sf_dir):
+    """Exact-substring duplication (Lee et al. 2021 semantics): stride-1
+    5-token windows, duplicated = content occurs ≥2× corpus-wide
+    (cross-doc OR within-doc), per-doc interval-union span coverage."""
+    from deepchecks_spark.pipeline.dedup import repeated_span_stats
+
+    df = _t(spark, sf_dir, "documents")
+    return repeated_span_stats(df, "doc_id", "text", window_words=5).select(
+        "doc_id", "n_tokens", "n_windows", "n_dup_windows", "dup_tokens",
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+    )
+
+
+def o_repeated_spans_documents():
+    # the oracle groups by window TEXT; the engine groups by xxhash64 of
+    # the window — identical results absent a 64-bit collision. Parallel
+    # unnests in one SELECT zip positionally in DuckDB.
+    return r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+      FROM documents),
+    base AS (SELECT doc_id, len(t) AS n_tokens,
+                    greatest(len(t) - 4, 0) AS n_windows FROM toks),
+    occ AS (SELECT doc_id,
+                   unnest(range(greatest(len(t) - 4, 0))) AS pos,
+                   unnest(list_transform(range(greatest(len(t) - 4, 0)),
+                          i -> array_to_string(t[i+1:i+5], ' '))) AS w
+            FROM toks),
+    cnt AS (SELECT w, count(*) AS n_occ FROM occ GROUP BY 1),
+    dup AS (SELECT doc_id, pos FROM occ JOIN cnt USING (w) WHERE n_occ >= 2),
+    gaps AS (SELECT doc_id, pos,
+                    coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                             pos + 5) - pos AS gap
+             FROM dup),
+    roll AS (SELECT doc_id, count(*) AS n_dup_windows,
+                    sum(least(5, gap)) AS dup_tokens FROM gaps GROUP BY 1)
+    SELECT b.doc_id, b.n_tokens::BIGINT AS n_tokens,
+           b.n_windows::BIGINT AS n_windows,
+           coalesce(r.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           coalesce(r.dup_tokens, 0)::BIGINT AS dup_tokens,
+           round(CASE WHEN b.n_tokens > 0
+                      THEN coalesce(r.dup_tokens, 0) / b.n_tokens::DOUBLE
+                      ELSE 0 END, 6) AS dup_token_frac
+    FROM base b LEFT JOIN roll r USING (doc_id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3207,6 +3256,7 @@ QUERIES = {
     "quality_classifier_documents": q_quality_classifier_documents,
     "bigram_logprob_documents": q_bigram_logprob_documents,
     "perplexity_buckets_documents": q_perplexity_buckets_documents,
+    "repeated_spans_documents": q_repeated_spans_documents,
     "percent_of_nulls_lineitem": q_percent_of_nulls_lineitem,
     "is_single_value_orders": q_is_single_value_orders,
     "class_imbalance_embeddings": q_class_imbalance_embeddings,
@@ -3355,4 +3405,5 @@ ORACLES = {
     "quality_classifier_documents": o_quality_classifier_documents(),
     "bigram_logprob_documents": o_bigram_logprob_documents(),
     "perplexity_buckets_documents": o_perplexity_buckets_documents(),
+    "repeated_spans_documents": o_repeated_spans_documents(),
 }

@@ -321,6 +321,155 @@ def duplicate_chunk_stats(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def repeated_span_stats(df: DataFrame, id_col: str, text_col: str,
+                        window_words: int = 10) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): slide a
+    stride-1 window of ``window_words`` tokens over every document; a
+    window is *duplicated* when its exact content occurs ≥2 times
+    anywhere in the corpus (other documents OR elsewhere in the same
+    one — the suffix-array semantics, unlike duplicate_chunk_stats'
+    cross-document-only chunks). Per document reports::
+
+        n_tokens, n_windows, n_dup_windows, dup_tokens, dup_token_frac
+
+    where ``dup_tokens`` is the interval-UNION of duplicated windows
+    (overlapping windows are not double-counted — the span accounting
+    that makes the fraction meaningful).
+
+    Scale shape: the reference algorithm builds a corpus-wide suffix
+    array (single-machine); the distributed re-expression hashes each
+    window to 8 bytes BEFORE the explode, so the w× positional blow-up
+    shuffles only (id, pos, hash) rows — and the expensive window-hash
+    transform runs EXACTLY ONCE (plan-pinned single Generate): the
+    per-hash occurrence count is a count() window over the hash
+    partition, not a groupBy + self-rejoin that would rebuild the
+    explode branch twice. Two shuffles total: hash (occurrence count)
+    and document id (interval union, bounded by doc length). A viral
+    boilerplate hash concentrates its window partition on one task —
+    if that skew ever dominates, swap the count-over-window for the
+    groupBy + join shape (AQE-splittable) at the cost of a second
+    window build. Collision risk is the 64-bit birthday bound,
+    acceptable for a dedup signal.
+    """
+    w = window_words
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_windows = F.greatest(n - F.lit(w - 1), F.lit(0))
+    hashes = F.when(
+        n_windows > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, w), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        n.cast("long").alias("n_tokens"),
+        n_windows.cast("long").alias("n_windows"),
+        hashes.alias("hs"),
+    )
+    # concat() of a single array is an identity wrap that keeps the
+    # Generate child a non-attribute expression — otherwise Catalyst's
+    # InferFiltersFromGenerate infers a size(hs) > 0 pre-filter that
+    # projection pushdown re-expands into the FULL window-hash
+    # transform below the scan, doubling the per-row build (the same
+    # trap minhash_signatures documents and dodges via array_distinct)
+    occ = base.select("__id", F.posexplode(F.concat("hs")).alias("pos", "h"))
+    dup = (
+        occ.withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("n_occ") >= 2)
+        .select("__id", "pos")
+    )
+    win = Window.partitionBy("__id").orderBy("pos")
+    gaps = dup.withColumn(
+        "gap",
+        F.coalesce(F.lead("pos").over(win), F.col("pos") + w) - F.col("pos"),
+    )
+    per_doc = gaps.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.sum(F.least(F.lit(w), F.col("gap"))).alias("dup_tokens"),
+    )
+    return (
+        base.drop("hs")
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.when(F.col("n_tokens") > 0,
+                   F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens").cast("double"))
+            .otherwise(F.lit(0.0)).alias("dup_token_frac"),
+        )
+    )
+
+
+def remove_repeated_spans(df: DataFrame, id_col: str, text_col: str,
+                          window_words: int = 10) -> DataFrame:
+    """Exact-substring dedup REMOVAL (the acting half of
+    repeated_span_stats): for every window content occurring ≥2 times
+    corpus-wide, keep the canonical occurrence (global min (id, pos))
+    and delete the tokens covered only by non-canonical duplicated
+    windows. Returns (id, cleaned text) — token positions covered by a
+    removed span are dropped, the rest rejoined with single spaces.
+
+    Scale shape: canonical selection and the occurrence count are both
+    windows over the hash partition (single Generate — same
+    InferFiltersFromGenerate dodge as repeated_span_stats); the removal
+    positions roll up per document via collect_list (bounded by doc
+    length, the same bound the text row itself already carries); the
+    rebuild is a JVM-side filter over the token index — exists() over
+    the per-doc removal set, O(n_tokens × n_removed_spans) per row,
+    which a production variant would replace with a sorted-interval
+    sweep when spans per doc grow large."""
+    w = window_words
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_windows = F.greatest(n - F.lit(w - 1), F.lit(0))
+    hashes = F.when(
+        n_windows > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, w), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"),
+                     hashes.alias("hs"))
+    occ = base.select("__id", F.posexplode(F.concat("hs")).alias("pos", "h"))
+    hwin = Window.partitionBy("h")
+    remove = (
+        occ.withColumn("n_occ", F.count(F.lit(1)).over(hwin))
+        .withColumn("keep", F.min(F.struct("__id", "pos")).over(hwin))
+        .filter(F.col("n_occ") >= 2)
+        .filter(~((F.col("__id") == F.col("keep.__id")) & (F.col("pos") == F.col("keep.pos"))))
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("rm"))
+    )
+    rebuilt = (
+        base.drop("hs")
+        .join(remove, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(
+                F.col("rm").isNull(), F.col("__text")
+            ).otherwise(
+                F.array_join(
+                    F.filter(
+                        F.split(F.trim("__text"), r"\s+"),
+                        lambda tok, j: ~F.exists(
+                            F.col("rm"), lambda p: (p <= j) & (j < p + F.lit(w))
+                        ),
+                    ),
+                    " ",
+                )
+            ).alias(text_col),
+        )
+    )
+    return rebuilt
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                          max_iterations: int = 25) -> DataFrame:
     """Transitive duplicate clusters from a pair list: min-label

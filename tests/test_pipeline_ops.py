@@ -905,3 +905,56 @@ def test_perplexity_buckets_explicit_and_auto(spark):
         "head", "middle", "tail"]
     with pytest.raises(ValueError, match="thresholds"):
         perplexity_buckets(df, "ppl", thresholds=[1.0])
+
+
+def test_repeated_span_stats_hand_computed(spark):
+    """Lee-et-al exact-substring semantics with w=3: a window is
+    duplicated when its content occurs >=2 times corpus-wide, including
+    within one document; covered tokens are the interval UNION of the
+    duplicated windows (overlaps not double-counted)."""
+    from deepchecks_spark.pipeline.dedup import repeated_span_stats
+
+    df = spark.createDataFrame(
+        [("d1", "a b c d e f"),
+         ("d2", "x a b c d y"),
+         ("d3", "p q r s p q r t p q"),
+         ("d4", "z z"),
+         ("d5", "")],
+        "id string, text string")
+    out = {r["id"]: r for r in
+           repeated_span_stats(df, "id", "text", window_words=3).collect()}
+    # d1/d2 share 'a b c' and 'b c d' -> two overlapping windows each,
+    # union 4 tokens
+    assert (out["d1"]["n_tokens"], out["d1"]["n_windows"]) == (6, 4)
+    assert (out["d1"]["n_dup_windows"], out["d1"]["dup_tokens"]) == (2, 4)
+    assert abs(out["d1"]["dup_token_frac"] - 4 / 6) < 1e-12
+    assert (out["d2"]["n_dup_windows"], out["d2"]["dup_tokens"]) == (2, 4)
+    # d3 repeats 'p q r' WITHIN itself at pos 0 and 4 -> disjoint spans,
+    # 6 covered tokens of 10
+    assert (out["d3"]["n_dup_windows"], out["d3"]["dup_tokens"]) == (2, 6)
+    assert abs(out["d3"]["dup_token_frac"] - 6 / 10) < 1e-12
+    # sub-window and empty docs keep zero rows
+    for d in ("d4", "d5"):
+        assert (out[d]["n_windows"], out[d]["n_dup_windows"],
+                out[d]["dup_token_frac"]) == (0, 0, 0.0)
+    assert out["d4"]["n_tokens"] == 2 and out["d5"]["n_tokens"] == 0
+
+
+def test_remove_repeated_spans_keeps_canonical(spark):
+    """The canonical (min (id, pos)) occurrence of each duplicated
+    window survives; every other occurrence's tokens are cut, with
+    overlapping removals unioned before the rebuild."""
+    from deepchecks_spark.pipeline.dedup import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [("d1", "a b c d e f"),
+         ("d2", "x a b c d y"),
+         ("d3", "p q r s p q r t p q"),
+         ("d4", "z z")],
+        "id string, text string")
+    out = {r["id"]: r["text"] for r in
+           remove_repeated_spans(df, "id", "text", window_words=3).collect()}
+    assert out["d1"] == "a b c d e f"        # canonical copies stay
+    assert out["d2"] == "x y"                # overlapping spans 1-3,2-4 cut
+    assert out["d3"] == "p q r s t p q"      # second 'p q r' at pos 4 cut
+    assert out["d4"] == "z z"                # sub-window doc untouched

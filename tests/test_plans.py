@@ -354,3 +354,19 @@ def test_perplexity_bucket_assignment_is_map_only(spark):
         .withColumn("ppl", F.length("text").cast("double"))
     plan = _plan(perplexity_buckets(df, "ppl", thresholds=[100.0, 200.0]))
     assert "Exchange" not in plan
+
+
+def test_repeated_span_stats_shuffles_hashes_not_text(spark):
+    # the stride-1 window text is reduced to xxhash64 BEFORE the
+    # explode (the w-times positional blow-up must move 8-byte hashes,
+    # never text), and column pruning keeps the window transform off
+    # the stats side of the final join — exactly one Generate node
+    from deepchecks_spark.pipeline.dedup import repeated_span_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(repeated_span_stats(docs, "doc_id", "text", window_words=5))
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    assert plan.count("Generate") == 1
