@@ -3208,6 +3208,73 @@ def o_repeated_spans_documents():
     """
 
 
+def q_incremental_dedup_documents(spark, sf_dir):
+    """Incremental-crawl exact dedup: the odd-doc_id half of the corpus
+    arrives as a new batch and dedups against the even half (anti-join
+    on xxhash64(text) — hash-only shuffles) plus within-batch min-id
+    canonicalization."""
+    from deepchecks_spark.pipeline.dedup import incremental_dedup
+
+    df = _t(spark, sf_dir, "documents")
+    seen = df.filter(F.col("doc_id") % 2 == 0)
+    batch = df.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(batch, seen, "doc_id", "text").select(
+        "doc_id", "lang", "source")
+
+
+def o_incremental_dedup_documents():
+    # the oracle dedups on raw text where the engine groups by
+    # xxhash64(text) — identical absent a 64-bit collision
+    return r"""
+    WITH seen AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+         batch AS (SELECT doc_id, lang, source, text
+                   FROM documents WHERE doc_id % 2 = 1),
+         fresh AS (SELECT b.* FROM batch b
+                   WHERE NOT EXISTS (SELECT 1 FROM seen s
+                                     WHERE s.text = b.text)),
+         keep AS (SELECT doc_id, lang, source,
+                         min(doc_id) OVER (PARTITION BY text) AS k
+                  FROM fresh)
+    SELECT doc_id, lang, source FROM keep WHERE doc_id = k
+    """
+
+
+def q_mixture_sampling_documents(spark, sf_dir):
+    """DoReMi-style corpus resampling toward a target language mixture:
+    en downsampled (w=0.5), de upsampled by replication (w=2.25), fr
+    kept (w=1.0), es/zh dropped. Every keep/replicate decision is a
+    deterministic Knuth-hash function of (doc_id, seed) — zero shuffle,
+    exactly reproducible across engines."""
+    from deepchecks_spark.pipeline.webclean import sample_to_mixture
+
+    df = _t(spark, sf_dir, "documents")
+    out = sample_to_mixture(df, "lang", "doc_id",
+                            {"en": 0.5, "de": 2.25, "fr": 1.0}, seed=7)
+    return out.select("doc_id", "lang", F.col("copy").cast("int").alias("copy"))
+
+
+def o_mixture_sampling_documents():
+    # verbatim re-derivation of the engine's Knuth multiplicative hash:
+    # u = ((doc_id mod 2^31) * 2654435761 + seed) mod 2^32 / 2^32;
+    # copies = floor(w) + (u < frac(w)); weights chosen binary-exact
+    return r"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 2.25
+                       WHEN 'fr' THEN 1.0 ELSE 0.0 END AS wt,
+             (((doc_id % 2147483648) * 2654435761 + 7) % 4294967296)
+               / 4294967296.0 AS u
+      FROM documents),
+    cnt AS (
+      SELECT doc_id, lang,
+             (floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END)::INT
+               AS n
+      FROM base)
+    SELECT doc_id, lang, unnest(range(n))::INT AS copy
+    FROM cnt WHERE n > 0
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3257,6 +3324,8 @@ QUERIES = {
     "bigram_logprob_documents": q_bigram_logprob_documents,
     "perplexity_buckets_documents": q_perplexity_buckets_documents,
     "repeated_spans_documents": q_repeated_spans_documents,
+    "incremental_dedup_documents": q_incremental_dedup_documents,
+    "mixture_sampling_documents": q_mixture_sampling_documents,
     "percent_of_nulls_lineitem": q_percent_of_nulls_lineitem,
     "is_single_value_orders": q_is_single_value_orders,
     "class_imbalance_embeddings": q_class_imbalance_embeddings,
@@ -3406,4 +3475,6 @@ ORACLES = {
     "bigram_logprob_documents": o_bigram_logprob_documents(),
     "perplexity_buckets_documents": o_perplexity_buckets_documents(),
     "repeated_spans_documents": o_repeated_spans_documents(),
+    "incremental_dedup_documents": o_incremental_dedup_documents(),
+    "mixture_sampling_documents": o_mixture_sampling_documents(),
 }

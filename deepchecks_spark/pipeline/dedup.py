@@ -40,6 +40,46 @@ def dedup_exact(df: DataFrame, cols: list) -> DataFrame:
     return df.dropDuplicates(cols)
 
 
+def incremental_dedup(batch: DataFrame, seen: DataFrame, id_col: str,
+                      text_col: str) -> DataFrame:
+    """Exact dedup of a NEW batch against an already-ingested corpus
+    snapshot — the incremental-crawl shape (each Common-Crawl dump
+    deduped against every prior dump) where re-deduplicating the full
+    corpus per batch would be O(corpus) instead of O(batch):
+
+    1. drop batch docs whose exact text already exists in ``seen``
+       (left-anti join on ``xxhash64(text)`` — both sides reduce to
+       8-byte hashes before any exchange, so the corpus side shuffles
+       16 bytes/row, never text), then
+    2. keep one representative per duplicated text WITHIN the batch
+       (min id per hash — same canonical-min convention as
+       deduplicate_by_pairs).
+
+    Returns the surviving batch rows with their original columns.
+
+    Scale shape: two hash-partitioned exchanges (anti-join + within-
+    batch min), both on the 8-byte hash. The batch side is typically
+    orders of magnitude smaller than the corpus side; AQE plans the
+    anti-join accordingly (and converts it to broadcast when the
+    BATCH side is small — the corpus side streams). A re-run after
+    appending the surviving batch to ``seen`` is idempotent: every
+    batch row then anti-joins away. Collision risk is the 64-bit
+    birthday bound, the same documented trade as every hash-grouped
+    dedup in this module."""
+    h = F.xxhash64(F.col(text_col))
+    seen_h = seen.select(h.alias("__h")).dropDuplicates(["__h"])
+    fresh = (
+        batch.withColumn("__h", h)
+        .join(seen_h, "__h", "left_anti")
+    )
+    keep = Window.partitionBy("__h")
+    return (
+        fresh.withColumn("__keep", F.min(F.col(id_col)).over(keep))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__h", "__keep")
+    )
+
+
 def _tokens(col: str):
     return F.array_distinct(F.split(F.trim(F.col(col)), r"\s+"))
 

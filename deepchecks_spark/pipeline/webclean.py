@@ -22,6 +22,9 @@ Scale shapes, per operator:
   AQE-splittable.
 - ``domain_mixture``: one groupBy on the domain key (map-side
   combine) plus a one-row totals broadcast.
+- ``sample_to_mixture``: zero shuffle — a map-side Bernoulli /
+  replication decision from a deterministic (id, seed) hash, fully
+  codegen'd; re-runs and retried tasks sample identically.
 """
 
 from __future__ import annotations
@@ -269,3 +272,64 @@ def domain_mixture(
             "sampling_weight", F.col("target_share") / F.col("token_share")
         )
     return out.orderBy("domain")
+
+
+# Knuth's multiplicative hash constant (2^32 / phi); public domain
+_MIX_MULT = 2654435761
+_MIX_MOD = 4294967296  # 2^32
+
+
+def mixture_uniform_expr(id_col: str, seed: int = 0):
+    """Deterministic per-row uniform in [0, 1) from an integer id:
+    Knuth multiplicative hashing, ``((id mod 2^31) * 2654435761 + seed)
+    mod 2^32 / 2^32``. The ``mod 2^31`` pre-reduction keeps the product
+    inside 63 bits, so the arithmetic is ANSI-overflow-safe on 64-bit
+    ids — and exactly reproducible in any engine with 64-bit integer
+    math (the DuckDB oracle recomputes it verbatim), unlike
+    ``F.rand(seed)`` whose stream depends on partitioning."""
+    u32 = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(2147483648)) * F.lit(_MIX_MULT)
+        + F.lit(int(seed)),
+        F.lit(_MIX_MOD),
+    )
+    return u32.cast("double") / F.lit(float(_MIX_MOD))
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Resample the corpus toward a target domain mixture given the
+    per-domain ``sampling_weight`` that ``domain_mixture`` computes
+    (Du et al. 2022 / DoReMi-style static mixing, the acting half of
+    that check): weight < 1 downsamples the domain by Bernoulli(w);
+    weight ≥ 1 upsamples by replication — ``floor(w)`` copies plus one
+    more with probability ``frac(w)``. Domains missing from ``weights``
+    are dropped (weight 0). Emits the original columns plus ``copy``
+    (0-based replica index; always 0 for downsampled rows) so repeated
+    rows stay distinguishable downstream.
+
+    Every decision is a deterministic function of (id, seed) via
+    ``mixture_uniform_expr`` — re-runs and retried tasks make identical
+    choices, which is what makes the operator exactly-once under
+    speculative execution and resumable pipelines.
+
+    Scale shape: zero shuffle — one map-side projection builds the
+    per-row copy count from a broadcast-literal weight map, one
+    ``explode(sequence(...))`` materializes the replicas; full
+    whole-stage codegen, no Python. At 100 TB the cost is the scan."""
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in (kv[0], float(kv[1]))]
+    )
+    w = F.coalesce(wmap[F.col(domain_col)], F.lit(0.0))
+    u = mixture_uniform_expr(id_col, seed)
+    n_copies = (F.floor(w) + F.when(u < w - F.floor(w), 1).otherwise(0)).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )

@@ -958,3 +958,63 @@ def test_remove_repeated_spans_keeps_canonical(spark):
     assert out["d2"] == "x y"                # overlapping spans 1-3,2-4 cut
     assert out["d3"] == "p q r s t p q"      # second 'p q r' at pos 4 cut
     assert out["d4"] == "z z"                # sub-window doc untouched
+
+
+def test_incremental_dedup_anti_join_and_within_batch(spark):
+    """Batch docs whose text exists in the seen corpus are dropped;
+    within the batch one representative (min id) survives per text;
+    re-running after appending survivors removes everything."""
+    from deepchecks_spark.pipeline.dedup import incremental_dedup
+
+    seen = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta"),      # already seen -> dropped
+         (11, "epsilon zeta"),    # fresh, unique
+         (12, "eta theta"),       # fresh, duplicated in-batch
+         (13, "eta theta"),       # in-batch dup -> dropped (12 < 13)
+         (14, "gamma delta")],    # already seen -> dropped
+        "doc_id long, text string")
+    out = incremental_dedup(batch, seen, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 12]
+    assert out.columns == batch.columns
+    # idempotence: after the survivors join the corpus, nothing survives
+    seen2 = seen.union(out.select("doc_id", "text"))
+    assert incremental_dedup(batch, seen2, "doc_id", "text").count() == 0
+
+
+def test_sample_to_mixture_deterministic_and_exact(spark):
+    """Every keep/replicate decision recomputes exactly from (id, seed)
+    with 64-bit integer arithmetic — the python twin below IS the
+    DuckDB oracle's arithmetic; missing domains drop; copy indexes are
+    dense from 0."""
+    from deepchecks_spark.pipeline.webclean import sample_to_mixture
+
+    rows = [(i, "a" if i % 3 == 0 else ("b" if i % 3 == 1 else "c"))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    weights = {"a": 0.5, "b": 2.25}   # c missing -> dropped
+    out = sample_to_mixture(df, "domain", "doc_id", weights, seed=7).collect()
+
+    def n_copies(i, w, seed=7):
+        u = ((i % 2147483648) * 2654435761 + seed) % 4294967296 / 4294967296
+        base = int(w)
+        return base + (1 if u < w - base else 0)
+
+    expected = {}
+    for i, d in rows:
+        w = weights.get(d, 0.0)
+        if n_copies(i, w) > 0:
+            expected[i] = n_copies(i, w)
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["copy"])
+    assert {k: len(v) for k, v in got.items()} == expected
+    for k, v in got.items():
+        assert sorted(v) == list(range(len(v)))   # dense 0-based replicas
+    assert not any(r["domain"] == "c" for r in out)
+    # b is upsampled: every b row has >= 2 copies (floor(2.25) = 2)
+    assert all(len(got[i]) >= 2 for i, d in rows if d == "b")
+    # determinism across invocations
+    again = sample_to_mixture(df, "domain", "doc_id", weights, seed=7).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

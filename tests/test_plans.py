@@ -370,3 +370,29 @@ def test_repeated_span_stats_shuffles_hashes_not_text(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
     assert plan.count("Generate") == 1
+
+
+def test_sample_to_mixture_is_map_only(spark):
+    # the mixing decision is a broadcast-literal map lookup + arithmetic
+    # on the id — no Exchange anywhere: at corpus scale the cost is the
+    # scan itself
+    from deepchecks_spark.pipeline.webclean import sample_to_mixture
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(sample_to_mixture(docs, "lang", "doc_id", {"en": 0.5, "de": 1.5}))
+    assert "Exchange" not in plan
+
+
+def test_incremental_dedup_shuffles_hashes_not_text(spark):
+    # both sides reduce to xxhash64 before any exchange: the anti-join
+    # and the within-batch min partition on the 8-byte hash, never text
+    from deepchecks_spark.pipeline.dedup import incremental_dedup
+
+    import re
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seen = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    plan = _plan(incremental_dedup(batch, seen, "doc_id", "text"))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
