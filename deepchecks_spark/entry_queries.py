@@ -3275,6 +3275,37 @@ def o_mixture_sampling_documents():
     """
 
 
+def q_pack_sequences_documents(spark, sf_dir):
+    """GPT-style sequence packing: concat documents in doc_id order and
+    cut at 512 whitespace tokens; per-doc global offset + covered
+    sequence range via a distributed prefix scan (per-partition partials
+    + broadcast prefix — no single-task global window)."""
+    from deepchecks_spark.pipeline.packing import pack_sequences
+
+    df = _t(spark, sf_dir, "documents")
+    return pack_sequences(df, "doc_id", "text", seq_len=512)
+
+
+def o_pack_sequences_documents():
+    return r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n,
+             coalesce(sum(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS s
+      FROM toks)
+    SELECT doc_id, n::BIGINT AS n_tokens, s::BIGINT AS start_offset,
+           (s // 512)::BIGINT AS first_seq,
+           ((s + greatest(n - 1, 0)) // 512)::BIGINT AS last_seq
+    FROM cum
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3326,6 +3357,7 @@ QUERIES = {
     "repeated_spans_documents": q_repeated_spans_documents,
     "incremental_dedup_documents": q_incremental_dedup_documents,
     "mixture_sampling_documents": q_mixture_sampling_documents,
+    "pack_sequences_documents": q_pack_sequences_documents,
     "percent_of_nulls_lineitem": q_percent_of_nulls_lineitem,
     "is_single_value_orders": q_is_single_value_orders,
     "class_imbalance_embeddings": q_class_imbalance_embeddings,
@@ -3477,4 +3509,5 @@ ORACLES = {
     "repeated_spans_documents": o_repeated_spans_documents(),
     "incremental_dedup_documents": o_incremental_dedup_documents(),
     "mixture_sampling_documents": o_mixture_sampling_documents(),
+    "pack_sequences_documents": o_pack_sequences_documents(),
 }

@@ -1,0 +1,104 @@
+"""Sequence packing for LM pre-training: concatenate documents in a
+deterministic order and cut the token stream into fixed-length training
+sequences (the GPT-2/3 "concat and chunk" convention — documents may
+span sequence boundaries). The operator reports, per document, its
+global token offset and the range of sequence ids it lands in; the
+total sequence count follows from the last row.
+
+Scale shape — a distributed prefix scan, because the naive expression
+(one cumulative-sum window over a global ORDER BY) collapses to a
+single task in Spark:
+
+1. ``repartitionByRange(order_col)`` puts disjoint, ordered key ranges
+   on each partition (persisted once, so the two downstream jobs see
+   the SAME partitioning);
+2. one ``groupBy(partition_id)`` computes per-partition token totals —
+   O(num_partitions) rows to the driver, the classic scan "up-sweep";
+3. the exclusive prefix of those totals broadcasts back as a literal
+   map and each partition finishes its own cumulative sum with a
+   window PARTITIONED by partition id — every stage is parallel, no
+   global-order single-task window anywhere.
+
+The result is independent of where the range boundaries fall (prefix
+sums compose associatively), so sampled range bounds do not perturb
+output — only the total order given by ``order_col`` does, which is
+why the order key must be unique.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(df: DataFrame, id_col: str, text_col: str, seq_len: int,
+                   order_col: str | None = None) -> DataFrame:
+    """Assign every document its token offset in the concatenated
+    corpus stream and the training sequences it covers::
+
+        id, n_tokens, start_offset, first_seq, last_seq
+
+    ``first_seq``/``last_seq`` are ``floor(start / seq_len)`` and
+    ``floor((start + n_tokens - 1) / seq_len)`` (NULL-free; empty
+    documents occupy zero tokens and report ``first_seq = last_seq =
+    floor(start / seq_len)``). Tokens are whitespace tokens, matching
+    pipeline/textstats.py. ``order_col`` (default: ``id_col``) defines
+    the deterministic concatenation order and must be unique — equal
+    keys straddling a range-partition boundary would otherwise make
+    the order, and thus the offsets, ambiguous.
+
+    Materializes the range-partitioned projection once (persist +
+    count) so the up-sweep job and the final scan job cannot observe
+    different sampled range boundaries; unpersists before returning.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    order_col = order_col or id_col
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    d = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.col(order_col).alias("__ord"),
+                  toks.cast("long").alias("n_tokens"))
+        .repartitionByRange("__ord")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        d.count()  # pin the partitioning for both jobs below
+        # up-sweep: per-partition totals -> exclusive prefix offsets
+        parts = sorted(
+            (r["__pid"], r["total"]) for r in
+            d.groupBy("__pid").agg(F.sum("n_tokens").alias("total")).collect()
+        )
+        prefix, acc = {}, 0
+        for pid, total in parts:
+            prefix[pid] = acc
+            acc += total or 0
+        pmap = F.create_map(
+            *[F.lit(x) for pid in sorted(prefix) for x in (pid, prefix[pid])]
+        ) if prefix else F.create_map()
+        # down-sweep: local cumulative sum + broadcast prefix
+        w = (Window.partitionBy("__pid").orderBy("__ord")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        start = (F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                 + F.coalesce(pmap[F.col("__pid")], F.lit(0)))
+        out = d.select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            start.alias("start_offset"),
+        ).select(
+            id_col, "n_tokens", "start_offset",
+            F.floor(F.col("start_offset") / seq_len).alias("first_seq"),
+            F.floor(
+                (F.col("start_offset")
+                 + F.greatest(F.col("n_tokens") - 1, F.lit(0))) / seq_len
+            ).alias("last_seq"),
+        )
+        # materialize before unpersist so callers get computed rows,
+        # not a lineage that re-samples range boundaries
+        out = out.localCheckpoint()
+    finally:
+        d.unpersist()
+    return out

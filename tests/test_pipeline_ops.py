@@ -1018,3 +1018,48 @@ def test_sample_to_mixture_deterministic_and_exact(spark):
     # determinism across invocations
     again = sample_to_mixture(df, "domain", "doc_id", weights, seed=7).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Concat-and-cut packing: offsets are the exclusive prefix sum of
+    whitespace token counts in id order; docs may span sequence
+    boundaries; empty docs occupy zero tokens."""
+    from deepchecks_spark.pipeline.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c"),            # start 0, seqs 0-0
+         (2, "d e f g"),          # start 3, tokens 3..6 -> seqs 0-1
+         (3, ""),                 # start 7, empty -> seqs 1-1
+         (4, "h i j k l m n"),    # start 7, tokens 7..13 -> seqs 1-2
+         (5, "o")],               # start 14, seqs 2-2
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           pack_sequences(df, "doc_id", "text", seq_len=5).collect()}
+    expect = {1: (3, 0, 0, 0), 2: (4, 3, 0, 1), 3: (0, 7, 1, 1),
+              4: (7, 7, 1, 2), 5: (1, 14, 2, 2)}
+    for k, (n, s, f0, l0) in expect.items():
+        r = out[k]
+        assert (r["n_tokens"], r["start_offset"], r["first_seq"],
+                r["last_seq"]) == (n, s, f0, l0), (k, r)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, "doc_id", "text", seq_len=0)
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """The distributed prefix scan gives the same offsets no matter how
+    the input is partitioned (prefix sums compose associatively across
+    the sampled range boundaries) — verified against a single-threaded
+    python recomputation over 300 docs and 32 shuffle partitions."""
+    from deepchecks_spark.pipeline.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (i % 7))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["start_offset"], r["first_seq"], r["last_seq"])
+           for r in pack_sequences(df.repartition(13), "doc_id", "text",
+                                   seq_len=11).collect()}
+    start = 0
+    for i, text in rows:
+        n = len(text.split()) if text.strip() else 0
+        assert out[i] == (start, start // 11, (start + max(n - 1, 0)) // 11), i
+        start += n
