@@ -460,10 +460,12 @@ def remove_repeated_spans(df: DataFrame, id_col: str, text_col: str,
     InferFiltersFromGenerate dodge as repeated_span_stats); the removal
     positions roll up per document via collect_list (bounded by doc
     length, the same bound the text row itself already carries); the
-    rebuild is a JVM-side filter over the token index — exists() over
-    the per-doc removal set, O(n_tokens × n_removed_spans) per row,
-    which a production variant would replace with a sorted-interval
-    sweep when spans per doc grow large."""
+    sorted positions then merge into DISJOINT intervals with one
+    aggregate() pass, so the rebuild's per-token membership test is
+    exists() over the merged-interval list — O(n_tokens × n_merged)
+    per row, and n_merged is small precisely when duplication is heavy
+    (overlapping spans collapse), the case that matters. All JVM-side
+    higher-order functions; no Python in the path."""
     w = window_words
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
@@ -487,19 +489,43 @@ def remove_repeated_spans(df: DataFrame, id_col: str, text_col: str,
         .groupBy("__id")
         .agg(F.sort_array(F.collect_list("pos")).alias("rm"))
     )
+    # merge sorted span starts into disjoint [s, e) intervals: a span
+    # starting at or before the running end extends it, anything else
+    # opens a new interval — one linear aggregate() pass per doc
+    empty_ivs = F.array().cast("array<struct<s:int,e:int>>")
+    merged = F.aggregate(
+        F.col("rm"),
+        empty_ivs,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    F.greatest(F.element_at(acc, -1)["e"],
+                               (p + F.lit(w)).cast("int")).alias("e"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                p.cast("int").alias("s"), (p + F.lit(w)).cast("int").alias("e"))))
+        ),
+    )
     rebuilt = (
         base.drop("hs")
         .join(remove, "__id", "left")
+        .withColumn("__ivs", F.when(F.col("rm").isNull(), empty_ivs).otherwise(merged))
         .select(
             F.col("__id").alias(id_col),
             F.when(
-                F.col("rm").isNull(), F.col("__text")
+                F.size("__ivs") == 0, F.col("__text")
             ).otherwise(
                 F.array_join(
                     F.filter(
                         F.split(F.trim("__text"), r"\s+"),
                         lambda tok, j: ~F.exists(
-                            F.col("rm"), lambda p: (p <= j) & (j < p + F.lit(w))
+                            F.col("__ivs"),
+                            lambda iv: (iv["s"] <= j) & (j < iv["e"]),
                         ),
                     ),
                     " ",

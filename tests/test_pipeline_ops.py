@@ -1063,3 +1063,23 @@ def test_pack_sequences_partition_invariant(spark):
         n = len(text.split()) if text.strip() else 0
         assert out[i] == (start, start // 11, (start + max(n - 1, 0)) // 11), i
         start += n
+
+
+def test_remove_repeated_spans_merges_heavy_overlap(spark):
+    """A long duplicated run produces many overlapping removal spans
+    that must collapse into one merged interval: the whole duplicated
+    tail is cut in a single sweep, and disjoint removals on the same
+    doc are both honored."""
+    from deepchecks_spark.pipeline.dedup import remove_repeated_spans
+
+    run = " ".join(f"t{i}" for i in range(12))       # 12-token shared run
+    df = spark.createDataFrame(
+        [("a", run),                                  # canonical copy
+         ("b", "x " + run + " y u v w " + run)],      # two duplicated runs
+        "id string, text string")
+    out = {r["id"]: r["text"] for r in
+           remove_repeated_spans(df, "id", "text", window_words=3).collect()}
+    assert out["a"] == run
+    # both embedded runs are non-canonical: every window inside them is
+    # duplicated, overlapping spans merge, and only the glue survives
+    assert out["b"] == "x y u v w"
