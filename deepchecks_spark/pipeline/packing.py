@@ -30,6 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# above this many range partitions the prefix offsets ship as a
+# broadcast-joined DataFrame instead of a create_map literal — a
+# 100k-partition corpus would otherwise inline 100k map entries into
+# the plan itself (the same plan-size hazard as giant isin lists)
+PREFIX_LITERAL_MAX = 256
+
 
 def pack_sequences(df: DataFrame, id_col: str, text_col: str, seq_len: int,
                    order_col: str | None = None) -> DataFrame:
@@ -76,14 +82,23 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str, seq_len: int,
         for pid, total in parts:
             prefix[pid] = acc
             acc += total or 0
-        pmap = F.create_map(
-            *[F.lit(x) for pid in sorted(prefix) for x in (pid, prefix[pid])]
-        ) if prefix else F.create_map()
         # down-sweep: local cumulative sum + broadcast prefix
         w = (Window.partitionBy("__pid").orderBy("__ord")
              .rowsBetween(Window.unboundedPreceding, -1))
-        start = (F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-                 + F.coalesce(pmap[F.col("__pid")], F.lit(0)))
+        local = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        if len(prefix) > PREFIX_LITERAL_MAX:
+            # plan stays O(1) in partition count; the prefix table is a
+            # broadcast hash join on __pid
+            pdf = d.sparkSession.createDataFrame(
+                [(pid, off) for pid, off in sorted(prefix.items())],
+                "__pid int, __prefix long")
+            d = d.join(F.broadcast(pdf), "__pid", "left")
+            start = local + F.coalesce(F.col("__prefix"), F.lit(0))
+        else:
+            pmap = F.create_map(
+                *[F.lit(x) for pid in sorted(prefix) for x in (pid, prefix[pid])]
+            ) if prefix else F.create_map()
+            start = local + F.coalesce(pmap[F.col("__pid")], F.lit(0))
         out = d.select(
             F.col("__id").alias(id_col),
             "n_tokens",

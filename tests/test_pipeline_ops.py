@@ -1083,3 +1083,19 @@ def test_remove_repeated_spans_merges_heavy_overlap(spark):
     # both embedded runs are non-canonical: every window inside them is
     # duplicated, overlapping spans merge, and only the glue survives
     assert out["b"] == "x y u v w"
+
+
+def test_pack_sequences_broadcast_prefix_path(spark, monkeypatch):
+    """Above PREFIX_LITERAL_MAX range partitions the prefix offsets ship
+    as a broadcast-joined table, not a create_map literal (plan stays
+    O(1) in partition count); both paths must agree exactly."""
+    from deepchecks_spark.pipeline import packing
+
+    rows = [(i, " ".join(["w"] * (i % 5 + 1))) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lit = sorted(map(tuple, packing.pack_sequences(
+        df, "doc_id", "text", seq_len=7).collect()))
+    monkeypatch.setattr(packing, "PREFIX_LITERAL_MAX", 0)
+    joined = sorted(map(tuple, packing.pack_sequences(
+        df, "doc_id", "text", seq_len=7).collect()))
+    assert lit == joined
