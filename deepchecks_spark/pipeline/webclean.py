@@ -278,6 +278,12 @@ def domain_mixture(
 _MIX_MULT = 2654435761
 _MIX_MOD = 4294967296  # 2^32
 
+# above this many weighted domains the weight table ships as a
+# broadcast-joined DataFrame instead of a create_map literal (a
+# 100k-domain mixture would otherwise inline 200k expressions into the
+# plan — the giant-isin plan-size hazard)
+WEIGHTS_LITERAL_MAX = 256
+
 
 def mixture_uniform_expr(id_col: str, seed: int = 0):
     """Deterministic per-row uniform in [0, 1) from an integer id:
@@ -321,15 +327,25 @@ def sample_to_mixture(
     per-row copy count from a broadcast-literal weight map, one
     ``explode(sequence(...))`` materializes the replicas; full
     whole-stage codegen, no Python. At 100 TB the cost is the scan."""
-    wmap = F.create_map(
-        *[F.lit(x) for kv in sorted(weights.items()) for x in (kv[0], float(kv[1]))]
-    )
-    w = F.coalesce(wmap[F.col(domain_col)], F.lit(0.0))
+    cols = df.columns
+    if len(weights) > WEIGHTS_LITERAL_MAX:
+        wdf = df.sparkSession.createDataFrame(
+            [(k, float(v)) for k, v in sorted(weights.items())],
+            f"`{domain_col}` string, __wt double")
+        # re-select to keep the caller's column order (the equi-join
+        # moves the join key first)
+        df = df.join(F.broadcast(wdf), domain_col, "left").select(*cols, "__wt")
+        w = F.coalesce(F.col("__wt"), F.lit(0.0))
+    else:
+        wmap = F.create_map(
+            *[F.lit(x) for kv in sorted(weights.items()) for x in (kv[0], float(kv[1]))]
+        )
+        w = F.coalesce(wmap[F.col(domain_col)], F.lit(0.0))
     u = mixture_uniform_expr(id_col, seed)
     n_copies = (F.floor(w) + F.when(u < w - F.floor(w), 1).otherwise(0)).cast("int")
     return (
         df.withColumn("__n", n_copies)
         .filter(F.col("__n") > 0)
         .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
-        .drop("__n")
+        .drop("__n", "__wt")
     )

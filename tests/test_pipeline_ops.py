@@ -1099,3 +1099,20 @@ def test_pack_sequences_broadcast_prefix_path(spark, monkeypatch):
     joined = sorted(map(tuple, packing.pack_sequences(
         df, "doc_id", "text", seq_len=7).collect()))
     assert lit == joined
+
+
+def test_sample_to_mixture_broadcast_weight_path(spark, monkeypatch):
+    """Above WEIGHTS_LITERAL_MAX domains the weight map ships as a
+    broadcast-joined table; output (including column order) must match
+    the literal path exactly."""
+    from deepchecks_spark.pipeline import webclean
+
+    rows = [(i, f"d{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    weights = {"d0": 0.5, "d1": 2.25, "d3": 1.0}
+    lit = webclean.sample_to_mixture(df, "domain", "doc_id", weights, seed=3)
+    lit_rows = sorted(map(tuple, lit.collect()))
+    monkeypatch.setattr(webclean, "WEIGHTS_LITERAL_MAX", 0)
+    joined = webclean.sample_to_mixture(df, "domain", "doc_id", weights, seed=3)
+    assert joined.columns == lit.columns
+    assert sorted(map(tuple, joined.collect())) == lit_rows
