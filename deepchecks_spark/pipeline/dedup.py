@@ -65,7 +65,12 @@ def incremental_dedup(batch: DataFrame, seen: DataFrame, id_col: str,
     appending the surviving batch to ``seen`` is idempotent: every
     batch row then anti-joins away. Collision risk is the 64-bit
     birthday bound, the same documented trade as every hash-grouped
-    dedup in this module."""
+    dedup in this module.
+
+    NULL text is null-safe: ``xxhash64(NULL)`` is a constant, so all
+    NULL-text rows count as duplicates of each other (one survives a
+    NULL-free ``seen``; none survive a ``seen`` containing one) — the
+    dropDuplicates/groupBy convention, not SQL ``=`` semantics."""
     h = F.xxhash64(F.col(text_col))
     seen_h = seen.select(h.alias("__h")).dropDuplicates(["__h"])
     fresh = (

@@ -1116,3 +1116,21 @@ def test_sample_to_mixture_broadcast_weight_path(spark, monkeypatch):
     joined = webclean.sample_to_mixture(df, "domain", "doc_id", weights, seed=3)
     assert joined.columns == lit.columns
     assert sorted(map(tuple, joined.collect())) == lit_rows
+
+
+def test_incremental_dedup_null_text_is_null_safe(spark):
+    """NULL texts group together (constant xxhash64): one survives a
+    NULL-free corpus, none survive a corpus that already has one."""
+    from deepchecks_spark.pipeline.dedup import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [(20, None), (21, None), (22, "fresh text")],
+        "doc_id long, text string")
+    seen_clean = spark.createDataFrame([(1, "other")], "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  incremental_dedup(batch, seen_clean, "doc_id", "text").collect())
+    assert kept == [20, 22]
+    seen_null = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    kept2 = sorted(r["doc_id"] for r in
+                   incremental_dedup(batch, seen_null, "doc_id", "text").collect())
+    assert kept2 == [22]
