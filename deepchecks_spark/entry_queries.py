@@ -3307,6 +3307,145 @@ def o_pack_sequences_documents():
 
 
 # ---------------------------------------------------------------------------
+# round-5 late additions: semantic decontamination, vocabulary stats,
+# corpus snapshot drift
+# ---------------------------------------------------------------------------
+
+def q_semantic_decontam_embeddings(spark, sf_dir):
+    """Embedding-space benchmark decontamination: bench = vec_id < 20
+    (gated + broadcast), corpus = vec_id >= 20 plus ONE planted exact
+    copy of bench vector 5 (id 999005). With threshold just under 1.0
+    only the planted copy flags (random cosines stay far below), and the
+    argmax bench id is cross-engine stable because the fixture's cosines
+    are continuous (no ties). Floats are excluded from the compared
+    columns — the argmax id + flag are the stable outputs."""
+    from deepchecks_spark.pipeline.decontam import semantic_decontamination
+
+    df = _t(spark, sf_dir, "embeddings")
+    bench = df.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    planted = df.filter(F.col("vec_id") == 5).select(
+        (F.col("vec_id") + 999_000).alias("vec_id"), "embedding")
+    corpus = (df.filter(F.col("vec_id") >= 20)
+              .select("vec_id", "embedding").unionByName(planted))
+    out = semantic_decontamination(
+        corpus, bench, "vec_id", "embedding", threshold=0.999999)
+    return out.select("vec_id", "nearest_bench_id", "is_contaminated")
+
+
+def o_semantic_decontam_embeddings():
+    return """
+    WITH bench AS (SELECT vec_id bid, embedding::DOUBLE[] e FROM embeddings WHERE vec_id < 20),
+         corpus AS (SELECT vec_id id, embedding::DOUBLE[] e FROM embeddings WHERE vec_id >= 20
+                    UNION ALL
+                    SELECT vec_id + 999000, embedding::DOUBLE[] FROM embeddings WHERE vec_id = 5),
+         sims AS (SELECT c.id, b.bid, list_cosine_similarity(c.e, b.e) s
+                  FROM corpus c CROSS JOIN bench b),
+         best AS (SELECT id, bid, s,
+                         row_number() OVER (PARTITION BY id ORDER BY s DESC, bid ASC) r
+                  FROM sims)
+    SELECT id::BIGINT AS vec_id, bid::BIGINT AS nearest_bench_id,
+           (s >= 0.999999) AS is_contaminated
+    FROM best WHERE r = 1
+    """
+
+
+def q_vocabulary_stats_documents(spark, sf_dir):
+    """Corpus vocabulary summary: one explode + map-side-combined
+    groupBy(token), then one agg over the O(|vocab|) type table."""
+    from deepchecks_spark.pipeline.textstats import vocabulary_stats
+
+    out = vocabulary_stats(_t(spark, sf_dir, "documents"), "text")
+    return out.select(
+        "total_tokens", "n_types", "hapax_types",
+        F.round("type_token_ratio", 6).alias("type_token_ratio"),
+        F.round("hapax_frac", 6).alias("hapax_frac"),
+    )
+
+
+def o_vocabulary_stats_documents():
+    return r"""
+    WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) tok
+                  FROM documents WHERE length(trim(text)) > 0),
+         types AS (SELECT tok, count(*) n FROM toks GROUP BY tok)
+    SELECT sum(n)::BIGINT AS total_tokens,
+           count(*)::BIGINT AS n_types,
+           sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_types,
+           round(count(*) / sum(n)::double, 6) AS type_token_ratio,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) / count(*)::double, 6) AS hapax_frac
+    FROM types
+    """
+
+
+def q_top_terms_documents(spark, sf_dir):
+    """Top-20 corpus terms, deterministic (count desc, term asc);
+    TakeOrderedAndProject — never a global vocabulary sort."""
+    from deepchecks_spark.pipeline.textstats import top_terms
+
+    return top_terms(_t(spark, sf_dir, "documents"), "text", k=20)
+
+
+def o_top_terms_documents():
+    return r"""
+    WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) term
+                  FROM documents WHERE length(trim(text)) > 0),
+         counts AS (SELECT term, count(*)::BIGINT n FROM toks GROUP BY term),
+         ranked AS (SELECT term, n,
+                           row_number() OVER (ORDER BY n DESC, term ASC)::BIGINT rank
+                    FROM counts)
+    SELECT term, n, rank FROM ranked WHERE rank <= 20
+    """
+
+
+def q_corpus_drift_documents(spark, sf_dir):
+    """Crawl-over-crawl corpus drift: the two doc_id-parity halves stand
+    in for two snapshots of the same web corpus; PSI on the language
+    distribution + bias-corrected Cramér's V on the source distribution —
+    the exact kernels FeatureDrift uses, over one categorical-histogram
+    pass per side."""
+    from deepchecks_spark.drift import cramers_v_from_counts, psi_from_counts
+    from deepchecks_spark.drift.spark import categorical_histograms
+
+    df = _t(spark, sf_dir, "documents")
+    a = df.filter(F.col("doc_id") % 2 == 0)
+    b = df.filter(F.col("doc_id") % 2 == 1)
+    ha = categorical_histograms(a, ["lang", "source"])
+    hb = categorical_histograms(b, ["lang", "source"])
+    rows = [
+        ("lang", "psi", round(float(psi_from_counts(
+            ha["lang"], hb["lang"], min_category_size_ratio=0.01)), 6)),
+        # ratio 0.0 (the reference default): source categories exist in
+        # only ONE parity half, so any nonzero ratio would Other-bin the
+        # absent side and change k — the SQL twin is the unbinned formula
+        ("source", "cramers_v", round(float(cramers_v_from_counts(
+            ha["source"], hb["source"], min_category_size_ratio=0.0)), 6)),
+    ]
+    return spark.createDataFrame(rows, "column string, metric string, score double")
+
+
+def o_corpus_drift_documents():
+    # lang: 5 categories, each >=12% of rows -> no Other-binning at the
+    # 0.01 ratio; PSI floor 0.01 applied as in o_psi_orders_priority.
+    psi_sql = """
+    SELECT 'lang' AS column, 'psi' AS metric, round(sum((e - a) * ln(e / a)), 6) AS score
+    FROM (SELECT greatest(n1 / (SELECT sum(n1)::double FROM j), 0.01) e,
+                 greatest(n2 / (SELECT sum(n2)::double FROM j), 0.01) a
+          FROM j)
+    """
+    psi = """
+    WITH train AS (SELECT lang v FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+         test  AS (SELECT lang v FROM documents WHERE doc_id % 2 = 1 AND lang IS NOT NULL),
+         c1 AS (SELECT v, count(*) n FROM train GROUP BY v),
+         c2 AS (SELECT v, count(*) n FROM test GROUP BY v),
+         j AS (SELECT coalesce(c1.v, c2.v) v, coalesce(c1.n, 0) n1, coalesce(c2.n, 0) n2
+               FROM c1 FULL OUTER JOIN c2 ON c1.v = c2.v)
+    """ + psi_sql
+    cramers = _cramers_sql(
+        "documents", "source", "doc_id", out_name="score",
+        extra_select="'source' AS column, 'cramers_v' AS metric")
+    return f"SELECT * FROM ({psi}) UNION ALL SELECT * FROM ({cramers})"
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3319,6 +3458,10 @@ def _ctx(ds):
 QUERIES = {
     # never-driver-verified queries FIRST: the driver's correctness run
     # caps at the first 50 entries of this dict (VERDICT r4 next-1).
+    "semantic_decontam_embeddings": q_semantic_decontam_embeddings,
+    "vocabulary_stats_documents": q_vocabulary_stats_documents,
+    "top_terms_documents": q_top_terms_documents,
+    "corpus_drift_documents": q_corpus_drift_documents,
     "performance_embeddings": q_performance_embeddings,
     "confusion_matrix_embeddings": q_confusion_matrix_embeddings,
     "train_test_performance_embeddings": q_train_test_performance_embeddings,
@@ -3411,6 +3554,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "semantic_decontam_embeddings": o_semantic_decontam_embeddings(),
+    "vocabulary_stats_documents": o_vocabulary_stats_documents(),
+    "top_terms_documents": o_top_terms_documents(),
+    "corpus_drift_documents": o_corpus_drift_documents(),
     "percent_of_nulls_lineitem": o_percent_of_nulls_lineitem(),
     "is_single_value_orders": o_is_single_value_orders(),
     "class_imbalance_embeddings": o_class_imbalance_embeddings(),

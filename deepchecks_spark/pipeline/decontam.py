@@ -27,6 +27,73 @@ class BenchmarkTooLargeError(ValueError):
     """The benchmark gram set exceeded max_benchmark_grams."""
 
 
+def semantic_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+    max_benchmark_rows: int = 100_000,
+) -> DataFrame:
+    """Embedding-space decontamination (the paraphrase-robust companion
+    to :func:`ngram_decontamination` — the PaLM-2 / Llama-2 style
+    "near-duplicate of an eval example" sweep): per corpus row, the max
+    cosine similarity to ANY benchmark embedding. Returns the corpus id
+    spine with
+
+    - ``max_cosine``        — highest cosine vs the benchmark (NULL when
+      the corpus embedding is NULL),
+    - ``nearest_bench_id``  — benchmark id attaining it (ties break to
+      the smallest benchmark id, so the output is deterministic),
+    - ``is_contaminated``   — ``max_cosine >= threshold`` (false for
+      NULL embeddings).
+
+    Scale shape: the benchmark is gated at ``max_benchmark_rows`` (an
+    eval set, by definition small) and BROADCAST; the corpus side is
+    scanned exactly once. The broadcast nested-loop join expands each
+    corpus row by n_bench IN PLACE, and the per-id max collapses back
+    to one row per corpus id in the hash aggregate's partial (map-side)
+    step — the only Exchange moves the (id, max) spine, never the
+    n_corpus x n_bench expansion (pinned in tests/test_plans.py).
+    Dot products are JVM-side ``zip_with``/``aggregate`` — no Python.
+    """
+    from .similarity import _as_double, _dot, _norm
+
+    bench_id = bench_id_col or id_col
+    bench_vec = bench_vec_col or vec_col
+    probe = benchmark.limit(max_benchmark_rows + 1).count()
+    if probe > max_benchmark_rows:
+        raise BenchmarkTooLargeError(
+            f"benchmark has more than {max_benchmark_rows:,} rows; "
+            "semantic_decontamination broadcasts the benchmark embeddings, "
+            "so pass a smaller benchmark or raise max_benchmark_rows explicitly"
+        )
+    if probe == 0:
+        raise ValueError("benchmark is empty — nothing to decontaminate against")
+    b = benchmark.select(
+        F.col(bench_id).alias("__bid"), _as_double(bench_vec).alias("__be")
+    ).filter(F.col("__be").isNotNull()).withColumn("__bn", _norm("__be"))
+    c = corpus.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__ce")
+    ).withColumn("__cn", _norm("__ce"))
+    cos = _dot("__ce", "__be") / (F.col("__cn") * F.col("__bn"))
+    joined = c.join(F.broadcast(b), F.col("__ce").isNotNull(), "left").select(
+        "__id",
+        # lexicographic struct min == (max cosine, then smallest bench id):
+        # NULL cosine (null corpus vec) keeps the row but aggregates to NULL
+        F.when(cos.isNotNull(), F.struct((-cos).alias("negcos"), F.col("__bid").alias("bid"))).alias("__s"),
+    )
+    agg = joined.groupBy("__id").agg(F.min("__s").alias("__best"))
+    return agg.select(
+        F.col("__id").alias(id_col),
+        (-F.col("__best.negcos")).alias("max_cosine"),
+        F.col("__best.bid").alias("nearest_bench_id"),
+        F.coalesce(-F.col("__best.negcos") >= threshold, F.lit(False)).alias("is_contaminated"),
+    )
+
+
 def _gram_hashes(text_col: str, ngram: int):
     """Distinct xxhash64 hashes of the space-joined word ``ngram``-grams
     of ``text_col`` (empty array when the doc is shorter than one gram)."""

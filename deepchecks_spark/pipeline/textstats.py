@@ -5,7 +5,7 @@ list lambdas / xxhash64); no Python UDFs in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "that")
@@ -423,6 +423,57 @@ def perplexity_buckets(df: DataFrame, score_col: str, n_buckets: int = 3,
         bucket = bucket.when(F.col(score_col) <= float(cut), F.lit(label))
     bucket = bucket.otherwise(F.lit(labels[-1]))
     return df.withColumn("ppl_bucket", bucket)
+
+
+def vocabulary_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus-level vocabulary summary (the Heaps/Zipf health view of a
+    web corpus — a collapsing type/token ratio or hapax share is the
+    classic symptom of boilerplate or dedup failure). One row::
+
+        total_tokens, n_types, hapax_types, type_token_ratio, hapax_frac
+
+    Tokens are whitespace tokens (``_tokens``); blank documents
+    contribute nothing. Scale shape: explode -> ``groupBy(token)`` with
+    map-side combine (the shuffle carries one (token, count) row per
+    DISTINCT token per partition, not per occurrence), then a second
+    all-to-one agg over the O(|vocab|) type table. No token text ever
+    collects to the driver.
+    """
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(_tokens(text_col))
+    types = (
+        df.select(F.explode(toks).alias("__tok"))
+        .groupBy("__tok").agg(F.count(F.lit(1)).alias("n"))
+    )
+    return types.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("hapax_types"),
+        (F.count(F.lit(1)) / F.sum("n")).alias("type_token_ratio"),
+        (F.sum(F.when(F.col("n") == 1, 1).otherwise(0)) / F.count(F.lit(1))).alias("hapax_frac"),
+    )
+
+
+def top_terms(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Top-``k`` corpus terms by occurrence count with a deterministic
+    (count desc, term asc) order: (term, n, rank). The orderBy + limit
+    compiles to TakeOrderedAndProject — a per-partition top-k followed
+    by a driver merge of k rows per partition, never a global sort of
+    the vocabulary (pinned in tests/test_plans.py)."""
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(_tokens(text_col))
+    counts = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )
+    # unpartitioned window is safe HERE: its input is the k-row limit
+    # output, not the vocabulary
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return counts.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def document_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint",

@@ -1134,3 +1134,61 @@ def test_incremental_dedup_null_text_is_null_safe(spark):
     kept2 = sorted(r["doc_id"] for r in
                    incremental_dedup(batch, seen_null, "doc_id", "text").collect())
     assert kept2 == [22]
+
+
+def test_semantic_decontamination_planted_copy(spark):
+    """Exact copy of a benchmark vector flags at a near-1 threshold;
+    orthogonal vectors don't; NULL corpus embeddings keep their spine
+    row with NULL max_cosine and a false flag."""
+    from deepchecks_spark.pipeline.decontam import semantic_decontamination
+
+    bench = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0])],
+        "id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]),      # exact copy of bench 10
+         (2, [0.0, 0.0, 1.0]),      # orthogonal to both
+         (3, [1.0, 1.0, 0.0]),      # cos 1/sqrt(2) to both -> tie, min id
+         (4, None)],
+        "id long, embedding array<double>")
+    out = {r["id"]: r for r in semantic_decontamination(
+        corpus, bench, "id", "embedding", threshold=0.999).collect()}
+    assert out[1]["is_contaminated"] and out[1]["nearest_bench_id"] == 10
+    assert abs(out[1]["max_cosine"] - 1.0) < 1e-12
+    assert not out[2]["is_contaminated"] and abs(out[2]["max_cosine"]) < 1e-12
+    assert out[3]["nearest_bench_id"] == 10  # deterministic tie-break
+    assert out[4]["max_cosine"] is None and out[4]["is_contaminated"] is False
+    assert out[4]["nearest_bench_id"] is None
+    assert len(out) == 4  # full spine preserved
+
+
+def test_semantic_decontamination_gates(spark):
+    from deepchecks_spark.pipeline.decontam import (
+        BenchmarkTooLargeError, semantic_decontamination)
+
+    corpus = spark.createDataFrame([(1, [1.0])], "id long, embedding array<double>")
+    big_bench = spark.range(10).selectExpr("id", "array(1.0) as embedding")
+    with pytest.raises(BenchmarkTooLargeError):
+        semantic_decontamination(corpus, big_bench, "id", "embedding",
+                                 max_benchmark_rows=5)
+    empty = big_bench.filter("id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        semantic_decontamination(corpus, empty, "id", "embedding")
+
+
+def test_vocabulary_stats_hand_computed(spark):
+    from deepchecks_spark.pipeline.textstats import top_terms, vocabulary_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b b c"), (2, "   "), (3, "c c d"), (4, None)],
+        "id long, text string")
+    row = vocabulary_stats(df, "text").collect()[0]
+    assert row["total_tokens"] == 7
+    assert row["n_types"] == 4
+    assert row["hapax_types"] == 2  # a, d
+    assert abs(row["type_token_ratio"] - 4 / 7) < 1e-12
+    assert abs(row["hapax_frac"] - 0.5) < 1e-12
+
+    tt = top_terms(df, "text", k=3).collect()
+    assert [(r["term"], r["n"], r["rank"]) for r in tt] == [
+        ("c", 3, 1), ("b", 2, 2), ("a", 1, 3)]  # count desc, term asc

@@ -396,3 +396,32 @@ def test_incremental_dedup_shuffles_hashes_not_text(spark):
     plan = _plan(incremental_dedup(batch, seen, "doc_id", "text"))
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_semantic_decontamination_spine_only_exchange(spark):
+    # the benchmark must broadcast (BNLJ expansion stays in place) and
+    # the per-id max must partial-aggregate BEFORE the shuffle, so the
+    # only hash Exchange carries the (id, best) spine — never the
+    # n_corpus x n_bench expansion
+    from deepchecks_spark.pipeline.decontam import semantic_decontamination
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = df.filter("vec_id < 20").select("vec_id", "embedding")
+    corpus = df.filter("vec_id >= 20").select("vec_id", "embedding")
+    plan = _plan(semantic_decontamination(corpus, bench, "vec_id", "embedding"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_min" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_vocabulary_stats_mapside_combine_and_top_terms_take_ordered(spark):
+    # token counts must map-side combine (shuffle = distinct tokens per
+    # partition, not occurrences); top_terms must compile to
+    # TakeOrderedAndProject, never a global vocabulary sort
+    from deepchecks_spark.pipeline.textstats import top_terms, vocabulary_stats
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vplan = _plan(vocabulary_stats(df, "text"))
+    assert "partial_count" in vplan
+    tplan = _plan(top_terms(df, "text", k=10))
+    assert "TakeOrderedAndProject" in tplan
