@@ -187,12 +187,18 @@ def bench_textstats(spark):
         document_fingerprint,
         language_id,
         text_quality,
+        top_terms,
+        vocabulary_stats,
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     text_quality(docs, "text").agg({"n_tokens": "sum"}).collect()
     language_id(docs, "text").groupBy("lang_pred").count().collect()
     document_fingerprint(docs, "text").agg({"fingerprint": "min"}).collect()
+    # vocabulary pass (round-5 late addition): the token explode +
+    # map-side-combined groupBy is the heaviest textstats shape
+    vocabulary_stats(docs, "text").collect()
+    top_terms(docs, "text", k=20).collect()
     return docs.count()
 
 

@@ -1,0 +1,215 @@
+"""Declarative schema + constraint validation (the Deequ-style pillar
+of the validation engine — the reference deepchecks expresses these
+expectations implicitly through its Dataset dtype handling and the
+individual integrity checks; here they are a first-class, composable
+constraint table so a user can pin a data CONTRACT and diff every new
+snapshot against it).
+
+Public constraint constructors (all return a plain dict spec):
+
+- ``not_null(col)``              — no NULLs in ``col``
+- ``unique(col)``                — ``col`` has no duplicate values
+- ``in_range(col, lo, hi)``      — values within [lo, hi] (NULLs ignored)
+- ``in_set(col, values)``        — values drawn from an allow-list
+- ``matches_regex(col, pat)``    — strings fully match ``pat``
+- ``has_column(col)``            — column exists (metadata-only)
+- ``has_dtype(col, "bigint")``   — Spark simpleString type equality
+  (metadata-only)
+- ``min_rows(n)``                — table has at least ``n`` rows
+
+``validate_constraints(df, constraints)`` evaluates ALL of them and
+returns one row per constraint::
+
+    constraint, column, n_violations, violation_frac, passed
+
+Scale shape (this is the part that must survive 10^12 rows):
+
+- every ROW-LOCAL constraint (not_null / in_range / in_set /
+  matches_regex / min_rows) contributes one ``sum(indicator)`` to a
+  SINGLE fused aggregation over ONE scan — adding a constraint adds an
+  expression, never a pass, and the scan prunes to exactly the
+  constrained columns;
+- UNIQUE constraints need a distinct count, which must NOT be mixed
+  into the fused agg (multiple count_distincts trigger Catalyst's
+  Expand replication — see stats.py); they run as one separate
+  projection-pruned agg. With one unique column there is no Expand at
+  all; with k > 1 the Expand factor is k+1 over a k-column projection,
+  still one scan (the runner uses the same trade for its exact-distinct
+  job);
+- metadata constraints (has_column / has_dtype) read ``df.schema`` on
+  the driver — zero jobs;
+- an ``in_set`` allow-list above ``ISIN_LITERAL_MAX`` values would bloat
+  the plan itself (the giant-isin hazard), so it is rejected with
+  guidance to use a broadcast anti-join (ReferentialIntegrity's shape)
+  instead.
+
+The output is O(#constraints) rows — safe to collect, join into the
+runner's verdict tables, or diff between snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# beyond this many literal values, an isin list stops being a predicate
+# and becomes the plan (same threshold discipline as the streaming
+# reference sets and sequence-packing prefix maps)
+ISIN_LITERAL_MAX = 1000
+
+
+def not_null(col: str) -> dict:
+    return {"kind": "not_null", "column": col}
+
+
+def unique(col: str) -> dict:
+    return {"kind": "unique", "column": col}
+
+
+def in_range(col: str, lo, hi) -> dict:
+    return {"kind": "in_range", "column": col, "lo": lo, "hi": hi}
+
+
+def in_set(col: str, values) -> dict:
+    values = list(values)
+    if len(values) > ISIN_LITERAL_MAX:
+        raise ValueError(
+            f"in_set({col!r}) got {len(values):,} values; above "
+            f"{ISIN_LITERAL_MAX} the literal list becomes a plan-size "
+            "hazard — express the allow-list as a broadcast anti-join "
+            "(see ReferentialIntegrity) instead"
+        )
+    return {"kind": "in_set", "column": col, "values": values}
+
+
+def matches_regex(col: str, pattern: str) -> dict:
+    return {"kind": "matches_regex", "column": col, "pattern": pattern}
+
+
+def has_column(col: str) -> dict:
+    return {"kind": "has_column", "column": col}
+
+
+def has_dtype(col: str, dtype: str) -> dict:
+    return {"kind": "has_dtype", "column": col, "dtype": dtype}
+
+
+def min_rows(n: int) -> dict:
+    return {"kind": "min_rows", "column": None, "n": n}
+
+
+def _label(spec: dict) -> str:
+    kind = spec["kind"]
+    if kind == "in_range":
+        return f"in_range[{spec['lo']}, {spec['hi']}]"
+    if kind == "in_set":
+        return f"in_set[{len(spec['values'])} values]"
+    if kind == "matches_regex":
+        return f"matches_regex[{spec['pattern']}]"
+    if kind == "has_dtype":
+        return f"has_dtype[{spec['dtype']}]"
+    if kind == "min_rows":
+        return f"min_rows[{spec['n']}]"
+    return kind
+
+
+def _violation_expr(spec: dict):
+    """Row-level violation indicator (0/1) for row-local constraints.
+    NULLs violate not_null but are IGNORED by the value constraints
+    (pin nullability with an explicit not_null instead — the SQL-
+    standard CHECK-constraint convention)."""
+    col = F.col(spec["column"])
+    kind = spec["kind"]
+    if kind == "not_null":
+        return F.when(col.isNull(), 1).otherwise(0)
+    if kind == "in_range":
+        bad = (col < F.lit(spec["lo"])) | (col > F.lit(spec["hi"]))
+    elif kind == "in_set":
+        bad = ~col.isin(spec["values"])
+    elif kind == "matches_regex":
+        bad = ~col.rlike(f"^(?:{spec['pattern']})$")
+    else:  # pragma: no cover - guarded by validate_constraints
+        raise ValueError(f"not a row-local constraint: {kind}")
+    return F.when(col.isNull(), 0).otherwise(F.when(bad, 1).otherwise(0))
+
+
+ROW_LOCAL = {"not_null", "in_range", "in_set", "matches_regex"}
+
+
+def validate_constraints(df: DataFrame, constraints: list) -> DataFrame:
+    """Evaluate every constraint; see module docstring for the pass
+    structure. Returns a DataFrame with one row per constraint
+    (constraint, column, n_violations, violation_frac, passed) in the
+    input order. ``violation_frac`` is violations / n_rows (0.0 on an
+    empty table); metadata constraints report 0-or-1 violations."""
+    if not constraints:
+        raise ValueError("no constraints given")
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    # metadata constraints may reference absent columns (that IS their
+    # verdict); data constraints cannot — their expressions need the column
+    missing = [s["column"] for s in constraints
+               if s["column"] is not None
+               and s["kind"] not in ("has_column", "has_dtype")
+               and s["column"] not in fields]
+    if missing:
+        raise ValueError(f"constrained columns absent from the DataFrame: {missing}")
+
+    row_local = [s for s in constraints if s["kind"] in ROW_LOCAL]
+    uniques = [s for s in constraints if s["kind"] == "unique"]
+
+    # one fused scan for all row-local constraints (+ the row count,
+    # which min_rows and every frac needs)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, s in enumerate(row_local):
+        aggs.append(F.sum(_violation_expr(s)).alias(f"__v{i}"))
+    fused = df.agg(*aggs).collect()[0]
+    n_rows = fused["__n"]
+
+    # one separate agg for uniqueness: violations = n_col_rows - n_distinct
+    # (NULLs ignored on both sides, the SQL UNIQUE convention)
+    uniq_counts = {}
+    if uniques:
+        cols = sorted({s["column"] for s in uniques})
+        uaggs = []
+        for c in cols:
+            uaggs.append(F.count(F.col(c)).alias(f"__n_{c}"))
+            uaggs.append(F.count_distinct(F.col(c)).alias(f"__d_{c}"))
+        urow = df.select(*[F.col(c) for c in cols]).agg(*uaggs).collect()[0]
+        uniq_counts = {c: (urow[f"__n_{c}"], urow[f"__d_{c}"]) for c in cols}
+
+    rows = []
+    li = 0
+    for s in constraints:
+        kind, col = s["kind"], s["column"]
+        if kind in ROW_LOCAL:
+            nv = int(fused[f"__v{li}"] or 0)
+            li += 1
+        elif kind == "unique":
+            n, d = uniq_counts[col]
+            nv = int(n - d)
+        elif kind == "has_column":
+            nv = 0 if col in fields else 1
+        elif kind == "has_dtype":
+            nv = 0 if fields.get(col) == s["dtype"] else 1
+        elif kind == "min_rows":
+            nv = 0 if n_rows >= s["n"] else 1
+        else:
+            raise ValueError(f"unknown constraint kind: {kind}")
+        frac = (nv / n_rows) if n_rows and kind in ROW_LOCAL | {"unique"} else float(nv)
+        rows.append((_label(s), col, nv, round(float(frac), 6), nv == 0))
+
+    return df.sparkSession.createDataFrame(
+        rows,
+        "constraint string, column string, n_violations long, "
+        "violation_frac double, passed boolean",
+    )
+
+
+def fused_constraint_agg(df: DataFrame, constraints: list):
+    """The fused row-local aggregation as an unexecuted DataFrame —
+    exposed for the physical-plan pin (single scan, no Expand)."""
+    row_local = [s for s in constraints if s["kind"] in ROW_LOCAL]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, s in enumerate(row_local):
+        aggs.append(F.sum(_violation_expr(s)).alias(f"__v{i}"))
+    return df.agg(*aggs)
