@@ -563,7 +563,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
             reference_input: str | None = None,
             prediction_column: str | None = None,
             probability_columns: dict | None = None,
-            task_type: str = "classification") -> dict:
+            task_type: str = "classification",
+            constraints: list | None = None) -> dict:
     """Execute the integrity suite with per-partition lineage and
     checkpointed stage outputs. Returns the manifest dict."""
     os.makedirs(output_dir, exist_ok=True)
@@ -578,7 +579,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
               "reference_input": reference_input,
               "prediction_column": prediction_column,
               "probability_columns": probability_columns,
-              "task_type": task_type}
+              "task_type": task_type,
+              "constraints": constraints}
     manifest = {"fingerprint": fingerprint, "input": input_path,
                 "params": params, "stages": {}, "run_id": f"run-{fingerprint}"}
     if resume and os.path.exists(manifest_path):
@@ -721,12 +723,30 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         )
         write_table(out, os.path.join(output_dir, "metrics"))
 
+    def _constraint_verdicts():
+        # declarative contract verdicts: one table, partition_id = -1 for
+        # the table-global rows; per-partition rows for the row-local
+        # subset (the north-rule shard-locating shape)
+        from deepchecks_spark.checks.constraints import (
+            ROW_LOCAL, validate_constraints, validate_constraints_by_partition)
+
+        glob = validate_constraints(ds.df, constraints) \
+            .select(F.lit(-1).alias("partition_id"), "constraint", "column",
+                    "n_violations", "violation_frac", "passed")
+        row_local = [c for c in constraints if c["kind"] in ROW_LOCAL]
+        if row_local:
+            per = validate_constraints_by_partition(ds.df, row_local)
+            glob = glob.unionByName(per)
+        write_table(glob, os.path.join(output_dir, "constraint_verdicts"))
+
     stages = [
         ("global_verdicts", _global_verdicts),
         ("partition_verdicts", _partition_verdicts),
         ("violations", _violations),
         ("metrics", _metrics),
     ]
+    if constraints:
+        stages.append(("constraint_verdicts", _constraint_verdicts))
     try:
         if concurrent_stages:
             # the four stages are independent reads of the cached input;
@@ -770,6 +790,10 @@ def main(argv=None):
     parser.add_argument("--task-type", default="classification",
                         choices=("classification", "regression"),
                         help="model-eval scorer family for --prediction-column")
+    parser.add_argument("--constraints", default=None,
+                        help="path to a JSON list of constraint specs "
+                             '(e.g. [{"kind": "not_null", "column": "url"}]) '
+                             "evaluated into the constraint_verdicts table")
     args = parser.parse_args(argv)
     from deepchecks_spark.session import get_spark
 
@@ -782,6 +806,8 @@ def main(argv=None):
         probability_columns=(json.loads(args.probability_columns)
                              if args.probability_columns else None),
         task_type=args.task_type,
+        constraints=(json.load(open(args.constraints))
+                     if args.constraints else None),
     )
     print(json.dumps(manifest))
 

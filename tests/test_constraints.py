@@ -99,3 +99,68 @@ def test_constraint_fused_plan_single_scan_no_expand(spark):
     # scan prunes to exactly the constrained columns
     scan = plan[plan.find("ReadSchema"):][:300]
     assert "o_custkey" in scan and "o_orderdate" not in scan
+
+
+def test_constraints_by_partition_parity_and_plan(spark):
+    """Per-partition counts sum to the global counts; single fused
+    grouped agg (one scan, no Expand); non-row-local kinds rejected."""
+    from deepchecks_spark.checks.constraints import (
+        validate_constraints_by_partition)
+
+    df = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else f"u{i}", i % 20) for i in range(200)],
+        "id long, name string, score int").repartition(8)
+    cons = [not_null("name"), in_range("score", 0, 15)]
+    per = validate_constraints_by_partition(df, cons)
+    # pin the plan BEFORE executing (post-collect AQE plans repeat the
+    # Exchange in their Initial Plan section)
+    plan = per._jdf.queryExecution().executedPlan().toString()
+    rows = per.collect()
+    by_con = {}
+    for r in rows:
+        by_con.setdefault(r["constraint"], 0)
+        by_con[r["constraint"]] += r["n_violations"]
+    glob = {r["constraint"]: r["n_violations"]
+            for r in validate_constraints(df, cons).collect()}
+    assert by_con == glob
+    assert all(r["passed"] == (r["n_violations"] == 0) for r in rows)
+    assert "Expand" not in plan
+    # exactly one hash shuffle: the grouped agg on the partition id
+    # (map-side partial collapses each partition to one wide row first)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    with pytest.raises(ValueError, match="row-local"):
+        validate_constraints_by_partition(df, [unique("id")])
+
+
+def test_run_job_constraint_verdicts_table(spark, tmp_path):
+    """run_job(constraints=...) writes the constraint_verdicts table:
+    global rows at partition_id -1 plus per-partition rows that sum to
+    them."""
+    from deepchecks_spark.runner import run_job
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, None if i % 10 == 0 else f"t{i}", "en" if i % 2 else "zz")
+         for i in range(100)],
+        "id long, text string, lang string"
+    ).repartition(4).write.parquet(src)
+    out = str(tmp_path / "out")
+    cons = [{"kind": "not_null", "column": "text"},
+            {"kind": "in_set", "column": "lang", "values": ["en", "fr"]},
+            {"kind": "unique", "column": "id"},
+            {"kind": "min_rows", "column": None, "n": 50}]
+    run_job(spark, src, out, constraints=cons, resume=False,
+            concurrent_stages=False)
+    t = spark.read.parquet(f"{out}/constraint_verdicts")
+    glob = {r["constraint"]: r for r in t.filter("partition_id = -1").collect()}
+    assert glob["not_null"]["n_violations"] == 10
+    assert glob["in_set[2 values]"]["n_violations"] == 50
+    assert glob["unique"]["passed"] is True
+    assert glob["min_rows[50]"]["passed"] is True
+    per = t.filter("partition_id >= 0").collect()
+    sums = {}
+    for r in per:
+        sums[r["constraint"]] = sums.get(r["constraint"], 0) + r["n_violations"]
+    assert sums["not_null"] == 10 and sums["in_set[2 values]"] == 50
+    assert "unique" not in sums  # global-only kinds stay global
