@@ -262,6 +262,70 @@ def validate_constraints_by_partition(df: DataFrame, constraints: list) -> DataF
     )
 
 
+def violation_examples(df: DataFrame, constraints: list, id_col: str,
+                       k: int = 5) -> DataFrame:
+    """Deterministic offending-row examples per constraint (the
+    reference deepchecks convention of showing the violating VALUES, not
+    just counts): for each row-local constraint, the ``k``
+    smallest-``id_col`` violating rows::
+
+        constraint, column, id, value
+
+    ``value`` is the offending value cast to string (NULL for not_null
+    violations). Deterministic when ``id_col`` is unique (ordered by
+    id), so reruns and the DuckDB oracle agree row-for-row.
+
+    Scale shape: ONE pass — the melted violation indicators filter down
+    to violating (constraint, id, value) rows, then a TWO-STAGE top-k
+    (row_number per (constraint, partition) first, global second) so
+    the shuffle carries at most k x n_partitions rows per constraint
+    even when a constraint is violated by EVERY row; the global rank
+    window partitions by constraint (never unpartitioned)."""
+    bad = [s["kind"] for s in constraints if s["kind"] not in ROW_LOCAL]
+    if bad:
+        raise ValueError(
+            f"violation examples are defined only for row-local "
+            f"constraints; got {sorted(set(bad))}"
+        )
+    if not constraints:
+        raise ValueError("no constraints given")
+    from pyspark.sql import Window
+
+    branches = []
+    for s in constraints:
+        branches.append(F.when(
+            _violation_expr(s) == 1,
+            F.struct(
+                F.lit(_label(s)).alias("constraint"),
+                F.lit(s["column"]).alias("column"),
+                F.col(s["column"]).cast("string").alias("value"),
+            ),
+        ))
+    melted = (
+        df.select(F.col(id_col).alias("id"), F.array(*branches).alias("__v"))
+        .select("id", F.explode("__v").alias("__s"))
+    )
+    # non-violations are NULL array elements (when() without otherwise);
+    # explode keeps them as rows — drop them here
+    melted = melted.filter(F.col("__s").isNotNull()).select(
+        F.col("__s.constraint").alias("constraint"),
+        F.col("__s.column").alias("column"),
+        "id",
+        F.col("__s.value").alias("value"),
+    )
+    # partition by (constraint, column): labels alone are not unique —
+    # two in_set rules on different columns share a label
+    w_local = Window.partitionBy("constraint", "column", F.spark_partition_id()) \
+        .orderBy(F.asc("id"))
+    local = melted.withColumn("__r", F.row_number().over(w_local)) \
+        .filter(F.col("__r") <= k).drop("__r")
+    w_global = Window.partitionBy("constraint", "column").orderBy(F.asc("id"))
+    return (
+        local.withColumn("__r", F.row_number().over(w_global))
+        .filter(F.col("__r") <= k).drop("__r")
+    )
+
+
 def fused_constraint_agg(df: DataFrame, constraints: list):
     """The fused row-local aggregation as an unexecuted DataFrame —
     exposed for the physical-plan pin (single scan, no Expand)."""

@@ -3511,6 +3511,42 @@ def o_constraints_orders():
     """
 
 
+def q_constraint_examples_orders(spark, sf_dir):
+    """Deterministic offending-row examples per constraint: the 5
+    smallest-o_orderkey violators of each rule (two-stage top-k —
+    shuffle bounded at k x partitions per constraint). String columns
+    only, so the value strings are cross-engine byte-identical."""
+    from deepchecks_spark.checks.constraints import (
+        in_set, matches_regex, violation_examples)
+
+    df = _t(spark, sf_dir, "orders")
+    cons = [
+        in_set("o_orderstatus", ["O", "F"]),          # 'P' rows violate
+        in_set("o_orderpriority", ["1-URGENT", "2-HIGH"]),
+        matches_regex("o_orderpriority", r"[12]-[A-Z ]+"),
+    ]
+    return violation_examples(df, cons, "o_orderkey", k=5)
+
+
+def o_constraint_examples_orders():
+    def top5(label, col, pred):
+        return f"""
+        SELECT '{label}' AS constraint, '{col}' AS column,
+               o_orderkey AS id, {col}::VARCHAR AS value
+        FROM orders WHERE {col} IS NOT NULL AND ({pred})
+        ORDER BY o_orderkey LIMIT 5
+        """
+    parts = [
+        top5("in_set[2 values]", "o_orderstatus",
+             "o_orderstatus NOT IN ('O','F')"),
+        top5("in_set[2 values]", "o_orderpriority",
+             "o_orderpriority NOT IN ('1-URGENT','2-HIGH')"),
+        top5("matches_regex[[12]-[A-Z ]+]", "o_orderpriority",
+             "NOT regexp_full_match(o_orderpriority, '(?:[12]-[A-Z ]+)')"),
+    ]
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3525,6 +3561,7 @@ QUERIES = {
     # never-driver-verified queries FIRST: the driver's correctness run
     # caps at the first 50 entries of this dict (VERDICT r4 next-1).
     "constraints_orders": q_constraints_orders,
+    "constraint_examples_orders": q_constraint_examples_orders,
     "semantic_decontam_embeddings": q_semantic_decontam_embeddings,
     "vocabulary_stats_documents": q_vocabulary_stats_documents,
     "top_terms_documents": q_top_terms_documents,
@@ -3622,6 +3659,7 @@ QUERIES = {
 
 ORACLES = {
     "constraints_orders": o_constraints_orders(),
+    "constraint_examples_orders": o_constraint_examples_orders(),
     "semantic_decontam_embeddings": o_semantic_decontam_embeddings(),
     "vocabulary_stats_documents": o_vocabulary_stats_documents(),
     "top_terms_documents": o_top_terms_documents(),

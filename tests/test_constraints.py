@@ -164,3 +164,30 @@ def test_run_job_constraint_verdicts_table(spark, tmp_path):
         sums[r["constraint"]] = sums.get(r["constraint"], 0) + r["n_violations"]
     assert sums["not_null"] == 10 and sums["in_set[2 values]"] == 50
     assert "unique" not in sums  # global-only kinds stay global
+
+
+def test_violation_examples_deterministic_and_label_collision(spark):
+    """k smallest ids per (constraint, column); two in_set rules share a
+    LABEL but must keep separate example groups; not_null examples carry
+    NULL values; two-stage top-k stays bounded."""
+    from deepchecks_spark.checks.constraints import violation_examples
+
+    df = spark.createDataFrame(
+        [(i, None if i % 4 == 0 else "x", "bad" if i % 2 else "ok",
+          "zz" if i % 3 else "en") for i in range(40)],
+        "id long, name string, status string, lang string").repartition(8)
+    cons = [not_null("name"),
+            in_set("status", ["ok"]),
+            in_set("lang", ["en"])]
+    rows = violation_examples(df, cons, "id", k=3).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault((r["constraint"], r["column"]), []).append(
+            (r["id"], r["value"]))
+    for k_ in groups:
+        groups[k_].sort()
+    assert groups[("not_null", "name")] == [(0, None), (4, None), (8, None)]
+    assert groups[("in_set[1 values]", "status")] == [(1, "bad"), (3, "bad"), (5, "bad")]
+    assert groups[("in_set[1 values]", "lang")] == [(1, "zz"), (2, "zz"), (4, "zz")]
+    with pytest.raises(ValueError, match="row-local"):
+        violation_examples(df, [unique("id")], "id")
