@@ -62,8 +62,16 @@ def not_null(col: str) -> dict:
     return {"kind": "not_null", "column": col}
 
 
-def unique(col: str) -> dict:
-    return {"kind": "unique", "column": col}
+def unique(cols) -> dict:
+    """Single column (str) or composite key (list of columns). Composite
+    uniqueness counts rows where EVERY key part is non-NULL (the SQL
+    UNIQUE convention extended per-tuple)."""
+    if isinstance(cols, str):
+        return {"kind": "unique", "column": cols}
+    cols = list(cols)
+    if not cols:
+        raise ValueError("unique() needs at least one column")
+    return {"kind": "unique", "column": ",".join(cols), "columns": cols}
 
 
 def in_range(col: str, lo, hi) -> dict:
@@ -71,15 +79,18 @@ def in_range(col: str, lo, hi) -> dict:
 
 
 def in_set(col: str, values) -> dict:
-    values = list(values)
-    if len(values) > ISIN_LITERAL_MAX:
-        raise ValueError(
-            f"in_set({col!r}) got {len(values):,} values; above "
-            f"{ISIN_LITERAL_MAX} the literal list becomes a plan-size "
-            "hazard — express the allow-list as a broadcast anti-join "
-            "(see ReferentialIntegrity) instead"
-        )
-    return {"kind": "in_set", "column": col, "values": values}
+    """Allow-list membership. Above :data:`ISIN_LITERAL_MAX` values the
+    evaluation automatically leaves the fused literal plan and runs as a
+    broadcast anti-join (one extra bounded job) — same auto-switch
+    discipline as the streaming reference sets."""
+    return {"kind": "in_set", "column": col, "values": list(values)}
+
+
+def not_in_set(col: str, values) -> dict:
+    """Deny-list membership (e.g. blocked domains/URLs): a value IN the
+    set is a violation; NULLs are ignored. Same literal/broadcast
+    auto-switch as :func:`in_set`."""
+    return {"kind": "not_in_set", "column": col, "values": list(values)}
 
 
 def matches_regex(col: str, pattern: str) -> dict:
@@ -104,6 +115,8 @@ def _label(spec: dict) -> str:
         return f"in_range[{spec['lo']}, {spec['hi']}]"
     if kind == "in_set":
         return f"in_set[{len(spec['values'])} values]"
+    if kind == "not_in_set":
+        return f"not_in_set[{len(spec['values'])} values]"
     if kind == "matches_regex":
         return f"matches_regex[{spec['pattern']}]"
     if kind == "has_dtype":
@@ -126,6 +139,8 @@ def _violation_expr(spec: dict):
         bad = (col < F.lit(spec["lo"])) | (col > F.lit(spec["hi"]))
     elif kind == "in_set":
         bad = ~col.isin(spec["values"])
+    elif kind == "not_in_set":
+        bad = col.isin(spec["values"])
     elif kind == "matches_regex":
         bad = ~col.rlike(f"^(?:{spec['pattern']})$")
     else:  # pragma: no cover - guarded by validate_constraints
@@ -133,7 +148,28 @@ def _violation_expr(spec: dict):
     return F.when(col.isNull(), 0).otherwise(F.when(bad, 1).otherwise(0))
 
 
-ROW_LOCAL = {"not_null", "in_range", "in_set", "matches_regex"}
+ROW_LOCAL = {"not_null", "in_range", "in_set", "not_in_set", "matches_regex"}
+
+
+def _is_big_set(spec: dict) -> bool:
+    """True when a membership constraint's value list is too large to
+    inline as plan literals (the giant-isin hazard)."""
+    return (spec["kind"] in ("in_set", "not_in_set")
+            and len(spec["values"]) > ISIN_LITERAL_MAX)
+
+
+def _big_set_violations(df: DataFrame, spec: dict) -> int:
+    """Membership violations via a broadcast join instead of plan
+    literals: the value set becomes a single-column DataFrame, broadcast,
+    and violations are one anti-join (allow-list) or semi-join
+    (deny-list) count over the pruned column. One bounded job per
+    oversized set."""
+    col = spec["column"]
+    sess = df.sparkSession
+    vals = sess.createDataFrame([(v,) for v in spec["values"]], [col])
+    side = df.select(col).filter(F.col(col).isNotNull())
+    how = "left_anti" if spec["kind"] == "in_set" else "left_semi"
+    return side.join(F.broadcast(vals), col, how).count()
 
 
 def validate_constraints(df: DataFrame, constraints: list) -> DataFrame:
@@ -147,14 +183,17 @@ def validate_constraints(df: DataFrame, constraints: list) -> DataFrame:
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     # metadata constraints may reference absent columns (that IS their
     # verdict); data constraints cannot — their expressions need the column
-    missing = [s["column"] for s in constraints
+    missing = [c for s in constraints
                if s["column"] is not None
                and s["kind"] not in ("has_column", "has_dtype")
-               and s["column"] not in fields]
+               for c in s.get("columns", [s["column"]])
+               if c not in fields]
     if missing:
         raise ValueError(f"constrained columns absent from the DataFrame: {missing}")
 
-    row_local = [s for s in constraints if s["kind"] in ROW_LOCAL]
+    row_local = [s for s in constraints
+                 if s["kind"] in ROW_LOCAL and not _is_big_set(s)]
+    big_sets = [s for s in constraints if _is_big_set(s)]
     uniques = [s for s in constraints if s["kind"] == "unique"]
 
     # one fused scan for all row-local constraints (+ the row count,
@@ -165,27 +204,41 @@ def validate_constraints(df: DataFrame, constraints: list) -> DataFrame:
     fused = df.agg(*aggs).collect()[0]
     n_rows = fused["__n"]
 
+    # one bounded broadcast-join job per oversized membership set
+    big_counts = {id(s): _big_set_violations(df, s) for s in big_sets}
+
     # one separate agg for uniqueness: violations = n_col_rows - n_distinct
-    # (NULLs ignored on both sides, the SQL UNIQUE convention)
+    # (NULLs ignored on both sides, the SQL UNIQUE convention; composite
+    # keys count only all-parts-non-NULL tuples — count_distinct(a, b)
+    # and the matching conjunction both skip partial-NULL rows)
     uniq_counts = {}
     if uniques:
-        cols = sorted({s["column"] for s in uniques})
         uaggs = []
-        for c in cols:
-            uaggs.append(F.count(F.col(c)).alias(f"__n_{c}"))
-            uaggs.append(F.count_distinct(F.col(c)).alias(f"__d_{c}"))
-        urow = df.select(*[F.col(c) for c in cols]).agg(*uaggs).collect()[0]
-        uniq_counts = {c: (urow[f"__n_{c}"], urow[f"__d_{c}"]) for c in cols}
+        for i, s_ in enumerate(uniques):
+            parts = s_.get("columns", [s_["column"]])
+            nonnull = F.lit(1)
+            for c in parts:
+                nonnull = F.when(F.col(c).isNotNull(), nonnull)
+            uaggs.append(F.count(nonnull).alias(f"__n_{i}"))
+            uaggs.append(
+                F.count_distinct(*[F.col(c) for c in parts]).alias(f"__d_{i}"))
+        ucols = sorted({c for s_ in uniques
+                        for c in s_.get("columns", [s_["column"]])})
+        urow = df.select(*[F.col(c) for c in ucols]).agg(*uaggs).collect()[0]
+        uniq_counts = {id(s_): (urow[f"__n_{i}"], urow[f"__d_{i}"])
+                       for i, s_ in enumerate(uniques)}
 
     rows = []
     li = 0
     for s in constraints:
         kind, col = s["kind"], s["column"]
-        if kind in ROW_LOCAL:
+        if kind in ROW_LOCAL and not _is_big_set(s):
             nv = int(fused[f"__v{li}"] or 0)
             li += 1
+        elif kind in ROW_LOCAL:
+            nv = big_counts[id(s)]
         elif kind == "unique":
-            n, d = uniq_counts[col]
+            n, d = uniq_counts[id(s)]
             nv = int(n - d)
         elif kind == "has_column":
             nv = 0 if col in fields else 1
@@ -232,6 +285,14 @@ def validate_constraints_by_partition(df: DataFrame, constraints: list) -> DataF
             f"per-partition validation is defined only for row-local "
             f"constraints; got {sorted(set(bad))} — run those through "
             "validate_constraints (table-global)"
+        )
+    big = [s["column"] for s in constraints if _is_big_set(s)]
+    if big:
+        raise ValueError(
+            f"membership sets on {big} exceed ISIN_LITERAL_MAX; the "
+            "broadcast-join path cannot preserve input partition identity "
+            "(spark_partition_id changes across a join) — evaluate those "
+            "globally via validate_constraints"
         )
     if not constraints:
         raise ValueError("no constraints given")
@@ -286,6 +347,13 @@ def violation_examples(df: DataFrame, constraints: list, id_col: str,
         raise ValueError(
             f"violation examples are defined only for row-local "
             f"constraints; got {sorted(set(bad))}"
+        )
+    big = [s["column"] for s in constraints if _is_big_set(s)]
+    if big:
+        raise ValueError(
+            f"membership sets on {big} exceed ISIN_LITERAL_MAX and cannot "
+            "inline as plan literals; sample examples via a broadcast "
+            "anti/semi join on the value table instead"
         )
     if not constraints:
         raise ValueError("no constraints given")

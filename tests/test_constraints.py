@@ -80,8 +80,49 @@ def test_constraint_gates(spark, contract_df):
         validate_constraints(contract_df, [not_null("nope")])
     with pytest.raises(ValueError, match="no constraints"):
         validate_constraints(contract_df, [])
-    with pytest.raises(ValueError, match="plan-size"):
-        in_set("lang", [str(i) for i in range(1001)])
+
+
+def test_big_set_broadcast_path_matches_literal(spark, monkeypatch):
+    """Above ISIN_LITERAL_MAX a membership set auto-switches to a
+    broadcast join; counts must equal the literal path's, and the
+    partition/examples paths (which cannot join) reject oversized sets."""
+    from deepchecks_spark.checks import constraints as C
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 40}") for i in range(200)], "id long, tag string")
+    allowed = [f"v{i}" for i in range(20)]        # half the tags
+    denied = [f"v{i}" for i in range(30, 40)]     # a quarter
+    lit_rows = {r["constraint"]: r["n_violations"] for r in
+                validate_constraints(
+                    df, [in_set("tag", allowed),
+                         C.not_in_set("tag", denied)]).collect()}
+    monkeypatch.setattr(C, "ISIN_LITERAL_MAX", 5)  # force the join path
+    big_rows = {r["constraint"]: r["n_violations"] for r in
+                C.validate_constraints(
+                    df, [C.in_set("tag", allowed),
+                         C.not_in_set("tag", denied)]).collect()}
+    assert lit_rows["in_set[20 values]"] == big_rows["in_set[20 values]"] == 100
+    assert (lit_rows["not_in_set[10 values]"]
+            == big_rows["not_in_set[10 values]"] == 50)
+    with pytest.raises(ValueError, match="partition identity"):
+        C.validate_constraints_by_partition(df, [C.in_set("tag", allowed)])
+    with pytest.raises(ValueError, match="plan literals"):
+        C.violation_examples(df, [C.in_set("tag", allowed)], "id")
+
+
+def test_composite_unique_key(spark):
+    """unique(["a","b"]): tuples collide, partial-NULL rows are ignored
+    (count_distinct(a,b) semantics)."""
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y"), (2, None), (2, None), (None, "x")],
+        "a int, b string")
+    collected = validate_constraints(
+        df, [unique(["a", "b"]), unique("a")]).collect()
+    by_col = {r["column"]: r for r in collected}  # both label 'unique'
+    assert by_col["a,b"]["n_violations"] == 1   # (1,x) twice; NULL rows ignored
+    assert by_col["a"]["n_violations"] == 3     # a: [1,1,1,2,2] -> 5-2
+    with pytest.raises(ValueError):
+        unique([])
 
 
 def test_constraint_fused_plan_single_scan_no_expand(spark):
