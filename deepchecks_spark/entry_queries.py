@@ -3451,14 +3451,16 @@ def q_constraints_orders(spark, sf_dir):
     distinct agg, metadata rules driver-side."""
     from deepchecks_spark.checks.constraints import (
         has_column, has_dtype, in_range, in_set, matches_regex, min_rows,
-        not_null, unique, validate_constraints)
+        not_in_set, not_null, unique, validate_constraints)
 
     df = _t(spark, sf_dir, "orders")
     cons = [
         not_null("o_custkey"),
         unique("o_orderkey"),
+        unique(["o_orderkey", "o_custkey"]),   # composite key
         in_range("o_totalprice", 0.0, 100_000.0),
         in_set("o_orderstatus", ["O", "F", "P"]),
+        not_in_set("o_orderpriority", ["5-LOW"]),  # deny-list
         matches_regex("o_orderpriority", r"[1-5]-[A-Z ]+"),
         has_column("o_orderdate"),
         has_column("o_missing_col"),
@@ -3480,6 +3482,23 @@ def o_constraints_orders():
            (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT,
            round((count(o_orderkey) - count(DISTINCT o_orderkey)) / (SELECT c FROM n)::double, 6),
            count(o_orderkey) = count(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey,o_custkey',
+           (count(*) FILTER (o_orderkey IS NOT NULL AND o_custkey IS NOT NULL)
+            - count(DISTINCT (o_orderkey, o_custkey)
+                    ) FILTER (o_orderkey IS NOT NULL AND o_custkey IS NOT NULL))::BIGINT,
+           round((count(*) FILTER (o_orderkey IS NOT NULL AND o_custkey IS NOT NULL)
+            - count(DISTINCT (o_orderkey, o_custkey)
+                    ) FILTER (o_orderkey IS NOT NULL AND o_custkey IS NOT NULL)) / (SELECT c FROM n)::double, 6),
+           count(*) FILTER (o_orderkey IS NOT NULL AND o_custkey IS NOT NULL)
+            = count(DISTINCT (o_orderkey, o_custkey)) FILTER (o_orderkey IS NOT NULL AND o_custkey IS NOT NULL)
+    FROM orders
+    UNION ALL
+    SELECT 'not_in_set[1 values]', 'o_orderpriority',
+           count(*) FILTER (o_orderpriority = '5-LOW')::BIGINT,
+           round(count(*) FILTER (o_orderpriority = '5-LOW') / (SELECT c FROM n)::double, 6),
+           count(*) FILTER (o_orderpriority = '5-LOW') = 0
     FROM orders
     UNION ALL
     SELECT 'in_range[0.0, 100000.0]', 'o_totalprice',
