@@ -83,14 +83,27 @@ def in_set(col: str, values) -> dict:
     evaluation automatically leaves the fused literal plan and runs as a
     broadcast anti-join (one extra bounded job) — same auto-switch
     discipline as the streaming reference sets."""
-    return {"kind": "in_set", "column": col, "values": list(values)}
+    return {"kind": "in_set", "column": col, "values": _check_values(col, values)}
 
 
 def not_in_set(col: str, values) -> dict:
     """Deny-list membership (e.g. blocked domains/URLs): a value IN the
     set is a violation; NULLs are ignored. Same literal/broadcast
     auto-switch as :func:`in_set`."""
-    return {"kind": "not_in_set", "column": col, "values": list(values)}
+    return {"kind": "not_in_set", "column": col, "values": _check_values(col, values)}
+
+
+def _check_values(col: str, values) -> list:
+    values = list(values)
+    if any(v is None for v in values):
+        # three-valued isin logic would silently swallow violations
+        # (col.isin([..., None]) is NULL for non-members, counted as 0)
+        # and disagree with the broadcast-join path — reject loudly
+        raise ValueError(
+            f"membership set for {col!r} contains None; NULL handling "
+            "belongs to not_null, not to the value set"
+        )
+    return values
 
 
 def matches_regex(col: str, pattern: str) -> dict:
@@ -197,12 +210,17 @@ def validate_constraints(df: DataFrame, constraints: list) -> DataFrame:
     uniques = [s for s in constraints if s["kind"] == "unique"]
 
     # one fused scan for all row-local constraints (+ the row count,
-    # which min_rows and every frac needs)
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for i, s in enumerate(row_local):
-        aggs.append(F.sum(_violation_expr(s)).alias(f"__v{i}"))
-    fused = df.agg(*aggs).collect()[0]
-    n_rows = fused["__n"]
+    # which min_rows and every data-constraint frac needs); a contract of
+    # ONLY metadata rules launches zero jobs, as the module contract says
+    needs_scan = bool(row_local or big_sets or uniques
+                      or any(s["kind"] == "min_rows" for s in constraints))
+    fused, n_rows = {}, 0
+    if needs_scan:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, s in enumerate(row_local):
+            aggs.append(F.sum(_violation_expr(s)).alias(f"__v{i}"))
+        fused = df.agg(*aggs).collect()[0]
+        n_rows = fused["__n"]
 
     # one bounded broadcast-join job per oversized membership set
     big_counts = {id(s): _big_set_violations(df, s) for s in big_sets}
@@ -304,11 +322,14 @@ def validate_constraints_by_partition(df: DataFrame, constraints: list) -> DataF
     for i, s in enumerate(constraints):
         aggs.append(F.sum(_violation_expr(s)).alias(f"__v{i}"))
     g = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs)
+    def _sql_str(x: str) -> str:
+        # Spark's SQL parser consumes backslash escapes inside string
+        # literals (r'\w+' would melt to 'w+'), so escape those first
+        return x.replace("\\", "\\\\").replace("'", "\\'")
+
     parts = []
     for i, s in enumerate(constraints):
-        lbl = _label(s).replace("'", "''")
-        col = s["column"].replace("'", "''")
-        parts.append(f"'{lbl}', '{col}', __v{i}")
+        parts.append(f"'{_sql_str(_label(s))}', '{_sql_str(s['column'])}', __v{i}")
     melted = g.selectExpr(
         "partition_id", "__n",
         f"stack({len(constraints)}, {', '.join(parts)}) "
@@ -396,8 +417,11 @@ def violation_examples(df: DataFrame, constraints: list, id_col: str,
 
 def fused_constraint_agg(df: DataFrame, constraints: list):
     """The fused row-local aggregation as an unexecuted DataFrame —
-    exposed for the physical-plan pin (single scan, no Expand)."""
-    row_local = [s for s in constraints if s["kind"] in ROW_LOCAL]
+    exposed for the physical-plan pin (single scan, no Expand). Applies
+    the same big-set exclusion as validate_constraints: oversized
+    membership sets never inline into this plan."""
+    row_local = [s for s in constraints
+                 if s["kind"] in ROW_LOCAL and not _is_big_set(s)]
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, s in enumerate(row_local):
         aggs.append(F.sum(_violation_expr(s)).alias(f"__v{i}"))

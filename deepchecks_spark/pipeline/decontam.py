@@ -63,18 +63,24 @@ def semantic_decontamination(
 
     bench_id = bench_id_col or id_col
     bench_vec = bench_vec_col or vec_col
-    probe = benchmark.limit(max_benchmark_rows + 1).count()
-    if probe > max_benchmark_rows:
-        raise BenchmarkTooLargeError(
-            f"benchmark has more than {max_benchmark_rows:,} rows; "
-            "semantic_decontamination broadcasts the benchmark embeddings, "
-            "so pass a smaller benchmark or raise max_benchmark_rows explicitly"
-        )
-    if probe == 0:
-        raise ValueError("benchmark is empty — nothing to decontaminate against")
     b = benchmark.select(
         F.col(bench_id).alias("__bid"), _as_double(bench_vec).alias("__be")
     ).filter(F.col("__be").isNotNull()).withColumn("__bn", _norm("__be"))
+    # gate on the NULL-FILTERED frame: rows without embeddings neither
+    # broadcast nor match, so an all-NULL benchmark must raise, not
+    # silently report nothing contaminated
+    probe = b.limit(max_benchmark_rows + 1).count()
+    if probe > max_benchmark_rows:
+        raise BenchmarkTooLargeError(
+            f"benchmark has more than {max_benchmark_rows:,} rows with "
+            "embeddings; semantic_decontamination broadcasts the benchmark "
+            "embeddings, so pass a smaller benchmark or raise "
+            "max_benchmark_rows explicitly"
+        )
+    if probe == 0:
+        raise ValueError(
+            "benchmark has no non-NULL embeddings — nothing to "
+            "decontaminate against")
     c = corpus.select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__ce")
     ).withColumn("__cn", _norm("__ce"))

@@ -728,12 +728,16 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         # the table-global rows; per-partition rows for the row-local
         # subset (the north-rule shard-locating shape)
         from deepchecks_spark.checks.constraints import (
-            ROW_LOCAL, validate_constraints, validate_constraints_by_partition)
+            ROW_LOCAL, _is_big_set, validate_constraints,
+            validate_constraints_by_partition)
 
         glob = validate_constraints(ds.df, constraints) \
             .select(F.lit(-1).alias("partition_id"), "constraint", "column",
                     "n_violations", "violation_frac", "passed")
-        row_local = [c for c in constraints if c["kind"] in ROW_LOCAL]
+        # oversized membership sets evaluate globally only (a broadcast
+        # join cannot preserve input partition identity)
+        row_local = [c for c in constraints
+                     if c["kind"] in ROW_LOCAL and not _is_big_set(c)]
         if row_local:
             per = validate_constraints_by_partition(ds.df, row_local)
             glob = glob.unionByName(per)

@@ -232,3 +232,81 @@ def test_violation_examples_deterministic_and_label_collision(spark):
     assert groups[("in_set[1 values]", "lang")] == [(1, "zz"), (2, "zz"), (4, "zz")]
     with pytest.raises(ValueError, match="row-local"):
         violation_examples(df, [unique("id")], "id")
+
+
+def test_regex_label_parity_global_vs_partition(spark):
+    """Backslashes in regex labels survive the per-partition stack melt
+    (Spark's SQL parser consumes string-literal escapes), so global and
+    per-partition rows for the same constraint join on equal labels."""
+    from deepchecks_spark.checks.constraints import (
+        validate_constraints_by_partition)
+
+    df = spark.createDataFrame([(1, "abc123"), (2, "no digits")],
+                               "id long, t string")
+    cons = [matches_regex("t", r"\w+\d+"), not_null("t")]
+    g = {r["constraint"] for r in validate_constraints(df, cons).collect()}
+    p = {r["constraint"] for r in
+         validate_constraints_by_partition(df, cons).collect()}
+    assert g == p == {r"matches_regex[\w+\d+]", "not_null"}
+
+
+def test_membership_set_rejects_none(spark):
+    """None in a value set would silently swallow violations under
+    three-valued isin logic — reject at construction."""
+    from deepchecks_spark.checks.constraints import not_in_set
+
+    with pytest.raises(ValueError, match="None"):
+        in_set("lang", ["en", None])
+    with pytest.raises(ValueError, match="None"):
+        not_in_set("lang", [None])
+
+
+def test_metadata_only_contract_launches_no_jobs(spark):
+    """has_column/has_dtype contracts must not scan the table: validate
+    against a frame whose evaluation would throw."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        "id", F.assert_true(F.col("id") < 0).alias("boom"))
+    rows = validate_constraints(
+        df, [has_column("id"), has_column("nope"),
+             has_dtype("id", "bigint")]).collect()
+    assert {(r["constraint"], r["passed"]) for r in rows} == {
+        ("has_column", True), ("has_column", False),
+        ("has_dtype[bigint]", True)}
+
+
+def test_run_job_big_set_goes_global_only(spark, tmp_path, monkeypatch):
+    """An oversized membership set must not crash the runner's
+    constraint stage: it evaluates globally (broadcast join) and is
+    excluded from the per-partition rows."""
+    from deepchecks_spark.checks import constraints as C
+    from deepchecks_spark.runner import run_job
+
+    monkeypatch.setattr(C, "ISIN_LITERAL_MAX", 3)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"v{i % 10}") for i in range(50)], "id long, tag string"
+    ).repartition(4).write.parquet(src)
+    out = str(tmp_path / "out")
+    cons = [{"kind": "in_set", "column": "tag",
+             "values": [f"v{i}" for i in range(5)]},   # > patched max
+            {"kind": "not_null", "column": "tag"}]
+    run_job(spark, src, out, constraints=cons, resume=False,
+            concurrent_stages=False)
+    t = spark.read.parquet(f"{out}/constraint_verdicts")
+    glob = {r["constraint"]: r["n_violations"]
+            for r in t.filter("partition_id = -1").collect()}
+    assert glob["in_set[5 values]"] == 25          # v5..v9 rows
+    per_cons = {r["constraint"] for r in t.filter("partition_id >= 0").collect()}
+    assert per_cons == {"not_null"}                # big set stays global
+
+
+def test_semantic_decontamination_all_null_benchmark_raises(spark):
+    from deepchecks_spark.pipeline.decontam import semantic_decontamination
+
+    corpus = spark.createDataFrame([(1, [1.0])], "id long, embedding array<double>")
+    bench = spark.createDataFrame([(9, None), (10, None)],
+                                  "id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-NULL embeddings"):
+        semantic_decontamination(corpus, bench, "id", "embedding")

@@ -1172,7 +1172,7 @@ def test_semantic_decontamination_gates(spark):
         semantic_decontamination(corpus, big_bench, "id", "embedding",
                                  max_benchmark_rows=5)
     empty = big_bench.filter("id < 0")
-    with pytest.raises(ValueError, match="empty"):
+    with pytest.raises(ValueError, match="non-NULL embeddings"):
         semantic_decontamination(corpus, empty, "id", "embedding")
 
 
