@@ -41,6 +41,13 @@ def entry(spark: SparkSession) -> DataFrame:
         TrainTestSamplesMix,
     )
 
+    # driver-supplied session: opt out of Spark 4.x ICU case mappings
+    # (see deepchecks_spark/session.py — the ICU path serializes all
+    # executor threads behind a 200+ s class-init on this host)
+    try:
+        spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    except Exception:
+        pass
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     mk = lambda df: Dataset(  # noqa: E731
         df, label="lang", features=["text", "source", "n_chars"],

@@ -235,6 +235,7 @@ def main():
             rows[name] = fn(spark)
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     suite_rows = rows["integrity_suite_lineitem"]
     out = {

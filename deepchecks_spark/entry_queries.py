@@ -16,6 +16,14 @@ from deepchecks_spark.dataset import Dataset
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver supplies its own SparkSession; apply the ICU case-mapping
+    # opt-out here too (see session.py: the Spark 4.x ICU path serializes
+    # every executor thread behind a 200+ s class-init on this host and
+    # is slower per row afterwards; JVM case mapping matches the oracles)
+    try:
+        spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    except Exception:
+        pass
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -3567,6 +3575,110 @@ def o_constraint_examples_orders():
 
 
 # ---------------------------------------------------------------------------
+# round-5 final additions: token-budget selection, recrawl dedup,
+# corpus data card
+# ---------------------------------------------------------------------------
+
+def q_token_budget_selection_documents(spark, sf_dir):
+    """FineWeb/DCLM-style quality-prefix corpus selection: rank docs by
+    n_chars desc (doc_id ties) and keep every doc whose start offset in
+    the cumulative whitespace-token stream is under a 10k-token budget.
+    The offsets come from the same distributed prefix scan as
+    pack_sequences — no global-ORDER-BY single-task window."""
+    from deepchecks_spark.pipeline.packing import select_by_token_budget
+
+    df = _t(spark, sf_dir, "documents")
+    return select_by_token_budget(df, "doc_id", "text", "n_chars", 10_000)
+
+
+def o_token_budget_selection_documents():
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, n_chars::DOUBLE AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n_chars, n,
+             coalesce(sum(n) OVER (ORDER BY n_chars DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS s
+      FROM toks)
+    SELECT doc_id, n_chars, n::BIGINT AS n_tokens, s::BIGINT AS start_offset,
+           s < 10000 AS selected
+    FROM cum
+    """
+
+
+def q_latest_crawl_documents(spark, sf_dir):
+    """Recrawl dedup over a simulated multi-crawl stack (url = doc_id
+    mod 97, crawl ts = doc_id): keep the newest snapshot per url via
+    one map-side-combinable max_by argmax — the shuffle moves one
+    candidate row per (partition, url), never the full history."""
+    from deepchecks_spark.pipeline.webclean import keep_latest_crawl
+
+    df = _t(spark, sf_dir, "documents")
+    crawl = df.select((F.col("doc_id") % 97).alias("url"),
+                      F.col("doc_id").alias("crawl_ts"), "text")
+    return keep_latest_crawl(crawl, "url", "crawl_ts")
+
+
+def o_latest_crawl_documents():
+    # crawl_ts = doc_id is unique, so arg_max is deterministic
+    return """
+    SELECT doc_id % 97 AS url,
+           max(doc_id) AS crawl_ts,
+           arg_max(text, doc_id) AS text
+    FROM documents GROUP BY 1
+    """
+
+
+def q_corpus_datacard_documents(spark, sf_dir):
+    """Corpus data card: the headline release numbers (datasheet stats
+    block) in one melted (metric, value) table — plain moments in one
+    fused pass, exact text-distinct as its own Expand-free two-stage
+    hash-distinct job, language entropy from an O(|langs|) groupBy."""
+    from deepchecks_spark.pipeline.textstats import corpus_datacard
+
+    return corpus_datacard(_t(spark, sf_dir, "documents"), "text", "lang")
+
+
+def o_corpus_datacard_documents():
+    return r"""
+    WITH t AS (
+      SELECT text, lang,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      FROM documents),
+    base AS (
+      SELECT count(*)::DOUBLE AS n_docs,
+             sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::DOUBLE AS n_null,
+             sum(CASE WHEN text IS NOT NULL AND length(trim(text)) = 0
+                      THEN 1 ELSE 0 END)::DOUBLE AS n_empty,
+             sum(n)::DOUBLE AS total_tokens,
+             count(text)::DOUBLE AS n_text,
+             count(DISTINCT text)::DOUBLE AS n_distinct
+      FROM t),
+    langs AS (
+      SELECT count(*)::DOUBLE AS n_langs,
+             -sum((n / total) * log2(n / total)) AS ent
+      FROM (SELECT count(*)::DOUBLE AS n, sum(count(*)) OVER ()::DOUBLE AS total
+            FROM documents GROUP BY lang)),
+    melted AS (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM base
+      UNION ALL SELECT 'n_null_text', n_null FROM base
+      UNION ALL SELECT 'n_empty_text', n_empty FROM base
+      UNION ALL SELECT 'total_tokens', total_tokens FROM base
+      UNION ALL SELECT 'mean_tokens_per_doc', total_tokens / n_docs FROM base
+      UNION ALL SELECT 'n_distinct_texts', n_distinct FROM base
+      UNION ALL SELECT 'duplicate_frac', 1.0 - n_distinct / n_text FROM base
+      UNION ALL SELECT 'n_langs', n_langs FROM langs
+      UNION ALL SELECT 'lang_entropy_bits', ent FROM langs)
+    SELECT metric, round(value, 9) AS value FROM melted ORDER BY metric
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3579,6 +3691,9 @@ def _ctx(ds):
 QUERIES = {
     # never-driver-verified queries FIRST: the driver's correctness run
     # caps at the first 50 entries of this dict (VERDICT r4 next-1).
+    "token_budget_selection_documents": q_token_budget_selection_documents,
+    "latest_crawl_documents": q_latest_crawl_documents,
+    "corpus_datacard_documents": q_corpus_datacard_documents,
     "constraints_orders": q_constraints_orders,
     "constraint_examples_orders": q_constraint_examples_orders,
     "semantic_decontam_embeddings": q_semantic_decontam_embeddings,
@@ -3677,6 +3792,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "token_budget_selection_documents": o_token_budget_selection_documents(),
+    "latest_crawl_documents": o_latest_crawl_documents(),
+    "corpus_datacard_documents": o_corpus_datacard_documents(),
     "constraints_orders": o_constraints_orders(),
     "constraint_examples_orders": o_constraint_examples_orders(),
     "semantic_decontam_embeddings": o_semantic_decontam_embeddings(),

@@ -37,6 +37,65 @@ from pyspark.sql import functions as F
 PREFIX_LITERAL_MAX = 256
 
 
+def _token_count_expr(text_col: str):
+    """Whitespace token count (0 for blank text), matching
+    pipeline/textstats.py's convention."""
+    return F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+
+
+def _with_start_offsets(d: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Distributed prefix scan: given a frame with an ``n_tokens``
+    column and a total order defined by ``order_cols`` (which must be
+    jointly unique), add ``start_offset`` = the exclusive cumulative
+    token sum in that order. The three-stage shape (range partition →
+    per-partition partials → broadcast prefix + partition-local window)
+    is documented at module top; the caller receives a
+    ``localCheckpoint``-materialized frame so downstream jobs cannot
+    observe re-sampled range boundaries."""
+    d = (
+        d.repartitionByRange(*[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        d.count()  # pin the partitioning for both jobs below
+        # up-sweep: per-partition totals -> exclusive prefix offsets
+        parts = sorted(
+            (r["__pid"], r["total"]) for r in
+            d.groupBy("__pid").agg(F.sum("n_tokens").alias("total")).collect()
+        )
+        prefix, acc = {}, 0
+        for pid, total in parts:
+            prefix[pid] = acc
+            acc += total or 0
+        # down-sweep: local cumulative sum + broadcast prefix
+        w = (Window.partitionBy("__pid").orderBy(*order_cols)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        local = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        if len(prefix) > PREFIX_LITERAL_MAX:
+            # plan stays O(1) in partition count; the prefix table is a
+            # broadcast hash join on __pid
+            pdf = d.sparkSession.createDataFrame(
+                [(pid, off) for pid, off in sorted(prefix.items())],
+                "__pid int, __prefix long")
+            d = d.join(F.broadcast(pdf), "__pid", "left")
+            start = local + F.coalesce(F.col("__prefix"), F.lit(0))
+        else:
+            pmap = F.create_map(
+                *[F.lit(x) for pid in sorted(prefix) for x in (pid, prefix[pid])]
+            ) if prefix else F.create_map()
+            start = local + F.coalesce(pmap[F.col("__pid")], F.lit(0))
+        out = d.withColumn("start_offset", start).drop("__pid", "__prefix")
+        # materialize before unpersist so callers get computed rows,
+        # not a lineage that re-samples range boundaries
+        out = out.localCheckpoint()
+    finally:
+        d.unpersist()
+    return out
+
+
 def pack_sequences(df: DataFrame, id_col: str, text_col: str, seq_len: int,
                    order_col: str | None = None) -> DataFrame:
     """Assign every document its token offset in the concatenated
@@ -60,60 +119,56 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str, seq_len: int,
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     order_col = order_col or id_col
-    toks = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
-    d = (
-        df.select(F.col(id_col).alias("__id"),
+    d = df.select(F.col(id_col).alias("__id"),
                   F.col(order_col).alias("__ord"),
-                  toks.cast("long").alias("n_tokens"))
-        .repartitionByRange("__ord")
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+                  _token_count_expr(text_col).cast("long").alias("n_tokens"))
+    out = _with_start_offsets(d, ["__ord"])
+    return out.select(
+        F.col("__id").alias(id_col), "n_tokens", "start_offset",
+        F.floor(F.col("start_offset") / seq_len).alias("first_seq"),
+        F.floor(
+            (F.col("start_offset")
+             + F.greatest(F.col("n_tokens") - 1, F.lit(0))) / seq_len
+        ).alias("last_seq"),
     )
-    try:
-        d.count()  # pin the partitioning for both jobs below
-        # up-sweep: per-partition totals -> exclusive prefix offsets
-        parts = sorted(
-            (r["__pid"], r["total"]) for r in
-            d.groupBy("__pid").agg(F.sum("n_tokens").alias("total")).collect()
-        )
-        prefix, acc = {}, 0
-        for pid, total in parts:
-            prefix[pid] = acc
-            acc += total or 0
-        # down-sweep: local cumulative sum + broadcast prefix
-        w = (Window.partitionBy("__pid").orderBy("__ord")
-             .rowsBetween(Window.unboundedPreceding, -1))
-        local = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-        if len(prefix) > PREFIX_LITERAL_MAX:
-            # plan stays O(1) in partition count; the prefix table is a
-            # broadcast hash join on __pid
-            pdf = d.sparkSession.createDataFrame(
-                [(pid, off) for pid, off in sorted(prefix.items())],
-                "__pid int, __prefix long")
-            d = d.join(F.broadcast(pdf), "__pid", "left")
-            start = local + F.coalesce(F.col("__prefix"), F.lit(0))
-        else:
-            pmap = F.create_map(
-                *[F.lit(x) for pid in sorted(prefix) for x in (pid, prefix[pid])]
-            ) if prefix else F.create_map()
-            start = local + F.coalesce(pmap[F.col("__pid")], F.lit(0))
-        out = d.select(
-            F.col("__id").alias(id_col),
-            "n_tokens",
-            start.alias("start_offset"),
-        ).select(
-            id_col, "n_tokens", "start_offset",
-            F.floor(F.col("start_offset") / seq_len).alias("first_seq"),
-            F.floor(
-                (F.col("start_offset")
-                 + F.greatest(F.col("n_tokens") - 1, F.lit(0))) / seq_len
-            ).alias("last_seq"),
-        )
-        # materialize before unpersist so callers get computed rows,
-        # not a lineage that re-samples range boundaries
-        out = out.localCheckpoint()
-    finally:
-        d.unpersist()
-    return out
+
+
+def select_by_token_budget(df: DataFrame, id_col: str, text_col: str,
+                           score_col: str, budget: int) -> DataFrame:
+    """Quality-ranked corpus selection under a global token budget (the
+    FineWeb/DCLM-style "take the best documents until N tokens" step):
+    rank documents by ``score_col`` descending (ties broken by
+    ``id_col`` ascending, so the order is total and re-runs select the
+    identical set), and keep every document whose START offset in that
+    ranking's cumulative token stream is below ``budget`` — i.e. the
+    greedy prefix, including the one document that straddles the
+    boundary.
+
+    Returns the full spine (selection is a verdict column, not a
+    filter) as::
+
+        id, score, n_tokens, start_offset, selected
+
+    Scale shape: the same distributed prefix scan as ``pack_sequences``
+    (range partition on the rank key → per-partition token partials →
+    broadcast exclusive prefix + partition-local window) — no global
+    ORDER BY window collapsing to one task, no driver-side sort. The
+    scan's up-sweep collects O(num_partitions) rows. Descending rank is
+    expressed as range partitioning on the NEGATED score so one
+    ascending code path serves both operators."""
+    d = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("double").alias("__score"),
+        # NULL scores rank last (not first, which is where Spark's
+        # NULLS-FIRST ascending default would put them after negation)
+        (-F.coalesce(F.col(score_col).cast("double"),
+                     F.lit(float("-inf")))).alias("__negscore"),
+        _token_count_expr(text_col).cast("long").alias("n_tokens"),
+    )
+    out = _with_start_offsets(d, ["__negscore", "__id"])
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("__score").alias(score_col),
+        "n_tokens", "start_offset",
+        (F.col("start_offset") < F.lit(int(budget))).alias("selected"),
+    )

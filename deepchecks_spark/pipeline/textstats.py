@@ -476,6 +476,67 @@ def top_terms(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
     return counts.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def corpus_datacard(df: DataFrame, text_col: str,
+                    lang_col: str | None = None) -> DataFrame:
+    """One-table corpus "data card" — the headline numbers a dataset
+    release documents (Gebru et al. 2021 datasheets; the stats block of
+    a C4/FineWeb card), melted to ``(metric string, value double)``
+    sorted by metric::
+
+        n_docs, n_null_text, n_empty_text, total_tokens,
+        mean_tokens_per_doc, n_distinct_texts, duplicate_frac
+        [, n_langs, lang_entropy_bits   when lang_col is given]
+
+    Scale shape — three bounded jobs, deliberately NOT one fused agg:
+    the plain moments fuse into one map-side-combined pass, but adding
+    ``count(DISTINCT xxhash64(text))`` to it would trigger Catalyst's
+    Expand rewrite and double the scan (the documented Expand trap,
+    runner.py), so exact text distinct runs as its own two-stage
+    distinct over 8-byte hashes, and the language distribution (needed
+    for entropy) is its own tiny ``groupBy(lang)``. Nothing wider than
+    O(|langs|) rows reaches the driver."""
+    toks = F.when(
+        F.col(text_col).isNull() | (F.length(F.trim(F.col(text_col))) == 0),
+        F.lit(0),
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    base = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col(text_col).isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(F.when(F.col(text_col).isNotNull()
+                     & (F.length(F.trim(F.col(text_col))) == 0), 1)
+              .otherwise(0)).alias("n_empty"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum(F.when(F.col(text_col).isNotNull(), 1).otherwise(0)).alias("n_text"),
+    ).first()
+    n_distinct = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.xxhash64(F.col(text_col)).alias("__h"))
+        .distinct().count()
+    )
+    rows = [
+        ("n_docs", float(base["n_docs"])),
+        ("n_null_text", float(base["n_null"])),
+        ("n_empty_text", float(base["n_empty"])),
+        ("total_tokens", float(base["total_tokens"] or 0)),
+        ("mean_tokens_per_doc",
+         float(base["total_tokens"] or 0) / base["n_docs"] if base["n_docs"] else 0.0),
+        ("n_distinct_texts", float(n_distinct)),
+        ("duplicate_frac",
+         1.0 - n_distinct / base["n_text"] if base["n_text"] else 0.0),
+    ]
+    if lang_col is not None:
+        langs = (df.groupBy(F.col(lang_col).alias("__l"))
+                 .agg(F.count(F.lit(1)).alias("n")).collect())
+        total = sum(r["n"] for r in langs) or 1
+        import math
+        ent = -sum((r["n"] / total) * math.log2(r["n"] / total)
+                   for r in langs if r["n"])
+        rows += [("n_langs", float(len(langs))), ("lang_entropy_bits", ent)]
+    out = df.sparkSession.createDataFrame(
+        [(m, round(v, 9)) for m, v in rows], "metric string, value double")
+    return out.orderBy("metric")
+
+
 def document_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint",
                          ngram: int = 4) -> DataFrame:
     """Winnowing-style fingerprint: min over rolling word-ngram hashes

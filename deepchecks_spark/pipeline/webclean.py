@@ -170,6 +170,34 @@ def url_duplicate_stats(df: DataFrame, url_col: str) -> DataFrame:
     )
 
 
+def keep_latest_crawl(df: DataFrame, url_col: str, ts_col: str,
+                      tiebreak_col: str | None = None) -> DataFrame:
+    """Recrawl dedup: keep exactly the newest snapshot of every URL —
+    the standard reduction from a multi-crawl Common-Crawl stack
+    (url, warc_ts, ...) to a one-row-per-url training corpus. Returns
+    the full original schema, one row per distinct ``url_col``.
+
+    ``tiebreak_col`` (e.g. a record id) makes equal-timestamp recrawls
+    deterministic — without it, ties pick an arbitrary snapshot and
+    re-runs may differ; pass one whenever ``(url, ts)`` is not unique.
+
+    Scale shape: one ``groupBy(url)`` with ``max_by(struct(payload),
+    struct(ts, tiebreak))`` — an algebraic aggregate, so map-side
+    combine reduces each partition to its per-url argmax BEFORE the
+    exchange and the shuffle moves one candidate row per (partition,
+    url), not the full recrawl history. No window function (a
+    row_number over url would shuffle every snapshot), no join-back.
+    Skewed hot URLs collapse map-side for the same reason."""
+    others = [c for c in df.columns if c != url_col]
+    order = (F.struct(F.col(ts_col), F.col(tiebreak_col)) if tiebreak_col
+             else F.col(ts_col))
+    return (
+        df.groupBy(url_col)
+        .agg(F.max_by(F.struct(*others), order).alias("__latest"))
+        .select(url_col, "__latest.*")
+    )
+
+
 def remove_duplicated_lines(
     df: DataFrame,
     id_col: str,

@@ -45,5 +45,22 @@ def get_spark(
         # (observed as 80-90% kernel time); size to the host.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        # Spark 4.x routes lower()/upper()/initcap() under UTF8_BINARY
+        # through ICU (spark.sql.icu.caseMappings.enabled defaults to
+        # true); the first use pays CollationAwareUTF8String.<clinit>,
+        # which builds a full code-point title-case cache — measured at
+        # 200+ s of single-threaded CPU on this host, serializing every
+        # executor thread behind one class-init monitor. The JVM case
+        # mapping (pre-4.x behavior) differs only on locale-sensitive
+        # exotic code points, none of which this engine's checks rely
+        # on, so take the fast path everywhere.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # also apply on a pre-existing session getOrCreate() may have
+    # returned (builder configs are ignored then); it's runtime-settable
+    try:
+        spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    except Exception:  # pragma: no cover - conf absent on older Spark
+        pass
+    return spark

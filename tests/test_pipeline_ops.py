@@ -1192,3 +1192,84 @@ def test_vocabulary_stats_hand_computed(spark):
     tt = top_terms(df, "text", k=3).collect()
     assert [(r["term"], r["n"], r["rank"]) for r in tt] == [
         ("c", 3, 1), ("b", 2, 2), ("a", 1, 3)]  # count desc, term asc
+
+
+def test_select_by_token_budget_hand_computed(spark):
+    """Greedy quality-prefix selection: rank by score desc (id asc ties),
+    keep every doc whose START offset is under the budget — including
+    the straddler; NULL scores rank last."""
+    from deepchecks_spark.pipeline.packing import select_by_token_budget
+
+    df = spark.createDataFrame(
+        [(1, "a b c", 9.0),        # rank 1, start 0
+         (2, "d e", 9.0),          # rank 2 (id tiebreak), start 3
+         (3, "f g h i", 5.0),      # rank 3, start 5 -> straddles budget 6
+         (4, "j", 1.0),            # rank 4, start 9 -> out
+         (5, "k l", None)],        # NULL score ranks last, start 10 -> out
+        "doc_id long, text string, score double")
+    out = {r["doc_id"]: r for r in
+           select_by_token_budget(df, "doc_id", "text", "score", 6).collect()}
+    assert [(out[i]["start_offset"], out[i]["selected"]) for i in (1, 2, 3, 4, 5)] \
+        == [(0, True), (3, True), (5, True), (9, False), (10, False)]
+    assert out[5]["score"] is None  # NULL passes through the verdict frame
+    # zero budget selects nothing
+    none_sel = select_by_token_budget(df, "doc_id", "text", "score", 0)
+    assert none_sel.filter("selected").count() == 0
+
+
+def test_select_by_token_budget_partition_invariant(spark):
+    """Same distributed-prefix-scan invariance as pack_sequences: the
+    selected set is identical however the input is partitioned, and
+    matches a single-threaded recomputation."""
+    from deepchecks_spark.pipeline.packing import select_by_token_budget
+
+    rows = [(i, " ".join(["w"] * (i % 6 + 1)), float((i * 37) % 50))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    got = {r["doc_id"]: (r["start_offset"], r["selected"]) for r in
+           select_by_token_budget(df.repartition(17), "doc_id", "text",
+                                  "score", 300).collect()}
+    start, expect = 0, {}
+    for i, text, score in sorted(rows, key=lambda r: (-r[2], r[0])):
+        expect[i] = (start, start < 300)
+        start += len(text.split())
+    assert got == expect
+
+
+def test_keep_latest_crawl_hand_computed(spark):
+    """One row per url: the max-(ts, tiebreak) snapshot, full schema."""
+    from deepchecks_spark.pipeline.webclean import keep_latest_crawl
+
+    df = spark.createDataFrame(
+        [("u1", 10, 1, "old"), ("u1", 20, 2, "new"),
+         ("u2", 5, 3, "only"),
+         ("u3", 7, 4, "tie-lo"), ("u3", 7, 5, "tie-hi")],
+        "url string, ts long, rec_id long, text string")
+    out = {r["url"]: (r["ts"], r["rec_id"], r["text"]) for r in
+           keep_latest_crawl(df, "url", "ts", tiebreak_col="rec_id").collect()}
+    assert out == {"u1": (20, 2, "new"), "u2": (5, 3, "only"),
+                   "u3": (7, 5, "tie-hi")}
+    assert keep_latest_crawl(df, "url", "ts").columns == df.columns
+
+
+def test_corpus_datacard_hand_computed(spark):
+    from deepchecks_spark.pipeline.textstats import corpus_datacard
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "a b c", "en"), (3, "", "de"),
+         (4, None, "de"), (5, "x", None)],
+        "id long, text string, lang string")
+    card = {r["metric"]: r["value"] for r in
+            corpus_datacard(df, "text", "lang").collect()}
+    assert card["n_docs"] == 5.0
+    assert card["n_null_text"] == 1.0
+    assert card["n_empty_text"] == 1.0
+    assert card["total_tokens"] == 7.0
+    assert abs(card["mean_tokens_per_doc"] - 7 / 5) < 1e-9
+    # distinct non-null texts: "a b c", "", "x" -> 3; dup frac = 1 - 3/4
+    assert card["n_distinct_texts"] == 3.0
+    assert abs(card["duplicate_frac"] - 0.25) < 1e-9
+    assert card["n_langs"] == 3.0  # en, de, NULL bucket
+    import math
+    ent = -(0.4 * math.log2(0.4) + 0.4 * math.log2(0.4) + 0.2 * math.log2(0.2))
+    assert abs(card["lang_entropy_bits"] - ent) < 1e-9

@@ -425,3 +425,32 @@ def test_vocabulary_stats_mapside_combine_and_top_terms_take_ordered(spark):
     assert "partial_count" in vplan
     tplan = _plan(top_terms(df, "text", k=10))
     assert "TakeOrderedAndProject" in tplan
+
+
+def test_keep_latest_crawl_mapside_argmax_before_exchange(spark):
+    # recrawl dedup is an algebraic max_by aggregate: the partial argmax
+    # runs BEFORE the url exchange, so the shuffle carries one candidate
+    # per (partition, url) — never the full recrawl history — and a hot
+    # url collapses map-side instead of skewing the exchange
+    from deepchecks_spark.pipeline.webclean import keep_latest_crawl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    crawl = docs.selectExpr("doc_id % 50 as url", "doc_id as ts", "text")
+    plan = _plan(keep_latest_crawl(crawl, "url", "ts", tiebreak_col="ts"))
+    assert "partial_max_by" in plan
+    assert plan.index("partial_max_by") > plan.index("Exchange")  # physical plans print top-down: partial agg sits BELOW (after) the exchange line
+    assert "Window" not in plan  # not the row_number-over-everything shape
+
+
+def test_select_by_token_budget_no_global_order_window(spark):
+    # the budget scan inherits pack_sequences' pinned shape: every
+    # window is partitioned by __pid (no single-task global ORDER BY),
+    # and the final frame is a materialized localCheckpoint scan
+    from deepchecks_spark.pipeline.packing import select_by_token_budget
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = select_by_token_budget(docs, "doc_id", "text", "n_chars", 10_000)
+    plan = _plan(out)
+    assert "ExistingRDD" in plan or "Scan" in plan  # checkpointed, no re-scan lineage
+    import re
+    assert not re.search(r"Window \[[^\]]*windowspecdefinition\(\s*[^,]*__ord", plan)
