@@ -3678,6 +3678,49 @@ def o_corpus_datacard_documents():
     """
 
 
+def q_warc_roundtrip_documents(spark, sf_dir):
+    """WARC (ISO 28500) ingestion round-trip: serialize each document as
+    a two-record WARC blob (metadata + resource) with pure-JVM concat/
+    encode arithmetic, then parse it back through the shuffle-free
+    Arrow-batched mapInPandas reader — proving the crawl-onboarding path
+    (corpus/warc.py) is an exact inverse of the export path, headers
+    (URI / Date / Content-Length) included."""
+    from deepchecks_spark.corpus.warc import parse_warc, warc_record_expr
+
+    df = _t(spark, sf_dir, "documents")
+    crawl = df.select(
+        F.concat(F.lit("https://example.com/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("html"),
+    )
+    blobs = crawl.select(F.concat(
+        warc_record_expr(F.lit("urn:meta"), "warc_ts",
+                         F.encode(F.lit("m"), "UTF-8"), record_type="metadata"),
+        warc_record_expr("url", "warc_ts", "html", record_type="resource"),
+    ).alias("content"))
+    parsed = parse_warc(blobs, "content", record_types=("resource",))
+    return parsed.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        F.decode("payload", "UTF-8").alias("payload_text"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+def o_warc_roundtrip_documents():
+    # the blob is built from documents deterministically, so the parsed
+    # output must equal this direct projection byte-for-byte
+    return """
+    SELECT 'https://example.com/' || doc_id::VARCHAR AS url,
+           strftime(TIMESTAMP '2025-01-01 00:00:00'
+                    + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+           coalesce(text, '') AS payload_text,
+           octet_length(encode(coalesce(text, ''))) AS n_bytes
+    FROM documents
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3691,6 +3734,7 @@ def _ctx(ds):
 QUERIES = {
     # never-driver-verified queries FIRST: the driver's correctness run
     # caps at the first 50 entries of this dict (VERDICT r4 next-1).
+    "warc_roundtrip_documents": q_warc_roundtrip_documents,
     "token_budget_selection_documents": q_token_budget_selection_documents,
     "latest_crawl_documents": q_latest_crawl_documents,
     "corpus_datacard_documents": q_corpus_datacard_documents,
@@ -3792,6 +3836,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "warc_roundtrip_documents": o_warc_roundtrip_documents(),
     "token_budget_selection_documents": o_token_budget_selection_documents(),
     "latest_crawl_documents": o_latest_crawl_documents(),
     "corpus_datacard_documents": o_corpus_datacard_documents(),
