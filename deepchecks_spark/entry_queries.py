@@ -3708,6 +3708,70 @@ def q_warc_roundtrip_documents(spark, sf_dir):
     )
 
 
+def q_metric_anomalies_events(spark, sf_dir):
+    """Deequ-style metric-history anomaly detection: the per-day event
+    counts per event_type form a metric history; the LATEST day of each
+    metric is scored against its trailing history with the relative-
+    change and z-score strategies — one groupBy(metric) with O(runs)
+    bounded per-metric state, all JVM higher-order-function arithmetic."""
+    from deepchecks_spark.checks.anomaly import metric_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    hist = (
+        ev.where(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("metric"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("long").alias("run_ts"))
+        .agg(F.count("*").cast("double").alias("value")))
+    return metric_anomalies(hist, max_relative_change=0.25, z_threshold=2.0)
+
+
+def o_metric_anomalies_events():
+    return """
+    WITH h AS (
+      SELECT event_type AS metric,
+             datediff('day', DATE '1970-01-01', ts::DATE) AS run_ts,
+             count(*)::DOUBLE AS v
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY metric ORDER BY run_ts DESC) AS rn
+      FROM h),
+    latest AS (SELECT metric, run_ts AS latest_ts, v AS latest_value
+               FROM ranked WHERE rn = 1),
+    prev AS (SELECT metric, v AS prev_value FROM ranked WHERE rn = 2),
+    hist AS (SELECT metric, count(*) AS n_hist, avg(v) AS mean_hist,
+                    stddev_samp(v) AS std_hist
+             FROM ranked WHERE rn > 1 GROUP BY metric),
+    joined AS (
+      SELECT l.metric, l.latest_ts, l.latest_value, p.prev_value,
+             coalesce(h.n_hist, 0) AS n_hist,
+             CASE WHEN p.prev_value IS NOT NULL AND p.prev_value != 0
+                  THEN round((l.latest_value - p.prev_value)
+                             / abs(p.prev_value), 6) END AS rel_change,
+             round(h.mean_hist, 6) AS mean_hist,
+             round(h.std_hist, 6) AS std_hist,
+             CASE WHEN h.n_hist >= 3 AND h.std_hist > 0
+                  THEN round((l.latest_value - h.mean_hist) / h.std_hist, 6)
+                  END AS z_score
+      FROM latest l LEFT JOIN prev p USING (metric)
+                    LEFT JOIN hist h USING (metric)),
+    flagged AS (
+      SELECT *,
+        concat_ws(',',
+          CASE WHEN rel_change IS NOT NULL AND abs(rel_change) > 0.25
+               THEN 'max_relative_change' END,
+          CASE WHEN z_score IS NOT NULL AND abs(z_score) > 2.0
+               THEN 'z_threshold' END) AS failed_rules
+      FROM joined)
+    SELECT metric, latest_ts, latest_value, prev_value, n_hist, rel_change,
+           mean_hist, std_hist, z_score, failed_rules,
+           CASE WHEN failed_rules = '' THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM flagged
+    """
+
+
 def o_warc_roundtrip_documents():
     # the blob is built from documents deterministically, so the parsed
     # output must equal this direct projection byte-for-byte
@@ -3735,6 +3799,7 @@ QUERIES = {
     # never-driver-verified queries FIRST: the driver's correctness run
     # caps at the first 50 entries of this dict (VERDICT r4 next-1).
     "warc_roundtrip_documents": q_warc_roundtrip_documents,
+    "metric_anomalies_events": q_metric_anomalies_events,
     "token_budget_selection_documents": q_token_budget_selection_documents,
     "latest_crawl_documents": q_latest_crawl_documents,
     "corpus_datacard_documents": q_corpus_datacard_documents,
@@ -3837,6 +3902,7 @@ QUERIES = {
 
 ORACLES = {
     "warc_roundtrip_documents": o_warc_roundtrip_documents(),
+    "metric_anomalies_events": o_metric_anomalies_events(),
     "token_budget_selection_documents": o_token_budget_selection_documents(),
     "latest_crawl_documents": o_latest_crawl_documents(),
     "corpus_datacard_documents": o_corpus_datacard_documents(),

@@ -7,6 +7,9 @@ output surface —
   * ``violations``          offending rows: (check, column,
                             offending_value, count, percent, partition_id)
   * ``metrics``             per-partition per-column statistics table
+  * ``constraint_verdicts`` (with --constraints) declarative contract
+  * ``anomaly_verdicts``    (with --metrics-history) Deequ-style
+                            metric-over-run-history anomaly scores
 
 with snapshot-pinned checkpoint/resume: a manifest records the input
 fingerprint and completed stages; re-running with the same input skips
@@ -552,6 +555,31 @@ def metrics_rows(ds: Dataset, per_part: dict | None = None) -> list:
     return rows
 
 
+def global_metric_rows(per_part: dict) -> list:
+    """Run-level metric set for the metrics-history table, derived
+    driver-side from the per-partition stats (no extra scan) using only
+    exactly-mergeable statistics: row count, per-column null fraction,
+    numeric min/max. Non-mergeable stats (stddev, HLL estimates) stay in
+    the per-run metrics table and out of the history."""
+    total = sum(s.n_rows for s in per_part.values())
+    out = [("rows", float(total))]
+    cols: dict = {}
+    for s in per_part.values():
+        for c, st in s.per_column.items():
+            agg = cols.setdefault(c, {"nulls": 0, "min": None, "max": None})
+            agg["nulls"] += st.get("null_count", 0)
+            for k, f in (("min", min), ("max", max)):
+                v = st.get(k)
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    agg[k] = v if agg[k] is None else f(agg[k], v)
+    for c, agg in sorted(cols.items()):
+        out.append((f"{c}.null_frac", (agg["nulls"] / total) if total else 0.0))
+        if agg["min"] is not None:
+            out.append((f"{c}.min", float(agg["min"])))
+            out.append((f"{c}.max", float(agg["max"])))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # the job
 # ---------------------------------------------------------------------------
@@ -564,7 +592,9 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
             prediction_column: str | None = None,
             probability_columns: dict | None = None,
             task_type: str = "classification",
-            constraints: list | None = None) -> dict:
+            constraints: list | None = None,
+            metrics_history: str | None = None,
+            anomaly_rules: dict | None = None) -> dict:
     """Execute the integrity suite with per-partition lineage and
     checkpointed stage outputs. Returns the manifest dict."""
     os.makedirs(output_dir, exist_ok=True)
@@ -743,6 +773,28 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
             glob = glob.unionByName(per)
         write_table(glob, os.path.join(output_dir, "constraint_verdicts"))
 
+    def _anomaly():
+        # Deequ-style metric-history anomaly detection: append this run's
+        # global metrics to the (cross-run) history table, then score the
+        # latest value of every metric against its own trailing history.
+        # Resume-safe: the stage is manifest-gated, so a resumed run never
+        # double-appends. run_ts is the next integer run index, derived
+        # from the existing history so histories survive process restarts.
+        from deepchecks_spark.checks.anomaly import metric_anomalies
+
+        try:
+            prior = spark.read.parquet(metrics_history)
+            next_ts = (prior.agg(F.max("run_ts")).first()[0] or 0) + 1
+        except Exception:  # first run: no history yet
+            next_ts = 1
+        rows = [(m, next_ts, v) for m, v in global_metric_rows(_per_part())]
+        new = spark.createDataFrame(
+            rows, "metric string, run_ts bigint, value double")
+        write_table(new, metrics_history, mode="append")
+        rules = anomaly_rules or {"max_relative_change": 0.5, "z_threshold": 3.0}
+        out = metric_anomalies(spark.read.parquet(metrics_history), **rules)
+        write_table(out, os.path.join(output_dir, "anomaly_verdicts"))
+
     stages = [
         ("global_verdicts", _global_verdicts),
         ("partition_verdicts", _partition_verdicts),
@@ -751,6 +803,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
     ]
     if constraints:
         stages.append(("constraint_verdicts", _constraint_verdicts))
+    if metrics_history:
+        stages.append(("anomaly", _anomaly))
     try:
         if concurrent_stages:
             # the four stages are independent reads of the cached input;
@@ -798,6 +852,13 @@ def main(argv=None):
                         help="path to a JSON list of constraint specs "
                              '(e.g. [{"kind": "not_null", "column": "url"}]) '
                              "evaluated into the constraint_verdicts table")
+    parser.add_argument("--metrics-history", default=None,
+                        help="path of the cross-run metrics-history table; "
+                             "enables the anomaly stage (appends this run's "
+                             "global metrics, writes anomaly_verdicts)")
+    parser.add_argument("--anomaly-rules", default=None,
+                        help='JSON rule dict for the anomaly stage, e.g. '
+                             '{"max_relative_change": 0.5, "z_threshold": 3}')
     args = parser.parse_args(argv)
     from deepchecks_spark.session import get_spark
 
@@ -812,6 +873,9 @@ def main(argv=None):
         task_type=args.task_type,
         constraints=(json.load(open(args.constraints))
                      if args.constraints else None),
+        metrics_history=args.metrics_history,
+        anomaly_rules=(json.loads(args.anomaly_rules)
+                       if args.anomaly_rules else None),
     )
     print(json.dumps(manifest))
 
