@@ -426,3 +426,163 @@ def fused_constraint_agg(df: DataFrame, constraints: list):
     for i, s in enumerate(row_local):
         aggs.append(F.sum(_violation_expr(s)).alias(f"__v{i}"))
     return df.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# constraint suggestion (profile -> contract)
+# ---------------------------------------------------------------------------
+
+# full-match pattern for "this string column is really an integer" —
+# also the executable follow-up constraint for the integral_string rule
+INTEGRAL_STRING_PATTERN = r"[+-]?\d+"
+
+_NUMERIC_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def suggest_constraints(df: DataFrame, max_set_size: int = 20,
+                        unique_triage: float = 0.9,
+                        set_triage_factor: float = 2.0) -> DataFrame:
+    """Profile ``df`` and emit a suggested constraint contract (the
+    Deequ ConstraintSuggestion workflow, VLDB'18 §4 — public semantics,
+    no code derived; the reference deepchecks has no suggestion surface,
+    its Dataset infers dtypes only). One row per suggestion::
+
+        column, kind, lo, hi, values
+
+    Rules (every rule is EXACT on the data — the approximate sketches
+    below only choose which columns get the exact confirmation pass):
+
+    * ``not_null``        — column has zero NULLs (any type);
+    * ``unique``          — exact distinct count == row count and zero
+      NULLs (atomic types);
+    * ``in_range``        — numeric column: observed [min, max];
+    * ``in_set``          — string column with ≤ ``max_set_size`` exact
+      distinct non-NULL values; ``values`` is the sorted JSON array;
+    * ``integral_string`` — string column whose every non-NULL value
+      fully matches ``[+-]?\\d+`` (Deequ's RetainTypeRule shape); the
+      executable form is ``matches_regex(col, INTEGRAL_STRING_PATTERN)``.
+
+    Feed the output to :func:`suggestions_to_specs` →
+    :func:`validate_constraints` to pin the contract and diff every new
+    snapshot against it.
+
+    Scale shape: pass 1 is ONE fused aggregation over ONE scan — row
+    count, per-column null counts, numeric min/max, integral-string
+    match counts, and one ``approx_count_distinct`` (HLL, rsd 0.05) per
+    atomic column (HLL is an ObjectHashAggregate — still a single scan,
+    no Expand). The HLL estimates are used ONLY as triage: columns with
+    estimated distinctness ≥ ``unique_triage`` (and zero NULLs) get an
+    exact ``count_distinct`` confirmation in pass 2 (k candidates ⇒
+    Expand factor k+1 over a k-column projection — the same documented
+    trade as the unique-constraint validator; candidates are typically
+    the handful of id-like columns). String columns with estimated
+    cardinality ≤ ``max_set_size × set_triage_factor`` get pass 3: one
+    melted distinct over the pruned string projection, counted per
+    column, and ONLY columns whose exact count ≤ ``max_set_size``
+    collect their value lists — every driver collect is
+    O(columns × max_set_size), never data-sized. A truly-unique /
+    truly-small-set column is never lost to triage: HLL at rsd 0.05
+    stays far inside the 1/``unique_triage`` and ``set_triage_factor``
+    slack, and the estimate is deterministic for a given dataset, so
+    the DuckDB oracle (which applies the exact rules directly) agrees.
+    """
+    import json
+
+    if max_set_size < 1:
+        raise ValueError("max_set_size must be >= 1")
+    atomic = {}
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t in _NUMERIC_TYPES or t in ("string", "boolean", "date", "timestamp") \
+                or t.startswith("decimal"):
+            atomic[f.name] = t
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .alias(f"__nulls__{c}"))
+    for c, t in atomic.items():
+        aggs.append(F.approx_count_distinct(c, rsd=0.05).alias(f"__apx__{c}"))
+        if t in _NUMERIC_TYPES or t.startswith("decimal"):
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"__min__{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"__max__{c}"))
+        elif t == "string":
+            aggs.append(F.sum(
+                F.when(F.col(c).rlike(f"^(?:{INTEGRAL_STRING_PATTERN})$"), 1)
+                .otherwise(0)).alias(f"__int__{c}"))
+    prof = df.agg(*aggs).collect()[0]
+    n = prof["__n"]
+
+    nulls = {c: int(prof[f"__nulls__{c}"] or 0) for c in df.columns}
+    uniq_cand = [c for c in atomic
+                 if n > 0 and nulls[c] == 0
+                 and prof[f"__apx__{c}"] / n >= unique_triage]
+    exact_distinct = {}
+    if uniq_cand:
+        row = df.select(*uniq_cand).agg(
+            *[F.count_distinct(F.col(c)).alias(c) for c in uniq_cand]).collect()[0]
+        exact_distinct = {c: row[c] for c in uniq_cand}
+
+    set_cand = [c for c, t in atomic.items()
+                if t == "string" and n > 0 and nulls[c] < n
+                and prof[f"__apx__{c}"] <= max_set_size * set_triage_factor]
+    set_values = {}
+    if set_cand:
+        melted = df.select(F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"), F.col(c).alias("v"))
+            for c in set_cand])).alias("s")) \
+            .select("s.c", "s.v").filter(F.col("v").isNotNull()).distinct()
+        counts = {r["c"]: r["cnt"] for r in
+                  melted.groupBy("c").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        keep = [c for c in set_cand if 1 <= counts.get(c, 0) <= max_set_size]
+        if keep:
+            for r in melted.filter(F.col("c").isin(keep)).collect():
+                set_values.setdefault(r["c"], []).append(r["v"])
+
+    rows = []
+    for c in df.columns:
+        t = atomic.get(c)
+        if n > 0 and nulls[c] == 0:
+            rows.append((c, "not_null", None, None, None))
+        if c in exact_distinct and exact_distinct[c] == n:
+            rows.append((c, "unique", None, None, None))
+        if t and (t in _NUMERIC_TYPES or t.startswith("decimal")) and nulls[c] < n:
+            rows.append((c, "in_range", float(prof[f"__min__{c}"]),
+                         float(prof[f"__max__{c}"]), None))
+        if c in set_values:
+            rows.append((c, "in_set", None, None,
+                         json.dumps(sorted(set_values[c]), separators=(",", ":"))))
+        if t == "string" and (n - nulls[c]) > 0 \
+                and int(prof[f"__int__{c}"] or 0) == n - nulls[c]:
+            rows.append((c, "integral_string", None, None, None))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return df.sparkSession.createDataFrame(
+        rows, "column string, kind string, lo double, hi double, values string")
+
+
+def suggestions_to_specs(suggestions) -> list:
+    """Turn :func:`suggest_constraints` output (DataFrame or collected
+    rows) into executable constraint specs for
+    :func:`validate_constraints`. The collect is O(columns × rules).
+    ``integral_string`` compiles to its executable form,
+    ``matches_regex(col, INTEGRAL_STRING_PATTERN)``."""
+    import json
+
+    if isinstance(suggestions, DataFrame):
+        suggestions = suggestions.collect()
+    specs = []
+    for r in suggestions:
+        kind = r["kind"]
+        if kind == "not_null":
+            specs.append(not_null(r["column"]))
+        elif kind == "unique":
+            specs.append(unique(r["column"]))
+        elif kind == "in_range":
+            specs.append(in_range(r["column"], r["lo"], r["hi"]))
+        elif kind == "in_set":
+            specs.append(in_set(r["column"], json.loads(r["values"])))
+        elif kind == "integral_string":
+            specs.append(matches_regex(r["column"], INTEGRAL_STRING_PATTERN))
+        else:
+            raise ValueError(f"unknown suggestion kind: {kind}")
+    return specs

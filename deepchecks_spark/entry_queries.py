@@ -3708,6 +3708,62 @@ def q_warc_roundtrip_documents(spark, sf_dir):
     )
 
 
+def q_suggest_constraints_orders(spark, sf_dir):
+    """Deequ-style constraint suggestion (profile -> contract): one
+    fused single-scan profile pass (nulls / numeric min-max /
+    integral-string counts / HLL cardinality triage), then exact
+    confirmation passes for unique and in_set candidates only. The
+    oracle applies the same EXACT rules directly — the HLL estimates
+    never decide a suggestion, only which columns get the exact pass."""
+    from deepchecks_spark.checks.constraints import suggest_constraints
+
+    return suggest_constraints(_t(spark, sf_dir, "orders"), max_set_size=20)
+
+
+def o_suggest_constraints_orders():
+    # the exact-rule twin of suggest_constraints over orders: not_null
+    # (zero NULLs), unique (exact distinct == rows, zero NULLs),
+    # in_range (numeric observed min/max), in_set (string, <=20 exact
+    # distinct values, sorted JSON), integral_string (every non-NULL
+    # value fully matches [+-]?\d+)
+    cols = [
+        ("o_orderkey", "num"), ("o_custkey", "num"),
+        ("o_orderstatus", "str"), ("o_totalprice", "num"),
+        ("o_orderdate", "other"), ("o_orderpriority", "str"),
+    ]
+    stats, rules = [], []
+    for c, t in cols:
+        stats.append(f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS d_{c}")
+        rules.append(
+            f"SELECT '{c}' AS \"column\", 'not_null' AS kind, NULL::DOUBLE AS lo, "
+            f"NULL::DOUBLE AS hi, NULL::VARCHAR AS \"values\" FROM t "
+            f"WHERE n > 0 AND nn_{c} = n")
+        rules.append(
+            f"SELECT '{c}', 'unique', NULL::DOUBLE, NULL::DOUBLE, NULL::VARCHAR "
+            f"FROM t WHERE n > 0 AND nn_{c} = n AND d_{c} = n")
+        if t == "num":
+            stats.append(f"min({c})::DOUBLE AS mn_{c}, max({c})::DOUBLE AS mx_{c}")
+            rules.append(
+                f"SELECT '{c}', 'in_range', mn_{c}, mx_{c}, NULL::VARCHAR "
+                f"FROM t WHERE nn_{c} > 0")
+        elif t == "str":
+            stats.append(
+                f"coalesce(sum(CASE WHEN regexp_full_match({c}, '[+-]?\\d+') "
+                f"THEN 1 ELSE 0 END), 0) AS int_{c}")
+            rules.append(
+                f"SELECT '{c}', 'in_set', NULL::DOUBLE, NULL::DOUBLE, "
+                f"(SELECT to_json(list_sort(list(DISTINCT {c}))) FROM orders "
+                f"WHERE {c} IS NOT NULL) FROM t WHERE d_{c} BETWEEN 1 AND 20")
+            rules.append(
+                f"SELECT '{c}', 'integral_string', NULL::DOUBLE, NULL::DOUBLE, "
+                f"NULL::VARCHAR FROM t WHERE nn_{c} > 0 AND int_{c} = nn_{c}")
+    return (
+        "WITH t AS (SELECT count(*) AS n, " + ", ".join(stats)
+        + " FROM orders) SELECT * FROM (" + " UNION ALL ".join(rules)
+        + ") ORDER BY \"column\", kind"
+    )
+
+
 def q_metric_anomalies_events(spark, sf_dir):
     """Deequ-style metric-history anomaly detection: the per-day event
     counts per event_type form a metric history; the LATEST day of each
@@ -3800,6 +3856,7 @@ QUERIES = {
     # caps at the first 50 entries of this dict (VERDICT r4 next-1).
     "warc_roundtrip_documents": q_warc_roundtrip_documents,
     "metric_anomalies_events": q_metric_anomalies_events,
+    "suggest_constraints_orders": q_suggest_constraints_orders,
     "token_budget_selection_documents": q_token_budget_selection_documents,
     "latest_crawl_documents": q_latest_crawl_documents,
     "corpus_datacard_documents": q_corpus_datacard_documents,
@@ -3903,6 +3960,7 @@ QUERIES = {
 ORACLES = {
     "warc_roundtrip_documents": o_warc_roundtrip_documents(),
     "metric_anomalies_events": o_metric_anomalies_events(),
+    "suggest_constraints_orders": o_suggest_constraints_orders(),
     "token_budget_selection_documents": o_token_budget_selection_documents(),
     "latest_crawl_documents": o_latest_crawl_documents(),
     "corpus_datacard_documents": o_corpus_datacard_documents(),

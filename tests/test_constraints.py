@@ -310,3 +310,78 @@ def test_semantic_decontamination_all_null_benchmark_raises(spark):
                                   "id long, embedding array<double>")
     with pytest.raises(ValueError, match="non-NULL embeddings"):
         semantic_decontamination(corpus, bench, "id", "embedding")
+
+
+def test_suggest_constraints_rule_semantics(spark):
+    from deepchecks_spark.checks.constraints import (
+        suggest_constraints, suggestions_to_specs)
+
+    df = spark.createDataFrame(
+        [(1, "a", "7", 2.5, None),
+         (2, "b", "-3", 9.0, "x"),
+         (3, "a", "12", 2.5, "y"),
+         (4, None, "0", 4.0, "z")],
+        "id long, cat string, numstr string, val double, gappy string")
+    got = {(r["column"], r["kind"]): r for r in suggest_constraints(
+        df, max_set_size=3).collect()}
+    assert set(got) == {
+        ("id", "not_null"), ("id", "unique"), ("id", "in_range"),
+        ("cat", "in_set"),                        # 'a','b' <= 3; has a NULL
+        ("numstr", "not_null"), ("numstr", "unique"),
+        ("numstr", "integral_string"),  # 4 distinct > max_set_size: no in_set
+        ("val", "not_null"), ("val", "in_range"),
+        ("gappy", "in_set"),
+    }
+    assert (got[("id", "in_range")]["lo"], got[("id", "in_range")]["hi"]) == (1.0, 4.0)
+    assert got[("cat", "in_set")]["values"] == '["a","b"]'
+    assert got[("val", "in_range")]["hi"] == 9.0
+    # the suggested contract must validate cleanly on the table it came from
+    verdicts = validate_constraints(df, suggestions_to_specs(
+        suggest_constraints(df, max_set_size=3)))
+    assert all(r["passed"] for r in verdicts.collect())
+
+
+def test_suggest_constraints_bounds_and_empty(spark):
+    from deepchecks_spark.checks.constraints import suggest_constraints
+
+    # high-cardinality string: no in_set suggestion, nothing data-sized
+    # ever collected (the value collect is gated by the exact count)
+    wide = spark.range(500).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("s"))
+    kinds = {(r["column"], r["kind"])
+             for r in suggest_constraints(wide, max_set_size=5).collect()}
+    assert ("s", "in_set") not in kinds
+    assert ("s", "not_null") in kinds and ("id", "unique") in kinds
+    # empty table: no value-based suggestions at all
+    empty = spark.createDataFrame([], "a long, b string")
+    assert suggest_constraints(empty).count() == 0
+    with pytest.raises(ValueError):
+        suggest_constraints(wide, max_set_size=0)
+
+
+def test_suggest_constraints_profile_plan_single_scan_no_expand(spark, tmp_path):
+    from deepchecks_spark.checks.constraints import (
+        INTEGRAL_STRING_PATTERN, _NUMERIC_TYPES)
+
+    path = str(tmp_path / "prof")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).cast("double").alias("v"),
+        F.concat(F.lit("c"), (F.col("id") % 3)).alias("c")).write.parquet(path)
+    df = spark.read.parquet(path)
+    # rebuild the pass-1 fused profile exactly as suggest_constraints does
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .alias(f"__nulls__{c}"))
+        aggs.append(F.approx_count_distinct(c, rsd=0.05).alias(f"__apx__{c}"))
+        t = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[c]
+        if t in _NUMERIC_TYPES:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"__min__{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"__max__{c}"))
+        elif t == "string":
+            aggs.append(F.sum(
+                F.when(F.col(c).rlike(f"^(?:{INTEGRAL_STRING_PATTERN})$"), 1)
+                .otherwise(0)).alias(f"__int__{c}"))
+    plan = df.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" not in plan, plan
