@@ -10,6 +10,8 @@ output surface —
   * ``constraint_verdicts`` (with --constraints) declarative contract
   * ``anomaly_verdicts``    (with --metrics-history) Deequ-style
                             metric-over-run-history anomaly scores
+  * ``suggested_constraints`` (with --suggest-constraints) profiled
+                            contract suggestions (pin as --constraints)
 
 with snapshot-pinned checkpoint/resume: a manifest records the input
 fingerprint and completed stages; re-running with the same input skips
@@ -594,7 +596,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
             task_type: str = "classification",
             constraints: list | None = None,
             metrics_history: str | None = None,
-            anomaly_rules: dict | None = None) -> dict:
+            anomaly_rules: dict | None = None,
+            suggest: bool = False) -> dict:
     """Execute the integrity suite with per-partition lineage and
     checkpointed stage outputs. Returns the manifest dict."""
     os.makedirs(output_dir, exist_ok=True)
@@ -610,7 +613,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
               "prediction_column": prediction_column,
               "probability_columns": probability_columns,
               "task_type": task_type,
-              "constraints": constraints}
+              "constraints": constraints,
+              "suggest": suggest}
     manifest = {"fingerprint": fingerprint, "input": input_path,
                 "params": params, "stages": {}, "run_id": f"run-{fingerprint}"}
     if resume and os.path.exists(manifest_path):
@@ -795,6 +799,15 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         out = metric_anomalies(spark.read.parquet(metrics_history), **rules)
         write_table(out, os.path.join(output_dir, "anomaly_verdicts"))
 
+    def _suggest():
+        # profile -> suggested contract (checks/constraints.py): the
+        # output is O(columns x rules) rows; a user pins the table as
+        # next run's --constraints to close the suggest->validate loop
+        from deepchecks_spark.checks.constraints import suggest_constraints
+
+        write_table(suggest_constraints(ds.df),
+                    os.path.join(output_dir, "suggested_constraints"))
+
     stages = [
         ("global_verdicts", _global_verdicts),
         ("partition_verdicts", _partition_verdicts),
@@ -805,6 +818,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         stages.append(("constraint_verdicts", _constraint_verdicts))
     if metrics_history:
         stages.append(("anomaly", _anomaly))
+    if suggest:
+        stages.append(("suggested_constraints", _suggest))
     try:
         if concurrent_stages:
             # the four stages are independent reads of the cached input;
@@ -859,6 +874,10 @@ def main(argv=None):
     parser.add_argument("--anomaly-rules", default=None,
                         help='JSON rule dict for the anomaly stage, e.g. '
                              '{"max_relative_change": 0.5, "z_threshold": 3}')
+    parser.add_argument("--suggest-constraints", action="store_true",
+                        help="profile the input and write a "
+                             "suggested_constraints table (pin it as the "
+                             "next run's --constraints)")
     args = parser.parse_args(argv)
     from deepchecks_spark.session import get_spark
 
@@ -876,6 +895,7 @@ def main(argv=None):
         metrics_history=args.metrics_history,
         anomaly_rules=(json.loads(args.anomaly_rules)
                        if args.anomaly_rules else None),
+        suggest=args.suggest_constraints,
     )
     print(json.dumps(manifest))
 

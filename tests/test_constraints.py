@@ -385,3 +385,28 @@ def test_suggest_constraints_profile_plan_single_scan_no_expand(spark, tmp_path)
     plan = df.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" not in plan, plan
+
+
+def test_run_job_suggest_constraints_stage(spark, tmp_path):
+    """run_job(suggest=True) writes suggested_constraints, and the
+    suggested contract validates cleanly on the table it was profiled
+    from (the suggest -> pin -> validate loop)."""
+    from deepchecks_spark.checks.constraints import suggestions_to_specs
+    from deepchecks_spark.runner import run_job
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"t{i}", "en" if i % 2 else "fr", float(i) / 2)
+         for i in range(100)],
+        "id long, text string, lang string, score double"
+    ).repartition(4).write.parquet(src)
+    out = str(tmp_path / "out")
+    run_job(spark, src, out, resume=False, concurrent_stages=False,
+            suggest=True)
+    sug = spark.read.parquet(f"{out}/suggested_constraints")
+    got = {(r["column"], r["kind"]) for r in sug.collect()}
+    assert ("id", "unique") in got and ("lang", "in_set") in got
+    assert ("score", "in_range") in got
+    verdicts = validate_constraints(
+        spark.read.parquet(src), suggestions_to_specs(sug))
+    assert all(r["passed"] for r in verdicts.collect())
