@@ -586,3 +586,34 @@ def suggestions_to_specs(suggestions) -> list:
         else:
             raise ValueError(f"unknown suggestion kind: {kind}")
     return specs
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema evolution between two snapshots of a table (the metadata
+    half of snapshot-over-snapshot drift — the stats half is
+    pipeline/webclean.py's corpus snapshot drift). One row per column
+    name seen in either schema::
+
+        column, status, dtype_old, dtype_new
+
+    ``status`` ∈ {added, removed, type_changed, unchanged}; dtypes are
+    Spark ``simpleString`` names. Driver-side schema comparison only —
+    ZERO Spark jobs, so it is safe to run against a 10^12-row snapshot
+    pair before deciding whether the expensive stats passes even apply
+    (a type_changed / removed column usually means the contract, not
+    the data, must move first). Deterministic: sorted by column name."""
+    a = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    b = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(set(a) | set(b)):
+        if c not in b:
+            status = "removed"
+        elif c not in a:
+            status = "added"
+        elif a[c] != b[c]:
+            status = "type_changed"
+        else:
+            status = "unchanged"
+        rows.append((c, status, a.get(c), b.get(c)))
+    return old.sparkSession.createDataFrame(
+        rows, "column string, status string, dtype_old string, dtype_new string")

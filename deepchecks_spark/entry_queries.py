@@ -3764,6 +3764,49 @@ def o_suggest_constraints_orders():
     )
 
 
+def q_schema_diff_documents(spark, sf_dir):
+    """Snapshot-over-snapshot schema evolution: the old snapshot is
+    documents as stored; the new snapshot drops `source`, narrows
+    `n_chars` to int, and adds a `quality` column — schema_diff reports
+    added / removed / type_changed / unchanged per column from the
+    schemas alone (zero jobs). The oracle derives BOTH schemas through
+    DuckDB's information_schema / DESCRIBE and applies the same diff."""
+    from deepchecks_spark.checks.constraints import schema_diff
+
+    old = _t(spark, sf_dir, "documents")
+    new = (old.drop("source")
+           .withColumn("n_chars", F.col("n_chars").cast("int"))
+           .withColumn("quality", F.lit(0.0)))
+    return schema_diff(old, new)
+
+
+def o_schema_diff_documents():
+    # map DuckDB type names onto Spark simpleString names so the diff
+    # compares like-for-like
+    def m(col):
+        return (f"CASE {col} WHEN 'BIGINT' THEN 'bigint' "
+                f"WHEN 'INTEGER' THEN 'int' WHEN 'VARCHAR' THEN 'string' "
+                f"WHEN 'DOUBLE' THEN 'double' "
+                f"WHEN 'TIMESTAMP' THEN 'timestamp' ELSE lower({col}) END")
+    return f"""
+    WITH old AS (
+      SELECT column_name AS c, {m('data_type')} AS t
+      FROM information_schema.columns WHERE table_name = 'documents'),
+    new AS (
+      SELECT column_name AS c, {m('column_type')} AS t
+      FROM (DESCRIBE SELECT doc_id, text, lang, n_chars::INTEGER AS n_chars,
+            0.0::DOUBLE AS quality FROM documents))
+    SELECT coalesce(o.c, n.c) AS "column",
+           CASE WHEN n.c IS NULL THEN 'removed'
+                WHEN o.c IS NULL THEN 'added'
+                WHEN o.t != n.t THEN 'type_changed'
+                ELSE 'unchanged' END AS status,
+           o.t AS dtype_old, n.t AS dtype_new
+    FROM old o FULL OUTER JOIN new n ON o.c = n.c
+    ORDER BY 1
+    """
+
+
 def q_metric_anomalies_events(spark, sf_dir):
     """Deequ-style metric-history anomaly detection: the per-day event
     counts per event_type form a metric history; the LATEST day of each
@@ -3857,6 +3900,7 @@ QUERIES = {
     "warc_roundtrip_documents": q_warc_roundtrip_documents,
     "metric_anomalies_events": q_metric_anomalies_events,
     "suggest_constraints_orders": q_suggest_constraints_orders,
+    "schema_diff_documents": q_schema_diff_documents,
     "token_budget_selection_documents": q_token_budget_selection_documents,
     "latest_crawl_documents": q_latest_crawl_documents,
     "corpus_datacard_documents": q_corpus_datacard_documents,
@@ -3961,6 +4005,7 @@ ORACLES = {
     "warc_roundtrip_documents": o_warc_roundtrip_documents(),
     "metric_anomalies_events": o_metric_anomalies_events(),
     "suggest_constraints_orders": o_suggest_constraints_orders(),
+    "schema_diff_documents": o_schema_diff_documents(),
     "token_budget_selection_documents": o_token_budget_selection_documents(),
     "latest_crawl_documents": o_latest_crawl_documents(),
     "corpus_datacard_documents": o_corpus_datacard_documents(),

@@ -410,3 +410,22 @@ def test_run_job_suggest_constraints_stage(spark, tmp_path):
     verdicts = validate_constraints(
         spark.read.parquet(src), suggestions_to_specs(sug))
     assert all(r["passed"] for r in verdicts.collect())
+
+
+def test_schema_diff_semantics_and_zero_jobs(spark):
+    from deepchecks_spark.checks.constraints import schema_diff
+
+    old = spark.createDataFrame([], "a long, b string, c double")
+    new = spark.createDataFrame([], "a int, b string, d timestamp")
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    rows = [tuple(r) for r in schema_diff(old, new).collect()]
+    assert rows == [
+        ("a", "type_changed", "bigint", "int"),
+        ("b", "unchanged", "string", "string"),
+        ("c", "removed", "double", None),
+        ("d", "added", None, "timestamp"),
+    ]
+    # the diff itself launches no jobs on the input frames — collect of
+    # the 4-row local result is the only work
+    assert len(tracker.getJobIdsForGroup() or []) - jobs_before <= 1
