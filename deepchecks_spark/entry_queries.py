@@ -3247,6 +3247,28 @@ def o_incremental_dedup_documents():
     """
 
 
+def q_bloom_incremental_dedup_documents(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup: same semantics and oracle
+    as incremental_dedup_documents, but the corpus side is never
+    hash-partitioned — one map-only bloom-build pass plus a broadcast
+    semi-join verification scan (pipeline/dedup.py::incremental_dedup_bloom).
+    Identical output is the point: the bloom has no false negatives and
+    every positive is exactly verified."""
+    from deepchecks_spark.pipeline.dedup import incremental_dedup_bloom
+
+    df = _t(spark, sf_dir, "documents")
+    seen = df.filter(F.col("doc_id") % 2 == 0)
+    batch = df.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup_bloom(
+        batch, seen, "doc_id", "text", fpp=0.01).select(
+        "doc_id", "lang", "source")
+
+
+def o_bloom_incremental_dedup_documents():
+    # bit-identical to the exact incremental path by construction
+    return o_incremental_dedup_documents()
+
+
 def q_mixture_sampling_documents(spark, sf_dir):
     """DoReMi-style corpus resampling toward a target language mixture:
     en downsampled (w=0.5), de upsampled by replication (w=2.25), fr
@@ -3999,6 +4021,7 @@ QUERIES = {
     "streaming_psi_events": q_streaming_psi_events,
     "multimodal_features_documents": q_multimodal_features_documents,
     "multimodal_dims_documents": q_multimodal_dims_documents,
+    "bloom_incremental_dedup_documents": q_bloom_incremental_dedup_documents,
 }
 
 ORACLES = {
@@ -4114,4 +4137,8 @@ ORACLES = {
     "incremental_dedup_documents": o_incremental_dedup_documents(),
     "mixture_sampling_documents": o_mixture_sampling_documents(),
     "pack_sequences_documents": o_pack_sequences_documents(),
+    # round-5 (continuation): bloom-prefiltered incremental dedup — the
+    # amortized batch-vs-corpus scale shape, oracle shared with the
+    # exact path because the output is provably identical
+    "bloom_incremental_dedup_documents": o_bloom_incremental_dedup_documents(),
 }

@@ -11,6 +11,8 @@ explosion stays map-side local to each partition's aggregation.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -639,3 +641,201 @@ def deduplicate_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
     drop = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col))
     return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-filtered incremental dedup
+# ---------------------------------------------------------------------------
+#
+# incremental_dedup's anti-join hash-partitions the CORPUS side on every
+# batch: 16 bytes/row, but 16 bytes x 10^12 rows is a 16 TB exchange per
+# crawl dump.  The standard production fix (CCNet / RefinedWeb-style
+# dedup services) is a Bloom filter over the corpus hashes: built in ONE
+# map-only corpus pass (no exchange), reused for every subsequent batch,
+# probed with a vectorized Arrow UDF.  Because a Bloom filter has no
+# false negatives, rows it rejects are PROVABLY fresh; only the
+# candidate set (true duplicates + ~fpp of the fresh rows) needs exact
+# verification, and that verification is a broadcast semi-join *into*
+# the corpus scan followed by a broadcast anti-join on the batch — the
+# corpus is scanned, never shuffled.  Output is bit-identical to
+# incremental_dedup (same oracle).
+
+_BLOOM_MAX_BITS = 1 << 36  # 8 GiB bitmap — must fit executor + driver memory
+
+
+def _bloom_geometry(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Textbook Bloom sizing: m = -n·ln(p)/ln(2)² bits, k = (m/n)·ln(2),
+    m rounded up to a whole byte and capped at _BLOOM_MAX_BITS (beyond
+    ~10^10 items the single-bitmap design stops fitting in memory — at
+    full 10^12 corpus scale the extension is P hash-partitioned bitmaps
+    built from one amortized corpus shuffle, probed per batch partition;
+    the cap keeps this implementation honest about its domain)."""
+    import math
+
+    n = max(1, int(expected_items))
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, min(m, _BLOOM_MAX_BITS))
+    m = (m + 7) // 8 * 8
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, min(k, 16)
+
+
+def _bloom_hash_cols(text_col: str):
+    # h1 is the SAME xxhash64(text) the exact path groups on; h2 chains
+    # a constant so the pair is independent enough for
+    # Kirsch-Mitzenmacher double hashing (pos_i = h1 + i*h2 mod m).
+    return (F.xxhash64(F.col(text_col)),
+            F.xxhash64(F.col(text_col), F.lit(1)))
+
+
+def _bloom_positions(h1, h2, i: int, m_bits: int):
+    import numpy as np
+
+    a = h1.astype(np.uint64)
+    b = h2.astype(np.uint64) | np.uint64(1)  # odd step
+    return ((a + np.uint64(i) * b) % np.uint64(m_bits)).astype(np.int64)
+
+
+class TextBloom:
+    """A Bloom filter over xxhash64(text) values: the reusable artifact
+    of one map-only corpus pass.  Build once per corpus snapshot with
+    build_text_bloom; probe any number of later batches."""
+
+    def __init__(self, bitmap, k: int, m_bits: int):
+        self.bitmap = bitmap  # np.uint8 array, m_bits/8 long
+        self.k = k
+        self.m_bits = m_bits
+
+    def might_contain(self, spark, text_col: str):
+        """Boolean Column: True when text MAY be in the corpus (false
+        positives at ~fpp), False when it is PROVABLY absent.  The
+        bitmap ships to executors once via a Spark broadcast; the probe
+        is a vectorized Arrow UDF (numpy gather per batch, no per-row
+        Python)."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        bc = spark.sparkContext.broadcast(self.bitmap.tobytes())
+        k, m_bits = self.k, self.m_bits
+
+        @pandas_udf("boolean")
+        def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+            bm = np.frombuffer(bc.value, dtype=np.uint8)
+            a = h1.to_numpy(dtype=np.int64)
+            b = h2.to_numpy(dtype=np.int64)
+            hit = np.ones(len(a), dtype=bool)
+            for i in range(k):
+                pos = _bloom_positions(a, b, i, m_bits)
+                hit &= ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).astype(bool)
+            return pd.Series(hit)
+
+        c1, c2 = _bloom_hash_cols(text_col)
+        return probe(c1, c2)
+
+
+def build_text_bloom(df: DataFrame, text_col: str,
+                     expected_items: int | None = None,
+                     fpp: float = 0.01) -> TextBloom:
+    """ONE map-only pass over the corpus: each partition folds its rows
+    into a local m-bit numpy bitmap (Arrow batches, k vectorized
+    scatter-ORs per batch), partial bitmaps are OR-merged in a single
+    executor task, and exactly one bitmap row reaches the driver — no
+    corpus exchange, driver memory = m/8 bytes.
+
+    expected_items sizes the filter; pass the snapshot's row count from
+    table metadata at scale (None runs a count() job first).  NULL text
+    hashes to the xxhash64 null constant — the same convention as the
+    exact path, so NULL-duplicate semantics carry over."""
+    import numpy as np
+    import pandas as pd
+
+    if expected_items is None:
+        expected_items = df.count()
+    m_bits, k = _bloom_geometry(expected_items, fpp)
+    nbytes = m_bits // 8
+    c1, c2 = _bloom_hash_cols(text_col)
+    hashes = df.select(c1.alias("__h1"), c2.alias("__h2"))
+
+    def _partition_bitmap(batches):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            a = pdf["__h1"].to_numpy(dtype=np.int64)
+            b = pdf["__h2"].to_numpy(dtype=np.int64)
+            for i in range(k):
+                pos = _bloom_positions(a, b, i, m_bits)
+                np.bitwise_or.at(
+                    bm, pos >> 3,
+                    np.left_shift(1, (pos & 7)).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+    def _or_reduce(batches):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            for raw in pdf["bitmap"]:
+                any_rows = True
+                bm |= np.frombuffer(raw, dtype=np.uint8)
+        if any_rows:
+            yield pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+    merged = (
+        hashes.mapInPandas(_partition_bitmap, schema="bitmap binary")
+        .repartition(1)
+        .mapInPandas(_or_reduce, schema="bitmap binary")
+        .collect()
+    )
+    bm = np.zeros(nbytes, dtype=np.uint8)
+    for row in merged:
+        bm |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return TextBloom(bm, k, m_bits)
+
+
+def incremental_dedup_bloom(batch: DataFrame, seen: DataFrame, id_col: str,
+                            text_col: str, bloom: TextBloom | None = None,
+                            expected_items: int | None = None,
+                            fpp: float = 0.01) -> DataFrame:
+    """incremental_dedup with a Bloom pre-filter: IDENTICAL output
+    (Bloom filters have no false negatives, and every positive is
+    exactly verified), different scale shape — the corpus side is
+    scanned, never hash-partitioned:
+
+    1. probe the batch against the corpus bloom (map-only Arrow UDF);
+       rows the filter rejects are provably fresh and skip verification;
+    2. the candidate hash set (true dups + ~fpp of fresh) broadcasts
+       INTO a corpus scan as a semi-join filter — corpus branch is
+       scan → BroadcastHashJoin(LeftSemi), zero corpus exchange;
+    3. the surviving corpus hits (small) broadcast back as a LeftAnti
+       filter on the batch; within-batch min-id canonicalization is the
+       exact path's window, unchanged.
+
+    Pass a prebuilt ``bloom`` (build_text_bloom, once per corpus
+    snapshot) to amortize the corpus pass across every later batch —
+    the per-batch corpus cost is then ONE filtered scan.  The batch
+    plan is evaluated twice (candidate broadcast + final join); cache
+    small batches upstream if the batch scan is expensive."""
+    spark = batch.sparkSession
+    if bloom is None:
+        bloom = build_text_bloom(seen, text_col, expected_items, fpp)
+    h = F.xxhash64(F.col(text_col))
+    hb = (batch.withColumn("__h", h)
+          .withColumn("__cand", bloom.might_contain(spark, text_col)))
+    cand_hashes = (hb.filter(F.col("__cand"))
+                   .select("__h").dropDuplicates(["__h"]))
+    seen_hits = (
+        seen.select(h.alias("__h"))
+        .join(F.broadcast(cand_hashes), "__h", "left_semi")
+        .dropDuplicates(["__h"])
+    )
+    fresh = hb.join(F.broadcast(seen_hits), "__h", "left_anti")
+    keep = Window.partitionBy("__h")
+    return (
+        fresh.withColumn("__keep", F.min(F.col(id_col)).over(keep))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__h", "__cand", "__keep")
+    )

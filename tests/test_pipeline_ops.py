@@ -1273,3 +1273,72 @@ def test_corpus_datacard_hand_computed(spark):
     import math
     ent = -(0.4 * math.log2(0.4) + 0.4 * math.log2(0.4) + 0.2 * math.log2(0.2))
     assert abs(card["lang_entropy_bits"] - ent) < 1e-9
+
+
+def test_bloom_no_false_negatives_and_fpp(spark):
+    """Every corpus text probes True (Bloom filters cannot false-
+    negative); fresh texts false-positive at roughly the nominal rate
+    (seeded fixture, generous 5x bound)."""
+    from deepchecks_spark.pipeline.dedup import build_text_bloom
+
+    corpus = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("corpus doc "), F.col("id")).alias("text"))
+    bloom = build_text_bloom(corpus, "text", expected_items=2000, fpp=0.01)
+    hits = corpus.withColumn(
+        "hit", bloom.might_contain(spark, "text")).filter(~F.col("hit"))
+    assert hits.count() == 0  # no false negatives, ever
+
+    fresh = spark.range(0, 4000).select(
+        F.concat(F.lit("fresh doc "), F.col("id")).alias("text"))
+    fp = fresh.withColumn(
+        "hit", bloom.might_contain(spark, "text")).filter(F.col("hit")).count()
+    assert fp / 4000.0 < 0.05  # nominal 0.01, generous slack
+
+
+def test_incremental_dedup_bloom_matches_exact_path(spark):
+    """The bloom-prefiltered path returns exactly the exact path's rows
+    — including NULL-text convention and in-batch canonicalization —
+    and a prebuilt bloom amortizes across batches."""
+    from deepchecks_spark.pipeline.dedup import (
+        build_text_bloom, incremental_dedup, incremental_dedup_bloom)
+
+    seen = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, None)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon zeta"), (12, "eta theta"),
+         (13, "eta theta"), (14, "gamma delta"), (15, None)],
+        "doc_id long, text string")
+    exact = sorted(r["doc_id"]
+                   for r in incremental_dedup(batch, seen, "doc_id", "text").collect())
+    out = incremental_dedup_bloom(batch, seen, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in out.collect()) == exact
+    assert out.columns == batch.columns
+
+    # amortized shape: one prebuilt bloom serves several batches
+    bloom = build_text_bloom(seen, "text", expected_items=3)
+    b2 = spark.createDataFrame(
+        [(20, "alpha beta"), (21, "iota kappa")], "doc_id long, text string")
+    got = incremental_dedup_bloom(b2, seen, "doc_id", "text", bloom=bloom)
+    assert sorted(r["doc_id"] for r in got.collect()) == [21]
+
+
+def test_incremental_dedup_bloom_corpus_never_shuffles(spark):
+    """Scale-shape pin: the corpus branch is scan -> broadcast semi-join
+    (no SortMergeJoin anywhere; both verification joins broadcast)."""
+    from deepchecks_spark.pipeline.dedup import (
+        build_text_bloom, incremental_dedup_bloom)
+
+    seen = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"))
+    batch = spark.range(0, 50).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.concat(F.lit("doc "), (F.col("id") * 2)).alias("text"))
+    bloom = build_text_bloom(seen, "text", expected_items=100)
+    plan = incremental_dedup_bloom(
+        batch, seen, "doc_id", "text",
+        bloom=bloom)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
