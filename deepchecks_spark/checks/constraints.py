@@ -106,6 +106,17 @@ def _check_values(col: str, values) -> list:
     return values
 
 
+def _revalidate_specs(constraints) -> None:
+    """Re-check dict-shaped specs that bypassed the constructors (e.g.
+    loaded from a --constraints JSON file): a None inside a membership
+    value set would silently swallow every violation through
+    three-valued isin logic, so it must be rejected here too, not only
+    in in_set()/not_in_set()."""
+    for s in constraints:
+        if isinstance(s, dict) and s.get("kind") in ("in_set", "not_in_set"):
+            _check_values(s.get("column"), s.get("values") or [])
+
+
 def matches_regex(col: str, pattern: str) -> dict:
     return {"kind": "matches_regex", "column": col, "pattern": pattern}
 
@@ -193,6 +204,7 @@ def validate_constraints(df: DataFrame, constraints: list) -> DataFrame:
     empty table); metadata constraints report 0-or-1 violations."""
     if not constraints:
         raise ValueError("no constraints given")
+    _revalidate_specs(constraints)
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     # metadata constraints may reference absent columns (that IS their
     # verdict); data constraints cannot — their expressions need the column
@@ -297,6 +309,7 @@ def validate_constraints_by_partition(df: DataFrame, constraints: list) -> DataF
     moves O(n_partitions) rows; the long-form melt is a ``stack`` over
     that grouped result (plan size O(#constraints), no second scan, no
     driver collect)."""
+    _revalidate_specs(constraints)
     bad = [s["kind"] for s in constraints if s["kind"] not in ROW_LOCAL]
     if bad:
         raise ValueError(
@@ -363,6 +376,7 @@ def violation_examples(df: DataFrame, constraints: list, id_col: str,
     the shuffle carries at most k x n_partitions rows per constraint
     even when a constraint is violated by EVERY row; the global rank
     window partitions by constraint (never unpartitioned)."""
+    _revalidate_specs(constraints)
     bad = [s["kind"] for s in constraints if s["kind"] not in ROW_LOCAL]
     if bad:
         raise ValueError(
@@ -532,12 +546,20 @@ def suggest_constraints(df: DataFrame, max_set_size: int = 20,
             F.struct(F.lit(c).alias("c"), F.col(c).alias("v"))
             for c in set_cand])).alias("s")) \
             .select("s.c", "s.v").filter(F.col("v").isNotNull()).distinct()
-        counts = {r["c"]: r["cnt"] for r in
-                  melted.groupBy("c").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-        keep = [c for c in set_cand if 1 <= counts.get(c, 0) <= max_set_size]
-        if keep:
-            for r in melted.filter(F.col("c").isin(keep)).collect():
-                set_values.setdefault(r["c"], []).append(r["v"])
+        # persist: the counts pass and the value collect below otherwise
+        # re-run the explode + distinct over the full corpus twice; the
+        # persisted set is HLL-triage-bounded (columns x ~max_set_size x
+        # set_triage_factor rows)
+        melted = melted.persist()
+        try:
+            counts = {r["c"]: r["cnt"] for r in
+                      melted.groupBy("c").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+            keep = [c for c in set_cand if 1 <= counts.get(c, 0) <= max_set_size]
+            if keep:
+                for r in melted.filter(F.col("c").isin(keep)).collect():
+                    set_values.setdefault(r["c"], []).append(r["v"])
+        finally:
+            melted.unpersist()
 
     rows = []
     for c in df.columns:

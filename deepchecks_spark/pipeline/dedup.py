@@ -368,6 +368,26 @@ def duplicate_chunk_stats(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def _window_hash_cols(text_col: str, w: int):
+    """The shared stride-1 w-token window hashing used by BOTH
+    repeated_span_stats and remove_repeated_spans — one definition so
+    the stats pass and the removal pass can never disagree about which
+    windows exist (tokenization, blank-text guard, hash input).
+    Returns (n_tokens, n_windows, window_hashes) Columns."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0,
+               F.lit(0)).otherwise(F.size(toks))
+    n_windows = F.greatest(n - F.lit(w - 1), F.lit(0))
+    hashes = F.when(
+        n_windows > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, w), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return n, n_windows, hashes
+
+
 def repeated_span_stats(df: DataFrame, id_col: str, text_col: str,
                         window_words: int = 10) -> DataFrame:
     """Exact-substring duplication signal (Lee et al. 2021,
@@ -400,16 +420,7 @@ def repeated_span_stats(df: DataFrame, id_col: str, text_col: str,
     acceptable for a dedup signal.
     """
     w = window_words
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
-    n_windows = F.greatest(n - F.lit(w - 1), F.lit(0))
-    hashes = F.when(
-        n_windows > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_windows - 1),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, w), " ")),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    n, n_windows, hashes = _window_hash_cols(text_col, w)
     base = df.select(
         F.col(id_col).alias("__id"),
         n.cast("long").alias("n_tokens"),
@@ -474,16 +485,7 @@ def remove_repeated_spans(df: DataFrame, id_col: str, text_col: str,
     (overlapping spans collapse), the case that matters. All JVM-side
     higher-order functions; no Python in the path."""
     w = window_words
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
-    n_windows = F.greatest(n - F.lit(w - 1), F.lit(0))
-    hashes = F.when(
-        n_windows > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_windows - 1),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, w), " ")),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    _n, _nw, hashes = _window_hash_cols(text_col, w)
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"),
                      hashes.alias("hs"))
     occ = base.select("__id", F.posexplode(F.concat("hs")).alias("pos", "h"))
@@ -799,7 +801,8 @@ def build_text_bloom(df: DataFrame, text_col: str,
 def incremental_dedup_bloom(batch: DataFrame, seen: DataFrame, id_col: str,
                             text_col: str, bloom: TextBloom | None = None,
                             expected_items: int | None = None,
-                            fpp: float = 0.01) -> DataFrame:
+                            fpp: float = 0.01,
+                            max_candidate_hashes: int = 5_000_000) -> DataFrame:
     """incremental_dedup with a Bloom pre-filter: IDENTICAL output
     (Bloom filters have no false negatives, and every positive is
     exactly verified), different scale shape — the corpus side is
@@ -817,8 +820,17 @@ def incremental_dedup_bloom(batch: DataFrame, seen: DataFrame, id_col: str,
     Pass a prebuilt ``bloom`` (build_text_bloom, once per corpus
     snapshot) to amortize the corpus pass across every later batch —
     the per-batch corpus cost is then ONE filtered scan.  The batch
-    plan is evaluated twice (candidate broadcast + final join); cache
-    small batches upstream if the batch scan is expensive."""
+    plan is evaluated twice (candidate count/broadcast + final join);
+    cache small batches upstream if the batch scan is expensive.
+
+    The verification joins FORCE-broadcast the candidate hash set, so
+    its size is gated first (one count job over the batch): a batch
+    that is mostly already-seen text (a full re-crawl) can produce a
+    candidate set near the batch's own distinct-hash count, far beyond
+    broadcastable — above ``max_candidate_hashes`` (40 MB of bigints at
+    the default) this falls back to the exact shuffled path, which
+    handles that regime with an ordinary anti-join instead of OOMing
+    the driver."""
     spark = batch.sparkSession
     if bloom is None:
         bloom = build_text_bloom(seen, text_col, expected_items, fpp)
@@ -827,6 +839,8 @@ def incremental_dedup_bloom(batch: DataFrame, seen: DataFrame, id_col: str,
           .withColumn("__cand", bloom.might_contain(spark, text_col)))
     cand_hashes = (hb.filter(F.col("__cand"))
                    .select("__h").dropDuplicates(["__h"]))
+    if cand_hashes.limit(max_candidate_hashes + 1).count() > max_candidate_hashes:
+        return incremental_dedup(batch, seen, id_col, text_col)
     seen_hits = (
         seen.select(h.alias("__h"))
         .join(F.broadcast(cand_hashes), "__h", "left_semi")

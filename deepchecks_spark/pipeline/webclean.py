@@ -128,8 +128,11 @@ def pii_redaction(df: DataFrame, text_col: str,
 
 
 # tracking parameters stripped by URL normalization (the common
-# utm_* family plus the click-id parameters ad networks append)
-TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
+# utm_* family plus the click-id parameters ad networks append).
+# Anchored to a query-parameter boundary ([?&] then the WHOLE name) so
+# 'href=', 'xref=' or a path segment like '/ref=sr_1' never match; the
+# captured separator is kept so the gap-cleanup step can collapse it.
+TRACKING_PARAM_RE = r"([?&])(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
 
 
 def normalize_urls(df: DataFrame, url_col: str,
@@ -146,10 +149,15 @@ def normalize_urls(df: DataFrame, url_col: str,
     rest = F.substring(u, F.length(head) + 1, F.length(u))
     u = F.concat(F.lower(head), rest)
     u = F.regexp_replace(u, r"#.*$", "")              # fragment
-    u = F.regexp_replace(u, TRACKING_PARAM_RE, "")     # tracking params
+    u = F.regexp_replace(u, TRACKING_PARAM_RE, r"$1")  # tracking params
     u = F.regexp_replace(u, r"([?&])&+", r"$1")        # param gaps
     u = F.regexp_replace(u, r"[?&]$", "")              # dangling ? / &
-    u = F.regexp_replace(u, r":(80|443)(/|$)", r"$2")  # default ports
+    # default ports: SCHEME-AWARE (:80 is only default for http, :443
+    # for https) and anchored to the authority — a ':80/' inside a path
+    # or query is data, not a port. ([/?#]|$) instead of a lookahead so
+    # the same pattern runs under RE2 in the DuckDB oracle.
+    u = F.regexp_replace(u, r"^(http://[^/?#]*):80([/?#]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#]*):443([/?#]|$)", r"$1$2")
     u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", r"$1")
     return df.withColumn(out_col, u)
 

@@ -781,20 +781,40 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         # Deequ-style metric-history anomaly detection: append this run's
         # global metrics to the (cross-run) history table, then score the
         # latest value of every metric against its own trailing history.
-        # Resume-safe: the stage is manifest-gated, so a resumed run never
-        # double-appends. run_ts is the next integer run index, derived
-        # from the existing history so histories survive process restarts.
+        # Resume safety is two-fold: (a) the run's run_ts is pinned into
+        # the manifest BEFORE the append, and the append is skipped when
+        # rows at that run_ts already exist (a parquet write commits
+        # atomically, so presence means the prior attempt's append
+        # finished) — a crash between the append and the verdict write
+        # can no longer double-append on resume; (b) only a genuinely
+        # missing history path means "first run" — any other read error
+        # re-raises instead of silently restarting the history at ts 1.
+        from pyspark.errors import AnalysisException
+
         from deepchecks_spark.checks.anomaly import metric_anomalies
 
+        prior = None
         try:
             prior = spark.read.parquet(metrics_history)
-            next_ts = (prior.agg(F.max("run_ts")).first()[0] or 0) + 1
-        except Exception:  # first run: no history yet
-            next_ts = 1
-        rows = [(m, next_ts, v) for m, v in global_metric_rows(_per_part())]
-        new = spark.createDataFrame(
-            rows, "metric string, run_ts bigint, value double")
-        write_table(new, metrics_history, mode="append")
+        except AnalysisException as e:  # first run: no history yet
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
+        next_ts = manifest.get("anomaly_run_ts")
+        if next_ts is None:
+            next_ts = 1 if prior is None else (
+                (prior.agg(F.max("run_ts")).first()[0] or 0) + 1)
+            with _manifest_lock:
+                manifest["anomaly_run_ts"] = next_ts
+                with open(manifest_path, "w") as f:
+                    json.dump(manifest, f, indent=2)
+        already = prior is not None and bool(
+            prior.filter(F.col("run_ts") == next_ts).take(1))
+        if not already:
+            rows = [(m, next_ts, v) for m, v in global_metric_rows(_per_part())]
+            new = spark.createDataFrame(
+                rows, "metric string, run_ts bigint, value double")
+            write_table(new, metrics_history, mode="append")
         rules = anomaly_rules or {"max_relative_change": 0.5, "z_threshold": 3.0}
         out = metric_anomalies(spark.read.parquet(metrics_history), **rules)
         write_table(out, os.path.join(output_dir, "anomaly_verdicts"))

@@ -124,3 +124,51 @@ def test_runner_anomaly_stage_cross_run(spark, tmp_path, corpus_parquet):
     # resume: re-running run 2 skips the manifest-gated stage — no append
     run_job(spark, small, out2, cat_features=["lang"], metrics_history=hist)
     assert spark.read.parquet(hist).count() == hist_df.count()
+
+
+def test_runner_anomaly_crash_resume_no_double_append(spark, tmp_path,
+                                                      corpus_parquet):
+    """A crash AFTER the history append but BEFORE the verdict write
+    must not double-append on resume: the run's run_ts is pinned in the
+    manifest and the append is skipped when rows at that ts already
+    exist."""
+    import json
+
+    hist = str(tmp_path / "history_crash")
+    out = str(tmp_path / "out_crash")
+    run_job(spark, corpus_parquet, out, cat_features=["lang"],
+            metrics_history=hist)
+    before = spark.read.parquet(hist).count()
+
+    # simulate the crash: history rows for run_ts=1 exist (append done),
+    # but the manifest says the anomaly stage never completed
+    mpath = os.path.join(out, "_manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    assert manifest["anomaly_run_ts"] == 1
+    del manifest["stages"]["anomaly"]
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+    run_job(spark, corpus_parquet, out, cat_features=["lang"],
+            metrics_history=hist)
+    hist_df = spark.read.parquet(hist)
+    assert hist_df.count() == before  # no duplicate rows
+    assert hist_df.select("run_ts").distinct().count() == 1
+
+
+def test_runner_anomaly_unreadable_history_raises(spark, tmp_path,
+                                                  corpus_parquet):
+    """Only a MISSING history path means 'first run'; a corrupt/
+    unreadable history must raise instead of silently restarting the
+    run index at 1 (which would pollute the history on append)."""
+    import pytest
+
+    hist = str(tmp_path / "history_corrupt")
+    os.makedirs(hist)
+    with open(os.path.join(hist, "part-00000.parquet"), "w") as f:
+        f.write("not parquet at all")
+    out = str(tmp_path / "out_corrupt")
+    with pytest.raises(Exception):
+        run_job(spark, corpus_parquet, out, cat_features=["lang"],
+                metrics_history=hist)

@@ -429,3 +429,27 @@ def test_schema_diff_semantics_and_zero_jobs(spark):
     # the diff itself launches no jobs on the input frames — collect of
     # the 4-row local result is the only work
     assert len(tracker.getJobIdsForGroup() or []) - jobs_before <= 1
+
+
+def test_dict_specs_with_none_value_rejected(spark):
+    """Specs that bypass the constructors (e.g. a --constraints JSON
+    file) are re-validated: a None inside a membership set would
+    silently swallow every violation via three-valued isin logic, so
+    all three row-local entry points must reject it loudly."""
+    import pytest
+
+    from deepchecks_spark.checks.constraints import (
+        validate_constraints, validate_constraints_by_partition,
+        violation_examples)
+
+    df = spark.createDataFrame([(1, "A"), (2, "Z")], "id long, status string")
+    spec = {"kind": "in_set", "column": "status", "values": ["A", None]}
+    with pytest.raises(ValueError, match="contains None"):
+        validate_constraints(df, [spec])
+    with pytest.raises(ValueError, match="contains None"):
+        validate_constraints_by_partition(df, [spec])
+    with pytest.raises(ValueError, match="contains None"):
+        violation_examples(df, [spec], id_col="id")
+    bad_deny = {"kind": "not_in_set", "column": "status", "values": [None]}
+    with pytest.raises(ValueError, match="contains None"):
+        validate_constraints(df, [bad_deny])

@@ -700,6 +700,21 @@ def test_normalize_urls_canonical_forms(spark):
          "http://example.com/p"),
         ("http://example.com/p?q=1&fbclid=xyz", "http://example.com/p?q=1"),
         ("relative/path?gclid=1", "relative/path"),
+        # anchored tracking strip: 'href='/'xref=' and path '/ref=' are
+        # NOT tracking params and must survive untouched
+        ("https://a.com/?href=x", "https://a.com/?href=x"),
+        ("https://shop.com/product/ref=sr_1?id=9",
+         "https://shop.com/product/ref=sr_1?id=9"),
+        ("http://a.com/p?x=1&xref=2", "http://a.com/p?x=1&xref=2"),
+        ("http://a.com/p?ref=abc&q=1", "http://a.com/p?q=1"),
+        # port strip is scheme-aware and authority-anchored: ':80' in a
+        # query is data; ':80' on https (and :8080 anywhere) is a real
+        # non-default port naming a different origin
+        ("https://a.com/page?time=12:80/x", "https://a.com/page?time=12:80/x"),
+        ("https://a.com:80/path", "https://a.com:80/path"),
+        ("http://a.com:443/path", "http://a.com:443/path"),
+        ("http://a.com:8080/x", "http://a.com:8080/x"),
+        ("http://a.com:80", "http://a.com"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = {r["url"]: r["normalized_url"]
@@ -1342,3 +1357,23 @@ def test_incremental_dedup_bloom_corpus_never_shuffles(spark):
         bloom=bloom)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_incremental_dedup_bloom_candidate_gate_falls_back(spark):
+    """Above max_candidate_hashes the force-broadcast verification is
+    abandoned for the exact shuffled path — same output either way."""
+    from deepchecks_spark.pipeline.dedup import (
+        incremental_dedup, incremental_dedup_bloom)
+
+    seen = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"))
+    # re-crawl batch: every row already seen -> candidate set ~= batch
+    batch = spark.range(0, 200).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"))
+    exact = sorted(r["doc_id"] for r in
+                   incremental_dedup(batch, seen, "doc_id", "text").collect())
+    out = incremental_dedup_bloom(batch, seen, "doc_id", "text",
+                                  max_candidate_hashes=10)
+    assert sorted(r["doc_id"] for r in out.collect()) == exact == []
