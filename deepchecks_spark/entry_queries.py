@@ -3269,6 +3269,38 @@ def o_bloom_incremental_dedup_documents():
     return o_incremental_dedup_documents()
 
 
+def q_group_split_documents(spark, sf_dir):
+    """Leakage-safe group-granular train/test split: every document of
+    a source lands on one side (GroupShuffleSplit semantics —
+    pipeline/webclean.py::split_by_group), assignment a deterministic
+    md5 function of (group, seed) that the oracle recomputes verbatim.
+    Returns per-(source, split) counts; the leakage property shows as
+    exactly ONE split value per source."""
+    from deepchecks_spark.pipeline.webclean import split_by_group
+
+    df = _t(spark, sf_dir, "documents")
+    out = split_by_group(df, "source", 0.3, seed=7)
+    return (out.groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("source", "split"))
+
+
+def o_group_split_documents():
+    # verbatim md5-prefix arithmetic twin of split_by_group
+    return r"""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN ('0x' || substring(
+                          md5(concat(coalesce(CAST(source AS VARCHAR),
+                                              '__NULL__'), ':7')),
+                          1, 7))::BIGINT / 268435456.0 < 0.3
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents)
+    SELECT source, split, count(*)::BIGINT AS n_docs
+    FROM s GROUP BY source, split ORDER BY source, split
+    """
+
+
 def q_mixture_sampling_documents(spark, sf_dir):
     """DoReMi-style corpus resampling toward a target language mixture:
     en downsampled (w=0.5), de upsampled by replication (w=2.25), fr
@@ -4022,6 +4054,7 @@ QUERIES = {
     "multimodal_features_documents": q_multimodal_features_documents,
     "multimodal_dims_documents": q_multimodal_dims_documents,
     "bloom_incremental_dedup_documents": q_bloom_incremental_dedup_documents,
+    "group_split_documents": q_group_split_documents,
 }
 
 ORACLES = {
@@ -4141,4 +4174,7 @@ ORACLES = {
     # amortized batch-vs-corpus scale shape, oracle shared with the
     # exact path because the output is provably identical
     "bloom_incremental_dedup_documents": o_bloom_incremental_dedup_documents(),
+    # round-5 (continuation): leakage-safe group split — md5-prefix
+    # arithmetic recomputed verbatim by the oracle
+    "group_split_documents": o_group_split_documents(),
 }

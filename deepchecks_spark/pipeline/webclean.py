@@ -385,3 +385,44 @@ def sample_to_mixture(
         .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n", "__wt")
     )
+
+
+# group-split hash resolution: 7 hex digits of md5 = 28 bits, so split
+# fractions resolve to ~4e-9 — far below any practical test_frac
+_SPLIT_HASH_DENOM = 268435456  # 16^7
+_SPLIT_NULL_SENTINEL = "__NULL__"
+
+
+def split_by_group(df: DataFrame, group_col: str, test_frac: float,
+                   seed: int = 0, split_col: str = "split") -> DataFrame:
+    """Leakage-safe train/test split at GROUP granularity (the
+    GroupShuffleSplit shape): every row of a group — all pages of a
+    domain, all revisions of a url — lands on the SAME side, so
+    near-duplicate members of a group can never straddle the split and
+    leak test content into training. Row-level Bernoulli splits (the
+    Dataset train/test helper) cannot give this property.
+
+    The assignment is a pure deterministic function of
+    ``(group value, seed)``: uniform = first 7 hex digits of
+    ``md5(group || ':' || seed)`` over 16^7, ``test`` iff
+    uniform < ``test_frac``. Identical across re-runs, task retries,
+    partitionings AND engines (the DuckDB oracle recomputes the md5
+    arithmetic verbatim) — unlike ``F.rand(seed)``, whose stream
+    depends on partitioning. NULL groups map to the documented
+    ``"__NULL__"`` sentinel and travel together.
+
+    Scale shape: zero shuffle — one map-side projection, full
+    whole-stage codegen (md5 + conv are JVM exprs). The realized test
+    fraction converges to ``test_frac`` in GROUPS (not rows): a heavy
+    domain drags its whole mass to one side, which is the point.
+    """
+    if not (0.0 <= test_frac <= 1.0):
+        raise ValueError(f"test_frac must be in [0, 1]; got {test_frac}")
+    g = F.coalesce(F.col(group_col).cast("string"),
+                   F.lit(_SPLIT_NULL_SENTINEL))
+    u = (F.conv(F.substring(F.md5(F.concat(g, F.lit(":"), F.lit(str(int(seed))))),
+                            1, 7), 16, 10).cast("long")
+         / F.lit(float(_SPLIT_HASH_DENOM)))
+    return df.withColumn(
+        split_col, F.when(u < F.lit(float(test_frac)),
+                          F.lit("test")).otherwise(F.lit("train")))

@@ -1377,3 +1377,34 @@ def test_incremental_dedup_bloom_candidate_gate_falls_back(spark):
     out = incremental_dedup_bloom(batch, seen, "doc_id", "text",
                                   max_candidate_hashes=10)
     assert sorted(r["doc_id"] for r in out.collect()) == exact == []
+
+
+def test_split_by_group_leakage_safe_and_deterministic(spark):
+    """Every row of a group lands on one side; assignment is a pure
+    function of (group, seed); NULL groups travel together; the frac
+    bounds behave."""
+    from deepchecks_spark.pipeline.webclean import split_by_group
+
+    rows = [(i, f"dom{i % 7}" if i % 11 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = split_by_group(df, "domain", 0.5, seed=3)
+    per_group = (out.groupBy("domain")
+                 .agg(F.count_distinct("split").alias("k")).collect())
+    assert all(r["k"] == 1 for r in per_group)  # no group straddles
+    # deterministic: identical assignment on re-run
+    a = {(r["id"], r["split"]) for r in out.collect()}
+    b = {(r["id"], r["split"])
+         for r in split_by_group(df, "domain", 0.5, seed=3).collect()}
+    assert a == b
+    # a different seed reshuffles at least one group (7 groups, 0.5)
+    c = {(r["id"], r["split"])
+         for r in split_by_group(df, "domain", 0.5, seed=4).collect()}
+    assert c != a
+    assert split_by_group(df, "domain", 0.0).filter(
+        F.col("split") == "test").count() == 0
+    assert split_by_group(df, "domain", 1.0).filter(
+        F.col("split") == "train").count() == 0
+    # zero shuffle
+    plan = split_by_group(df, "domain", 0.5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
