@@ -3269,6 +3269,26 @@ def o_bloom_incremental_dedup_documents():
     return o_incremental_dedup_documents()
 
 
+def q_partitioned_bloom_dedup_documents(spark, sf_dir):
+    """Partitioned-bloom incremental dedup: the 10^12-scale shape (P
+    hash-bucketed bitmaps cogrouped with the batch — nothing broadcast
+    whole, no single bitmap in one JVM). Output provably identical to
+    the exact incremental path, so the oracle is shared."""
+    from deepchecks_spark.pipeline.dedup import (
+        incremental_dedup_bloom_partitioned)
+
+    df = _t(spark, sf_dir, "documents")
+    seen = df.filter(F.col("doc_id") % 2 == 0)
+    batch = df.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup_bloom_partitioned(
+        batch, seen, "doc_id", "text", n_buckets=16, fpp=0.01).select(
+        "doc_id", "lang", "source")
+
+
+def o_partitioned_bloom_dedup_documents():
+    return o_incremental_dedup_documents()
+
+
 def q_group_split_documents(spark, sf_dir):
     """Leakage-safe group-granular train/test split: every document of
     a source lands on one side (GroupShuffleSplit semantics —
@@ -4055,6 +4075,7 @@ QUERIES = {
     "multimodal_dims_documents": q_multimodal_dims_documents,
     "bloom_incremental_dedup_documents": q_bloom_incremental_dedup_documents,
     "group_split_documents": q_group_split_documents,
+    "partitioned_bloom_dedup_documents": q_partitioned_bloom_dedup_documents,
 }
 
 ORACLES = {
@@ -4177,4 +4198,5 @@ ORACLES = {
     # round-5 (continuation): leakage-safe group split — md5-prefix
     # arithmetic recomputed verbatim by the oracle
     "group_split_documents": o_group_split_documents(),
+    "partitioned_bloom_dedup_documents": o_partitioned_bloom_dedup_documents(),
 }

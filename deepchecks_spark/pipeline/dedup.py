@@ -853,3 +853,153 @@ def incremental_dedup_bloom(batch: DataFrame, seen: DataFrame, id_col: str,
         .filter(F.col(id_col) == F.col("__keep"))
         .drop("__h", "__cand", "__keep")
     )
+
+
+class PartitionedTextBloom:
+    """The 10^12-document extension of :class:`TextBloom`: ``n_buckets``
+    hash-partitioned bitmaps living as a DataFrame ``(bp int, bitmap
+    binary)`` — no single bitmap ever has to fit in one JVM or on the
+    driver. Build once per corpus snapshot (persist or write the
+    DataFrame next to the snapshot); probe any number of later batches.
+
+    Sizing: each bucket's bitmap covers ``expected_items / n_buckets``
+    keys at the requested fpp, so the per-task memory during build and
+    probe is ``(buckets per task) x m_bucket/8`` bytes — pick
+    ``n_buckets`` so that is comfortable (e.g. 10^12 keys at fpp 0.01 =
+    ~1.2 TB of bits total; 4096 buckets = ~300 MB/bucket)."""
+
+    def __init__(self, blooms: DataFrame, k: int, m_bits: int, n_buckets: int):
+        self.blooms = blooms  # (bp int, bitmap binary), one row per bucket
+        self.k = k
+        self.m_bits = m_bits  # per-bucket bits
+        self.n_buckets = n_buckets
+
+
+def _bloom_bucket_col(text_col: str, n_buckets: int):
+    # bucket key uses a THIRD hash chain so it is independent of the
+    # (h1, h2) double-hash positions — bucketing on h1 would correlate
+    # the bucket with the bit positions and raise the effective fpp
+    return F.pmod(F.xxhash64(F.col(text_col), F.lit(2)),
+                  F.lit(n_buckets)).cast("int")
+
+
+def build_partitioned_text_bloom(df: DataFrame, text_col: str,
+                                 n_buckets: int,
+                                 expected_items: int | None = None,
+                                 fpp: float = 0.01) -> PartitionedTextBloom:
+    """ONE corpus pass with ONE 16-bytes/row shuffle (hash pairs
+    repartitioned by bucket) — amortized over every later batch, which
+    is the trade that beats re-shuffling the corpus per batch. Each
+    shuffle partition streams its Arrow batches into the bitmaps of the
+    buckets it owns (mapInPandas — no whole-group pandas
+    materialization), yielding one ``(bp, bitmap)`` row per bucket."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if expected_items is None:
+        expected_items = df.count()
+    m_bits, k = _bloom_geometry(
+        max(1, int(expected_items) // n_buckets), fpp)
+    nbytes = m_bits // 8
+    c1, c2 = _bloom_hash_cols(text_col)
+    hashes = df.select(
+        c1.alias("__h1"), c2.alias("__h2"),
+        _bloom_bucket_col(text_col, n_buckets).alias("bp"))
+
+    def _bucket_bitmaps(batches):
+        bms: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = pdf["__h1"].to_numpy(dtype=np.int64)
+            b = pdf["__h2"].to_numpy(dtype=np.int64)
+            bps = pdf["bp"].to_numpy(dtype=np.int64)
+            for bp in np.unique(bps):
+                sel = bps == bp
+                bm = bms.get(bp)
+                if bm is None:
+                    bm = bms[bp] = np.zeros(nbytes, dtype=np.uint8)
+                for i in range(k):
+                    pos = _bloom_positions(a[sel], b[sel], i, m_bits)
+                    np.bitwise_or.at(
+                        bm, pos >> 3,
+                        np.left_shift(1, (pos & 7)).astype(np.uint8))
+        for bp, bm in bms.items():
+            yield pd.DataFrame({"bp": [int(bp)], "bitmap": [bm.tobytes()]})
+
+    blooms = (
+        hashes.repartition(n_buckets, "bp")
+        .mapInPandas(_bucket_bitmaps, schema="bp int, bitmap binary")
+    )
+    return PartitionedTextBloom(blooms, k, m_bits, n_buckets)
+
+
+def incremental_dedup_bloom_partitioned(
+        batch: DataFrame, seen: DataFrame, id_col: str, text_col: str,
+        bloom: PartitionedTextBloom | None = None,
+        n_buckets: int = 64,
+        expected_items: int | None = None,
+        fpp: float = 0.01,
+        max_candidate_hashes: int = 5_000_000) -> DataFrame:
+    """incremental_dedup via a PARTITIONED bloom — identical output
+    (no false negatives + exact verification, as in
+    :func:`incremental_dedup_bloom`), but nothing is ever broadcast
+    whole: the batch cogroups with the bitmap table on the bucket key,
+    so each task sees its batch slice plus ONE bucket bitmap
+    (applyInPandas cogroup — bitmap bytes never replicate per row).
+    A batch bucket with no corpus bitmap is provably all-fresh.
+    Verification of the surviving candidates is the same gated
+    broadcast semi/anti join pair as the single-bitmap path."""
+    spark = batch.sparkSession
+    if bloom is None:
+        bloom = build_partitioned_text_bloom(
+            seen, text_col, n_buckets, expected_items, fpp)
+    k, m_bits = bloom.k, bloom.m_bits
+    c1, c2 = _bloom_hash_cols(text_col)
+    hb = batch.select(
+        "*", F.xxhash64(F.col(text_col)).alias("__h"),
+        c1.alias("__h1"), c2.alias("__h2"),
+        _bloom_bucket_col(text_col, bloom.n_buckets).alias("__bp"))
+
+    from pyspark.sql import types as T
+    out_fields = [f for f in hb.schema.fields if f.name not in ("__h1", "__h2")]
+    out_schema = T.StructType(out_fields + [T.StructField("__cand", T.BooleanType())])
+
+    def _probe(key, batch_pdf, bloom_pdf):
+        if not len(batch_pdf):
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        if len(bloom_pdf):
+            bm = np.frombuffer(bytes(bloom_pdf["bitmap"].iloc[0]), dtype=np.uint8)
+            a = batch_pdf["__h1"].to_numpy(dtype=np.int64)
+            b = batch_pdf["__h2"].to_numpy(dtype=np.int64)
+            hit = np.ones(len(a), dtype=bool)
+            for i in range(k):
+                pos = _bloom_positions(a, b, i, m_bits)
+                hit &= ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).astype(bool)
+        else:  # no corpus rows hash into this bucket -> provably fresh
+            hit = np.zeros(len(batch_pdf), dtype=bool)
+        out = batch_pdf.drop(columns=["__h1", "__h2"])
+        out["__cand"] = hit
+        return out
+
+    probed = (
+        hb.groupBy("__bp")
+        .cogroup(bloom.blooms.groupBy("bp"))
+        .applyInPandas(_probe, schema=out_schema)
+    )
+    cand_hashes = (probed.filter(F.col("__cand"))
+                   .select("__h").dropDuplicates(["__h"]))
+    if cand_hashes.limit(max_candidate_hashes + 1).count() > max_candidate_hashes:
+        return incremental_dedup(batch, seen, id_col, text_col)
+    h = F.xxhash64(F.col(text_col))
+    seen_hits = (
+        seen.select(h.alias("__h"))
+        .join(F.broadcast(cand_hashes), "__h", "left_semi")
+        .dropDuplicates(["__h"])
+    )
+    fresh = probed.join(F.broadcast(seen_hits), "__h", "left_anti")
+    keep = Window.partitionBy("__h")
+    return (
+        fresh.withColumn("__keep", F.min(F.col(id_col)).over(keep))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__h", "__bp", "__cand", "__keep")
+    )

@@ -1408,3 +1408,57 @@ def test_split_by_group_leakage_safe_and_deterministic(spark):
     plan = split_by_group(df, "domain", 0.5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_partitioned_bloom_matches_exact_path(spark):
+    """The partitioned-bloom path (cogrouped per-bucket probe) returns
+    exactly the exact path's rows, including NULL text and empty
+    buckets (a batch bucket with no corpus bitmap is provably fresh);
+    a prebuilt bloom table amortizes across batches."""
+    from deepchecks_spark.pipeline.dedup import (
+        build_partitioned_text_bloom, incremental_dedup,
+        incremental_dedup_bloom_partitioned)
+
+    seen = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, None)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon zeta"), (12, "eta theta"),
+         (13, "eta theta"), (14, "gamma delta"), (15, None),
+         (16, "iota kappa")],
+        "doc_id long, text string")
+    exact = sorted(r["doc_id"] for r in
+                   incremental_dedup(batch, seen, "doc_id", "text").collect())
+    out = incremental_dedup_bloom_partitioned(
+        batch, seen, "doc_id", "text", n_buckets=8)
+    assert sorted(r["doc_id"] for r in out.collect()) == exact
+    assert out.columns == batch.columns
+
+    bloom = build_partitioned_text_bloom(seen, "text", n_buckets=4,
+                                         expected_items=3)
+    bloom.blooms = bloom.blooms.persist()  # amortized across batches
+    b2 = spark.createDataFrame(
+        [(20, "alpha beta"), (21, "lambda mu")], "doc_id long, text string")
+    got = incremental_dedup_bloom_partitioned(
+        b2, seen, "doc_id", "text", bloom=bloom)
+    assert sorted(r["doc_id"] for r in got.collect()) == [21]
+    # bitmap table is one row per non-empty bucket
+    assert bloom.blooms.count() <= 4
+
+
+def test_partitioned_bloom_no_false_negatives_larger(spark):
+    """2k-document corpus across 16 buckets: every seen text probes as
+    a candidate (no false negatives across bucket boundaries)."""
+    from deepchecks_spark.pipeline.dedup import (
+        build_partitioned_text_bloom, incremental_dedup_bloom_partitioned)
+
+    seen = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("corpus doc "), F.col("id")).alias("text"))
+    bloom = build_partitioned_text_bloom(seen, "text", n_buckets=16,
+                                         expected_items=2000, fpp=0.01)
+    # re-submit the whole corpus as a batch: everything is a duplicate
+    batch = seen.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    out = incremental_dedup_bloom_partitioned(
+        batch, seen, "doc_id", "text", bloom=bloom)
+    assert out.count() == 0
