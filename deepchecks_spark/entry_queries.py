@@ -3388,6 +3388,69 @@ def o_pack_sequences_documents():
     """
 
 
+def q_dsir_resample_documents(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+
+    bigram bag-of-ngrams models on a target slice (source = 'src1') vs
+    the full raw corpus, per-doc log importance ratio, Gumbel-top-k
+    selection of 25 documents without replacement. Every stage is a
+    deterministic md5-arithmetic function the oracle recomputes
+    verbatim (pipeline/dsir.py)."""
+    from deepchecks_spark.pipeline.dsir import dsir_resample
+
+    df = _t(spark, sf_dir, "documents")
+    target = df.filter(F.col("source") == "src1")
+    out = dsir_resample(df, target, "doc_id", "text", k=25,
+                        n_buckets=1000, seed=7)
+    return out.select(
+        "doc_id", "n_grams",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("sample_key", 6).alias("sample_key"),
+    ).orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+
+
+def o_dsir_resample_documents():
+    # verbatim md5-arithmetic twin of pipeline/dsir.py: bucket =
+    # md5-prefix(gram) % 1000; Laplace p(b) = (c+1)/(N+1000) on both
+    # corpora; gumbel = -ln(-ln((md5-prefix(id ':' 7) + .5)/16^7))
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, source,
+             list_concat(t, CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)),
+                       i -> array_to_string(t[i:i+1], ' '))
+                  ELSE [] END) AS grams
+      FROM toks),
+    rb AS (SELECT doc_id,
+                  ('0x' || substring(md5(unnest(grams)), 1, 7))::BIGINT % 1000 AS bp
+           FROM g),
+    tb AS (SELECT ('0x' || substring(md5(unnest(grams)), 1, 7))::BIGINT % 1000 AS bp
+           FROM g WHERE source = 'src1'),
+    rc AS (SELECT bp, count(*) AS c FROM rb GROUP BY 1),
+    tc AS (SELECT bp, count(*) AS c FROM tb GROUP BY 1),
+    tot AS (SELECT (SELECT sum(c) FROM rc) AS nr, (SELECT sum(c) FROM tc) AS nt),
+    w AS (SELECT rc.bp,
+                 ln((coalesce(tc.c, 0) + 1) / (tot.nt + 1000.0))
+                 - ln((rc.c + 1) / (tot.nr + 1000.0)) AS w
+          FROM rc LEFT JOIN tc USING (bp) CROSS JOIN tot),
+    score AS (SELECT rb.doc_id, count(*) AS n_grams, sum(w.w) AS lw
+              FROM rb JOIN w USING (bp) GROUP BY 1),
+    keyed AS (
+      SELECT doc_id, n_grams, lw,
+             lw + (-ln(-ln(
+               (('0x' || substring(md5(doc_id::VARCHAR || ':7'), 1, 7))::BIGINT
+                + 0.5) / 268435456.0))) AS k
+      FROM score)
+    SELECT doc_id, n_grams::BIGINT AS n_grams,
+           round(lw, 6) AS log_weight, round(k, 6) AS sample_key
+    FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 25
+    """
+
+
 # ---------------------------------------------------------------------------
 # round-5 late additions: semantic decontamination, vocabulary stats,
 # corpus snapshot drift
@@ -4023,6 +4086,7 @@ QUERIES = {
     "incremental_dedup_documents": q_incremental_dedup_documents,
     "mixture_sampling_documents": q_mixture_sampling_documents,
     "pack_sequences_documents": q_pack_sequences_documents,
+    "dsir_resample_documents": q_dsir_resample_documents,
     "percent_of_nulls_lineitem": q_percent_of_nulls_lineitem,
     "is_single_value_orders": q_is_single_value_orders,
     "class_imbalance_embeddings": q_class_imbalance_embeddings,
@@ -4191,6 +4255,7 @@ ORACLES = {
     "incremental_dedup_documents": o_incremental_dedup_documents(),
     "mixture_sampling_documents": o_mixture_sampling_documents(),
     "pack_sequences_documents": o_pack_sequences_documents(),
+    "dsir_resample_documents": o_dsir_resample_documents(),
     # round-5 (continuation): bloom-prefiltered incremental dedup — the
     # amortized batch-vs-corpus scale shape, oracle shared with the
     # exact path because the output is provably identical
