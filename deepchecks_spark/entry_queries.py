@@ -3451,6 +3451,107 @@ def o_dsir_resample_documents():
     """
 
 
+def q_rebalance_classes_documents(spark, sf_dir):
+    """Class-rebalancing resample (the acting half of ClassImbalance):
+    every lang class resampled toward the minority-class count via the
+    deterministic Knuth-hash Bernoulli/replication of sample_to_mixture,
+    but with the weight table computed distributed (no driver collect)
+    and joined back null-safely (pipeline/webclean.py::rebalance_classes).
+    Returns the surviving (doc_id, lang, copy) rows."""
+    from deepchecks_spark.pipeline.webclean import rebalance_classes
+
+    df = _t(spark, sf_dir, "documents")
+    out = rebalance_classes(df, "lang", "doc_id", seed=7)
+    return (out.select("doc_id", "lang", F.col("copy").cast("int").alias("copy"))
+            .orderBy("doc_id", "copy"))
+
+
+def o_rebalance_classes_documents():
+    # verbatim twin: w = min_class_count / class_count (IEEE double
+    # division — bit-identical on both engines), u = Knuth hash of
+    # (doc_id, 7), copies = floor(w) + (u < w - floor(w))
+    return r"""
+    WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+    mn AS (SELECT min(c) AS m FROM cnt),
+    base AS (
+      SELECT d.doc_id, d.lang, mn.m / cnt.c::DOUBLE AS wt,
+             (((d.doc_id % 2147483648) * 2654435761 + 7) % 4294967296)
+               / 4294967296.0 AS u
+      FROM documents d
+      JOIN cnt ON cnt.lang IS NOT DISTINCT FROM d.lang CROSS JOIN mn),
+    n AS (SELECT doc_id, lang,
+                 (floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END)::INT
+                   AS nc
+          FROM base)
+    SELECT doc_id, lang, unnest(range(nc))::INT AS copy
+    FROM n WHERE nc > 0 ORDER BY doc_id, copy
+    """
+
+
+def q_embedding_integrity_embeddings(spark, sf_dir):
+    """Embedding-column integrity profile: one distributive pass over a
+    corpus with deterministically planted defects (NULL vector at
+    vec_id%97=0, empty at %89=0, NaN component at %83=0, zero-norm at
+    %79=0 — both engines derive the same input from the parquet), so
+    every counter in the profile is exercised non-vacuously
+    (pipeline/similarity.py::embedding_integrity_stats)."""
+    from deepchecks_spark.pipeline.similarity import embedding_integrity_stats
+
+    df = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    planted = df.select(
+        F.when(vid % 97 == 0, F.lit(None).cast("array<double>"))
+        .when(vid % 89 == 0, F.array().cast("array<double>"))
+        .when(vid % 83 == 0, F.array(F.lit(float("nan"))))
+        .when(vid % 79 == 0, F.array_repeat(F.lit(0.0), 4))
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"))
+    out = embedding_integrity_stats(planted, "embedding")
+    return out.select(
+        "n_rows", "n_null", "n_empty", "n_nan", "n_zero_norm",
+        "min_dim", "max_dim", "dims_consistent",
+        F.round("avg_norm", 6).alias("avg_norm"),
+        F.round("min_norm", 6).alias("min_norm"),
+        F.round("max_norm", 6).alias("max_norm"),
+    )
+
+
+def o_embedding_integrity_embeddings():
+    # same planted-defect derivation, then the profile in SQL; "clean"
+    # rows = non-null, non-NaN, non-empty — exactly the engine's gate
+    return r"""
+    WITH planted AS (
+      SELECT CASE WHEN vec_id % 97 = 0 THEN NULL
+                  WHEN vec_id % 89 = 0 THEN []::DOUBLE[]
+                  WHEN vec_id % 83 = 0 THEN ['NaN'::DOUBLE]
+                  WHEN vec_id % 79 = 0 THEN [0.0, 0.0, 0.0, 0.0]
+                  ELSE embedding::DOUBLE[] END AS e
+      FROM embeddings),
+    per AS (
+      SELECT e, len(e) AS dim,
+             len(list_filter(e, x -> isnan(x))) > 0 AS has_nan,
+             sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+      FROM planted),
+    flag AS (
+      SELECT *, (e IS NOT NULL AND NOT coalesce(has_nan, FALSE)
+                 AND dim > 0) AS clean
+      FROM per)
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN e IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           sum(CASE WHEN e IS NOT NULL AND dim = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+           sum(CASE WHEN coalesce(has_nan, FALSE) THEN 1 ELSE 0 END)::BIGINT AS n_nan,
+           sum(CASE WHEN clean AND nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
+           min(CASE WHEN e IS NOT NULL THEN dim END)::INT AS min_dim,
+           max(CASE WHEN e IS NOT NULL THEN dim END)::INT AS max_dim,
+           (min(CASE WHEN e IS NOT NULL THEN dim END)
+            = max(CASE WHEN e IS NOT NULL THEN dim END)) AS dims_consistent,
+           round(avg(CASE WHEN clean THEN nrm END), 6) AS avg_norm,
+           round(min(CASE WHEN clean THEN nrm END), 6) AS min_norm,
+           round(max(CASE WHEN clean THEN nrm END), 6) AS max_norm
+    FROM flag
+    """
+
+
 # ---------------------------------------------------------------------------
 # round-5 late additions: semantic decontamination, vocabulary stats,
 # corpus snapshot drift
@@ -4084,9 +4185,14 @@ QUERIES = {
     "perplexity_buckets_documents": q_perplexity_buckets_documents,
     "repeated_spans_documents": q_repeated_spans_documents,
     "incremental_dedup_documents": q_incremental_dedup_documents,
+    "dsir_resample_documents": q_dsir_resample_documents,
+    "rebalance_classes_documents": q_rebalance_classes_documents,
+    "embedding_integrity_embeddings": q_embedding_integrity_embeddings,
+    # mixture_sampling / pack_sequences rotate just outside the driver's
+    # 50-query window (their local gates include partition-invariance
+    # parity vs python twins); the newest operators take the slots
     "mixture_sampling_documents": q_mixture_sampling_documents,
     "pack_sequences_documents": q_pack_sequences_documents,
-    "dsir_resample_documents": q_dsir_resample_documents,
     "percent_of_nulls_lineitem": q_percent_of_nulls_lineitem,
     "is_single_value_orders": q_is_single_value_orders,
     "class_imbalance_embeddings": q_class_imbalance_embeddings,
@@ -4256,6 +4362,8 @@ ORACLES = {
     "mixture_sampling_documents": o_mixture_sampling_documents(),
     "pack_sequences_documents": o_pack_sequences_documents(),
     "dsir_resample_documents": o_dsir_resample_documents(),
+    "rebalance_classes_documents": o_rebalance_classes_documents(),
+    "embedding_integrity_embeddings": o_embedding_integrity_embeddings(),
     # round-5 (continuation): bloom-prefiltered incremental dedup — the
     # amortized batch-vs-corpus scale shape, oracle shared with the
     # exact path because the output is provably identical

@@ -532,3 +532,48 @@ def semantic_dedup(df: DataFrame, dim: int, threshold: float = 0.95,
         .withColumn("component", F.coalesce(F.col("component"), F.col("id")))
         .withColumn("is_representative", F.col("component") == F.col("id"))
     )
+
+
+def embedding_integrity_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-pass integrity profile of an embedding column — the vector
+    analogue of the engine's column-stats pass, for validating the
+    output of a 10^12-row embedding job before anything joins on it:
+    NULL vectors, empty vectors, NaN components, zero-norm vectors
+    (which poison cosine similarity with division by zero), dimension
+    consistency (min/max observed dimension + a dims_consistent flag),
+    and the norm's distributive summary (avg/min/max over clean rows).
+
+    Scale shape: every per-row feature (dimension, NaN flag, norm) is a
+    codegen'd JVM higher-order-function expression, and the profile is
+    ONE distributive aggregation — map-side partials, a single one-row
+    Exchange, no Expand (dimension consistency is min==max, deliberately
+    not a countDistinct — see stats.py on the Catalyst Expand trap), no
+    Python, no second scan. Returns one row.
+    """
+    v = _as_double(vec_col)
+    dim = F.size(v)
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    clean = F.col("__v").isNotNull() & ~F.col("__nan") & (F.col("__dim") > 0)
+    per_row = df.select(
+        v.alias("__v"), dim.alias("__dim"),
+        has_nan.alias("__nan"), norm.alias("__norm"))
+    return per_row.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(F.when(F.col("__v").isNotNull() & (F.col("__dim") == 0), 1)
+              .otherwise(0)).alias("n_empty"),
+        F.sum(F.when(F.coalesce(F.col("__nan"), F.lit(False)), 1)
+              .otherwise(0)).alias("n_nan"),
+        F.sum(F.when(clean & (F.col("__norm") == 0.0), 1)
+              .otherwise(0)).alias("n_zero_norm"),
+        F.min(F.when(F.col("__v").isNotNull(), F.col("__dim"))).alias("min_dim"),
+        F.max(F.when(F.col("__v").isNotNull(), F.col("__dim"))).alias("max_dim"),
+        (F.min(F.when(F.col("__v").isNotNull(), F.col("__dim")))
+         == F.max(F.when(F.col("__v").isNotNull(), F.col("__dim"))))
+        .alias("dims_consistent"),
+        F.avg(F.when(clean, F.col("__norm"))).alias("avg_norm"),
+        F.min(F.when(clean, F.col("__norm"))).alias("min_norm"),
+        F.max(F.when(clean, F.col("__norm"))).alias("max_norm"),
+    )

@@ -426,3 +426,59 @@ def split_by_group(df: DataFrame, group_col: str, test_frac: float,
     return df.withColumn(
         split_col, F.when(u < F.lit(float(test_frac)),
                           F.lit("test")).otherwise(F.lit("train")))
+
+
+def rebalance_classes(df: DataFrame, label_col: str, id_col: str,
+                      target_count: int | None = None, seed: int = 0,
+                      max_classes: int = 100_000) -> DataFrame:
+    """The acting half of the ClassImbalance check (the mixture-repair
+    analogue of sample_to_mixture, at LABEL granularity): resample every
+    class toward a common per-class size — the minority-class count by
+    default, or an explicit ``target_count``. Classes above the target
+    downsample by Bernoulli(target/count); classes below it upsample by
+    replication (``floor(w)`` copies + one more with probability
+    ``frac(w)``), so the EXPECTED per-class size equals the target.
+    Emits the original columns plus ``copy`` (0-based replica index).
+
+    Unlike sample_to_mixture this never touches the driver: the
+    per-class weight table is computed as a DataFrame (one bounded
+    groupBy — shuffle carries one row per class), broadcast, and joined
+    back NULL-SAFELY, so NULL-label rows form their own class and are
+    rebalanced like any other. Every keep/replicate decision is the
+    deterministic Knuth-hash function of (id, seed) used across this
+    module — exactly-once under task retry, reproducible across
+    engines.
+
+    ``max_classes`` gates the broadcast (the weight table must stay
+    broadcastable); exceeding it raises rather than silently degrading.
+    """
+    if target_count is not None and target_count < 1:
+        raise ValueError(f"target_count must be >= 1; got {target_count}")
+    cols = df.columns
+    per = df.groupBy(F.col(label_col).alias("__lbl")).agg(
+        F.count(F.lit(1)).alias("__cnt"))
+    if per.limit(max_classes + 1).count() > max_classes:
+        raise ValueError(
+            f"rebalance_classes: over {max_classes} distinct values in "
+            f"{label_col!r} — not a class label; raise max_classes only "
+            "if the weight table is genuinely broadcastable")
+    if target_count is not None:
+        wdf = per.withColumn(
+            "__wt", F.lit(int(target_count)) / F.col("__cnt").cast("double"))
+    else:
+        mins = per.agg(F.min("__cnt").alias("__min"))
+        wdf = (per.crossJoin(F.broadcast(mins))
+               .withColumn("__wt", F.col("__min") / F.col("__cnt").cast("double"))
+               .drop("__min"))
+    joined = df.join(F.broadcast(wdf),
+                     F.col(label_col).eqNullSafe(F.col("__lbl")), "inner")
+    u = mixture_uniform_expr(id_col, seed)
+    n_copies = (F.floor(F.col("__wt"))
+                + F.when(u < F.col("__wt") - F.floor(F.col("__wt")), 1)
+                .otherwise(0)).cast("int")
+    return (
+        joined.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .select(*cols, "copy")
+    )

@@ -1462,3 +1462,118 @@ def test_partitioned_bloom_no_false_negatives_larger(spark):
     out = incremental_dedup_bloom_partitioned(
         batch, seen, "doc_id", "text", bloom=bloom)
     assert out.count() == 0
+
+
+def test_rebalance_classes_minority_target_and_null_label(spark):
+    """Default target = minority-class count; classes downsample /
+    upsample toward it via the same Knuth-hash arithmetic as
+    sample_to_mixture; NULL labels form their own class (null-safe
+    join); determinism across invocations."""
+    from deepchecks_spark.pipeline.webclean import rebalance_classes
+
+    rows = []
+    for i in range(60):
+        rows.append((i, "big"))          # 60
+    for i in range(60, 80):
+        rows.append((i, "mid"))          # 20
+    for i in range(80, 90):
+        rows.append((i, "small"))        # 10 -> minority
+    for i in range(90, 95):
+        rows.append((i, None))           # 5 -> actually minority
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = rebalance_classes(df, "lang", "doc_id", seed=7).collect()
+
+    def n_copies(i, w, seed=7):
+        u = ((i % 2147483648) * 2654435761 + seed) % 4294967296 / 4294967296
+        base = int(w)
+        return base + (1 if u < w - base else 0)
+
+    counts = {"big": 60, "mid": 20, "small": 10, None: 5}
+    target = min(counts.values())        # 5
+    expected = {}
+    for i, lang in rows:
+        w = target / counts[lang]
+        n = n_copies(i, w)
+        if n > 0:
+            expected[i] = n
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["copy"])
+    assert {k: len(v) for k, v in got.items()} == expected
+    for k, v in got.items():
+        assert sorted(v) == list(range(len(v)))
+    # NULL-label rows participate (w = 1.0 -> all kept exactly once)
+    null_ids = {i for i, l in rows if l is None}
+    assert all(len(got[i]) == 1 for i in null_ids)
+    again = rebalance_classes(df, "lang", "doc_id", seed=7).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_rebalance_classes_explicit_target_upsamples(spark):
+    """target_count above every class count -> every class replicates;
+    expected copies = floor(w) + Bernoulli(frac(w))."""
+    from deepchecks_spark.pipeline.webclean import rebalance_classes
+
+    rows = [(i, "a" if i < 4 else "b") for i in range(10)]  # a:4, b:6
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = rebalance_classes(df, "lang", "doc_id", target_count=12, seed=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r["copy"])
+    # w_a = 3.0 exactly -> every a row appears exactly 3 times
+    assert all(len(got[i]) == 3 for i in range(4))
+    # w_b = 2.0 exactly -> every b row appears exactly 2 times
+    assert all(len(got[i]) == 2 for i in range(4, 10))
+
+
+def test_rebalance_classes_gates(spark):
+    from deepchecks_spark.pipeline.webclean import rebalance_classes
+
+    df = spark.createDataFrame([(i, str(i)) for i in range(50)],
+                               "doc_id long, lang string")
+    with pytest.raises(ValueError, match="distinct values"):
+        rebalance_classes(df, "lang", "doc_id", max_classes=10).collect()
+    with pytest.raises(ValueError, match="target_count"):
+        rebalance_classes(df, "lang", "doc_id", target_count=0)
+
+
+def test_embedding_integrity_stats_hand_computed(spark):
+    """Planted defects of every kind; the one-row profile counts each
+    bucket exactly and the norm summary covers clean rows only."""
+    from deepchecks_spark.pipeline.similarity import embedding_integrity_stats
+
+    rows = [
+        (1, [3.0, 4.0]),          # clean, norm 5
+        (2, [0.0, 0.0]),          # zero-norm
+        (3, None),                # null
+        (4, []),                  # empty
+        (5, [float("nan"), 1.0]), # nan
+        (6, [1.0, 0.0, 0.0]),     # clean, norm 1, dim 3 -> inconsistent
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_integrity_stats(df, "embedding").collect()[0]
+    assert r["n_rows"] == 6
+    assert r["n_null"] == 1
+    assert r["n_empty"] == 1
+    assert r["n_nan"] == 1
+    assert r["n_zero_norm"] == 1
+    assert r["min_dim"] == 0 and r["max_dim"] == 3
+    assert r["dims_consistent"] is False
+    assert abs(r["min_norm"] - 0.0) < 1e-12
+    assert abs(r["max_norm"] - 5.0) < 1e-12
+    assert abs(r["avg_norm"] - (5.0 + 0.0 + 1.0) / 3) < 1e-12
+
+
+def test_embedding_integrity_stats_single_aggregation_plan(spark):
+    """The profile is ONE distributive aggregation: exactly one Exchange
+    (the one-row final agg), no Expand, no Python."""
+    from deepchecks_spark.pipeline.similarity import embedding_integrity_stats
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(1), F.rand(2)).alias("embedding"))
+    plan = embedding_integrity_stats(df, "embedding")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Expand" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
