@@ -4157,8 +4157,6 @@ QUERIES = {
     "calibration_embeddings": q_calibration_embeddings,
     "regression_error_dist_lineitem": q_regression_error_dist_lineitem,
     "simple_model_comparison_embeddings": q_simple_model_comparison_embeddings,
-    "simple_model_comparison_strategies_embeddings":
-        q_simple_model_comparison_strategies_embeddings,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
     "performance_bias_orders": q_performance_bias_orders,
     "multi_model_embeddings": q_multi_model_embeddings,
@@ -4188,9 +4186,13 @@ QUERIES = {
     "dsir_resample_documents": q_dsir_resample_documents,
     "rebalance_classes_documents": q_rebalance_classes_documents,
     "embedding_integrity_embeddings": q_embedding_integrity_embeddings,
-    # mixture_sampling / pack_sequences rotate just outside the driver's
-    # 50-query window (their local gates include partition-invariance
-    # parity vs python twins); the newest operators take the slots
+    # mixture_sampling / pack_sequences / the strategies variant of
+    # simple_model_comparison rotate just outside the driver's 50-query
+    # window (their local gates include partition-invariance parity vs
+    # python twins; the base simple_model_comparison query stays inside);
+    # the newest operators take the slots
+    "simple_model_comparison_strategies_embeddings":
+        q_simple_model_comparison_strategies_embeddings,
     "mixture_sampling_documents": q_mixture_sampling_documents,
     "pack_sequences_documents": q_pack_sequences_documents,
     "percent_of_nulls_lineitem": q_percent_of_nulls_lineitem,
