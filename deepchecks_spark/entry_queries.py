@@ -4123,6 +4123,203 @@ def o_warc_roundtrip_documents():
 
 
 # ---------------------------------------------------------------------------
+# round-5: structure discovery (checks/discovery.py) — functional
+# dependencies, candidate keys, Benford, segment completeness, freshness
+# ---------------------------------------------------------------------------
+
+_FD_PAIRS = [("l_orderkey", "l_linestatus"), ("l_partkey", "l_suppkey"),
+             ("l_orderkey", "l_returnflag")]
+
+
+def q_fd_discovery_lineitem(spark, sf_dir):
+    """Exact g3 functional-dependency violation rates for three candidate
+    dependencies over lineitem — one melted scan for all pairs
+    (checks/discovery.py::functional_dependencies)."""
+    from deepchecks_spark.checks.discovery import functional_dependencies
+
+    out = functional_dependencies(_t(spark, sf_dir, "lineitem"), _FD_PAIRS)
+    return (out.select("determinant", "dependent", "n_rows", "n_groups",
+                       "n_violating_groups",
+                       F.round("g3_error", 9).alias("g3_error"), "holds")
+            .orderBy("determinant", "dependent"))
+
+
+def o_fd_discovery_lineitem():
+    # per pair: group by (A, B) -> per-A (tot, max, branches) -> g3
+    parts = []
+    for a, b in _FD_PAIRS:
+        parts.append(f"""
+        SELECT '{a}' AS determinant, '{b}' AS dependent,
+               sum(tot)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+               sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating_groups,
+               round(sum(tot - mx)::DOUBLE / sum(tot)::DOUBLE, 9) AS g3_error,
+               (sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0) AS holds
+        FROM (SELECT a, sum(n) AS tot, max(n) AS mx, count(*) AS nb
+              FROM (SELECT {a} AS a, {b} AS b, count(*) AS n
+                    FROM lineitem GROUP BY 1, 2)
+              GROUP BY 1)
+        """)
+    return " UNION ALL ".join(parts) + " ORDER BY determinant, dependent"
+
+
+_KEY_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+
+
+def q_candidate_keys_lineitem(spark, sf_dir):
+    """Level-wise candidate-key discovery over four lineitem columns in
+    exact mode (the SQL-reproducible verification mode; the HLL-triage
+    mode is property-tested to agree —
+    checks/discovery.py::discover_keys)."""
+    from deepchecks_spark.checks.discovery import discover_keys
+
+    out = discover_keys(_t(spark, sf_dir, "lineitem"),
+                        columns=_KEY_COLS, triage="exact")
+    return out.select("key", "size", "n_distinct", "n_rows",
+                      F.round("distinct_ratio", 9).alias("distinct_ratio"),
+                      "has_nulls", "is_key").orderBy("size", "key")
+
+
+def o_candidate_keys_lineitem():
+    singles = " UNION ALL ".join(
+        f"SELECT '{c}' AS key, count(DISTINCT {c})::BIGINT AS nd, "
+        f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls "
+        f"FROM lineitem"
+        for c in _KEY_COLS)
+    pairs = " UNION ALL ".join(
+        f"SELECT '{a}' AS a, '{b}' AS b, "
+        f"count(DISTINCT ({a}, {b}))::BIGINT AS nd, "
+        f"sum(CASE WHEN {a} IS NULL OR {b} IS NULL THEN 1 ELSE 0 END)::BIGINT "
+        f"AS nulls FROM lineitem"
+        for i, a in enumerate(_KEY_COLS) for b in _KEY_COLS[i + 1:])
+    return f"""
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM lineitem),
+    sgl AS ({singles}),
+    singles AS (
+      SELECT key, 1 AS size, nd AS n_distinct, nn.n AS n_rows,
+             round(nd::DOUBLE / nn.n, 9) AS distinct_ratio,
+             nulls > 0 AS has_nulls,
+             (nulls = 0 AND nd = nn.n) AS is_key
+      FROM sgl CROSS JOIN nn),
+    prs AS ({pairs}),
+    pairs AS (
+      SELECT p.a || ',' || p.b AS key, 2 AS size,
+             CASE WHEN p.nulls > 0 THEN NULL ELSE p.nd END AS n_distinct,
+             nn.n AS n_rows,
+             CASE WHEN p.nulls > 0 THEN NULL
+                  ELSE round(p.nd::DOUBLE / nn.n, 9) END AS distinct_ratio,
+             p.nulls > 0 AS has_nulls,
+             (p.nulls = 0 AND p.nd = nn.n) AS is_key
+      FROM prs p CROSS JOIN nn
+      WHERE NOT EXISTS (SELECT 1 FROM singles s
+                        WHERE s.is_key AND (s.key = p.a OR s.key = p.b)))
+    SELECT * FROM singles UNION ALL SELECT * FROM pairs ORDER BY size, key
+    """
+
+
+def q_benford_lineitem(spark, sf_dir):
+    """First-significant-digit distribution of l_extendedprice vs
+    Benford's law — digit extraction is fixed-point integer/string
+    arithmetic, bit-stable across engines
+    (checks/discovery.py::benford_first_digit)."""
+    from deepchecks_spark.checks.discovery import benford_first_digit
+
+    return benford_first_digit(_t(spark, sf_dir, "lineitem"),
+                               "l_extendedprice", scale=2)
+
+
+def o_benford_lineitem():
+    return """
+    WITH i AS (SELECT abs(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS v
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM i WHERE v > 0),
+    per AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+    t AS (SELECT sum(n)::BIGINT AS total FROM per)
+    SELECT digit, n,
+           round(n::DOUBLE / t.total, 9) AS observed_frac,
+           round(log10(1.0 + 1.0 / digit), 9) AS expected_frac,
+           round(abs(round(n::DOUBLE / t.total, 9)
+                     - round(log10(1.0 + 1.0 / digit), 9)), 9) AS abs_deviation
+    FROM per CROSS JOIN t ORDER BY digit
+    """
+
+
+def q_segment_completeness_documents(spark, sf_dir):
+    """Per-language null rates with excess-over-global flagging, over a
+    corpus with deterministically planted nulls (text at doc_id%13=0,
+    n_chars at %17=0 — both engines derive the same input) so every
+    counter is non-vacuous
+    (checks/discovery.py::segment_completeness)."""
+    from deepchecks_spark.checks.discovery import segment_completeness
+
+    df = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = df.select(
+        "lang",
+        F.when(did % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text")).alias("text"),
+        F.when(did % 17 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    out = segment_completeness(planted, ["lang"], ["text", "n_chars"],
+                               excess_threshold=0.005)
+    return (out.select("lang", "column", "n", "n_null",
+                       F.round("null_frac", 9).alias("null_frac"),
+                       F.round("global_null_frac", 9).alias("global_null_frac"),
+                       F.round("excess", 9).alias("excess"), "flagged")
+            .orderBy("lang", "column"))
+
+
+def o_segment_completeness_documents():
+    return """
+    WITH planted AS (
+      SELECT lang,
+             CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS t,
+             CASE WHEN doc_id % 17 = 0 THEN NULL ELSE n_chars END AS nc
+      FROM documents),
+    seg AS (
+      SELECT lang, 'text' AS "column", count(*)::BIGINT AS n,
+             sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null
+      FROM planted GROUP BY 1
+      UNION ALL
+      SELECT lang, 'n_chars', count(*)::BIGINT,
+             sum(CASE WHEN nc IS NULL THEN 1 ELSE 0 END)::BIGINT
+      FROM planted GROUP BY 1),
+    gtot AS (SELECT "column", sum(n_null)::DOUBLE / sum(n)::DOUBLE AS g
+             FROM seg GROUP BY 1)
+    SELECT lang, s."column", n, n_null,
+           round(n_null::DOUBLE / n, 9) AS null_frac,
+           round(g, 9) AS global_null_frac,
+           round(n_null::DOUBLE / n - g, 9) AS excess,
+           (n_null::DOUBLE / n - g) > 0.005 AS flagged
+    FROM seg s JOIN gtot USING ("column") ORDER BY lang, s."column"
+    """
+
+
+def q_freshness_events(spark, sf_dir):
+    """Per-event-type data recency: lag of the group's newest timestamp
+    behind the table's newest (exact integer-microsecond arithmetic),
+    stale above 10 minutes (checks/discovery.py::freshness)."""
+    from deepchecks_spark.checks.discovery import freshness
+
+    out = freshness(_t(spark, sf_dir, "events"), "ts", ["event_type"],
+                    max_lag_seconds=600.0)
+    return out.orderBy("event_type")
+
+
+def o_freshness_events():
+    return """
+    WITH g AS (SELECT event_type, count(*)::BIGINT AS n, max(ts) AS max_ts
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    m AS (SELECT max(max_ts) AS mm FROM g)
+    SELECT event_type, n, max_ts,
+           (epoch_us(m.mm) - epoch_us(max_ts)) / 1000000.0 AS lag_seconds,
+           ((epoch_us(m.mm) - epoch_us(max_ts)) / 1000000.0) > 600.0 AS is_stale
+    FROM g CROSS JOIN m ORDER BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4168,29 +4365,34 @@ QUERIES = {
     "dedup_clusters_documents": q_dedup_clusters_documents,
     # round-5 additions — kept inside the driver's 50-query window
     "repetition_stats_documents": q_repetition_stats_documents,
-    "duplicate_chunks_documents": q_duplicate_chunks_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
     "decontamination_documents": q_decontamination_documents,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "c4_clean_documents": q_c4_clean_documents,
     "pii_redaction_documents": q_pii_redaction_documents,
-    "url_dedup_documents": q_url_dedup_documents,
-    "line_dedup_documents": q_line_dedup_documents,
     "domain_mixture_documents": q_domain_mixture_documents,
     "quality_classifier_documents": q_quality_classifier_documents,
-    "bigram_logprob_documents": q_bigram_logprob_documents,
-    "perplexity_buckets_documents": q_perplexity_buckets_documents,
     "repeated_spans_documents": q_repeated_spans_documents,
     "incremental_dedup_documents": q_incremental_dedup_documents,
     "dsir_resample_documents": q_dsir_resample_documents,
     "rebalance_classes_documents": q_rebalance_classes_documents,
     "embedding_integrity_embeddings": q_embedding_integrity_embeddings,
-    # mixture_sampling / pack_sequences / the strategies variant of
-    # simple_model_comparison rotate just outside the driver's 50-query
-    # window (their local gates include partition-invariance parity vs
-    # python twins; the base simple_model_comparison query stays inside);
-    # the newest operators take the slots
+    # round-5: structure-discovery checks
+    "fd_discovery_lineitem": q_fd_discovery_lineitem,
+    "candidate_keys_lineitem": q_candidate_keys_lineitem,
+    "benford_lineitem": q_benford_lineitem,
+    "segment_completeness_documents": q_segment_completeness_documents,
+    "freshness_events": q_freshness_events,
+    # entries below rotate just outside the driver's 50-query window —
+    # all remain locked by the identical local oracle gate
+    # (test_entry_contract.py); the rotated dedup/LM rows each have a
+    # driver-verified family sibling inside the window
+    "duplicate_chunks_documents": q_duplicate_chunks_documents,
+    "url_dedup_documents": q_url_dedup_documents,
+    "line_dedup_documents": q_line_dedup_documents,
+    "bigram_logprob_documents": q_bigram_logprob_documents,
+    "perplexity_buckets_documents": q_perplexity_buckets_documents,
     "simple_model_comparison_strategies_embeddings":
         q_simple_model_comparison_strategies_embeddings,
     "mixture_sampling_documents": q_mixture_sampling_documents,
@@ -4366,6 +4568,11 @@ ORACLES = {
     "dsir_resample_documents": o_dsir_resample_documents(),
     "rebalance_classes_documents": o_rebalance_classes_documents(),
     "embedding_integrity_embeddings": o_embedding_integrity_embeddings(),
+    "fd_discovery_lineitem": o_fd_discovery_lineitem(),
+    "candidate_keys_lineitem": o_candidate_keys_lineitem(),
+    "benford_lineitem": o_benford_lineitem(),
+    "segment_completeness_documents": o_segment_completeness_documents(),
+    "freshness_events": o_freshness_events(),
     # round-5 (continuation): bloom-prefiltered incremental dedup — the
     # amortized batch-vs-corpus scale shape, oracle shared with the
     # exact path because the output is provably identical

@@ -1,0 +1,237 @@
+"""Structure-discovery checks: functional dependencies, candidate keys,
+Benford first-digit, per-segment completeness, freshness."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepchecks_spark.checks.discovery import (
+    benford_first_digit,
+    discover_keys,
+    freshness,
+    functional_dependencies,
+    segment_completeness,
+)
+
+
+# ---------------------------------------------------------------------------
+# functional dependencies
+# ---------------------------------------------------------------------------
+
+def test_fd_exact_g3_hand_computed(spark):
+    # A -> B: group a1 {x,x,y} (3 rows, max 2 -> delete 1),
+    # group a2 {z} holds, NULL group {x, y} (delete 1) => g3 = 2/6
+    rows = [
+        ("a1", "x"), ("a1", "x"), ("a1", "y"),
+        ("a2", "z"),
+        (None, "x"), (None, "y"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = functional_dependencies(df, [("a", "b")]).collect()[0]
+    assert r["determinant"] == "a" and r["dependent"] == "b"
+    assert r["n_rows"] == 6
+    assert r["n_groups"] == 3            # a1, a2, NULL
+    assert r["n_violating_groups"] == 2  # a1 and NULL
+    assert abs(r["g3_error"] - 2 / 6) < 1e-12
+    assert r["holds"] is False
+
+
+def test_fd_holds_and_null_vs_string_null_distinct(spark):
+    # B = f(A) exactly; also a real NULL determinant group must not merge
+    # with the string 'NULL' group (injective cast + null flag)
+    rows = [("k1", 1), ("k1", 1), ("k2", 2), (None, 3), ("NULL", 4)]
+    df = spark.createDataFrame(rows, "a string, b int")
+    r = functional_dependencies(df, [("a", "b")]).collect()[0]
+    assert r["holds"] is True and r["n_groups"] == 4
+    assert r["g3_error"] == 0.0
+
+
+def test_fd_multiple_pairs_one_result_row_each(spark):
+    rows = [(1, "x", 10.0), (1, "x", 11.0), (2, "y", 10.0), (2, "z", 10.0)]
+    df = spark.createDataFrame(rows, "a int, b string, c double")
+    out = {(r["determinant"], r["dependent"]): r
+           for r in functional_dependencies(df, [("a", "b"), ("a", "c"), ("c", "b")]).collect()}
+    assert out[("a", "b")]["holds"] is False      # a=2 -> {y,z}
+    assert out[("a", "b")]["n_violating_groups"] == 1
+    assert out[("a", "c")]["holds"] is False      # a=1 -> {10.0, 11.0}
+    assert out[("c", "b")]["holds"] is False      # c=10.0 -> {x,y,z}
+    assert abs(out[("c", "b")]["g3_error"] - 2 / 4) < 1e-12
+
+
+def test_fd_single_scan_plan(spark):
+    """The melt makes the whole operator one scan of the input no matter
+    how many candidate pairs are probed."""
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b"),
+        (F.col("id") % 3).alias("c"))
+    plan = functional_dependencies(df, [("a", "b"), ("b", "c"), ("a", "c")]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range") == 1
+    assert "Python" not in plan
+
+
+def test_fd_validates_columns(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(ValueError, match="no column"):
+        functional_dependencies(df, [("a", "zzz")])
+    with pytest.raises(ValueError, match="at least one"):
+        functional_dependencies(df, [])
+
+
+# ---------------------------------------------------------------------------
+# candidate keys
+# ---------------------------------------------------------------------------
+
+def _key_df(spark):
+    # id: single key; (a, b): composite key; a alone: not (dup);
+    # c: has NULLs (disqualified); d: constant
+    rows = [
+        (1, 1, 1, "x", 9),
+        (2, 1, 2, "y", 9),
+        (3, 2, 1, None, 9),
+        (4, 2, 2, "z", 9),
+    ]
+    return spark.createDataFrame(rows, "id long, a int, b int, c string, d int")
+
+
+def test_discover_keys_exact_levels(spark):
+    out = {r["key"]: r for r in
+           discover_keys(_key_df(spark), triage="exact").collect()}
+    assert out["id"]["is_key"] is True and out["id"]["n_distinct"] == 4
+    assert out["a"]["is_key"] is False and out["a"]["distinct_ratio"] == 0.5
+    assert out["c"]["is_key"] is False and out["c"]["has_nulls"] is True
+    # composite level: (a,b) is the minimal composite key
+    assert out["a,b"]["is_key"] is True and out["a,b"]["size"] == 2
+    # pairs containing the single key id are skipped (minimality)
+    assert not any(k.startswith("id,") or k.endswith(",id") for k in out)
+    # pairs touching the NULL column are reported, never keys
+    assert out["a,c"]["is_key"] is False and out["a,c"]["has_nulls"] is True
+    assert out["a,c"]["n_distinct"] is None
+
+
+def test_discover_keys_hll_matches_exact_on_clear_margins(spark):
+    df = _key_df(spark)
+    exact = {r["key"]: r["is_key"] for r in
+             discover_keys(df, triage="exact").collect()}
+    hll = {r["key"]: r["is_key"] for r in
+           discover_keys(df, triage="hll").collect()}
+    assert {k: v for k, v in hll.items() if k in exact} == \
+        {k: exact[k] for k in hll if k in exact}
+
+
+def test_discover_keys_hll_prunes_hopeless_pairs(spark):
+    # two 2-valued columns over 1000 rows: product bound 4 << 1000, the
+    # pair must be pruned WITHOUT an exact pass (n_distinct IS NULL)
+    df = spark.range(1000).select(
+        (F.col("id") % 2).alias("a"), (F.col("id") % 2).alias("b"))
+    out = {r["key"]: r for r in discover_keys(df, triage="hll").collect()}
+    assert out["a,b"]["is_key"] is False and out["a,b"]["n_distinct"] is None
+
+
+def test_discover_keys_validates(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError, match="triage"):
+        discover_keys(df, triage="bogus")
+    with pytest.raises(ValueError, match="max_size"):
+        discover_keys(df, max_size=3)
+    with pytest.raises(ValueError, match="no column"):
+        discover_keys(df, columns=["zzz"])
+
+
+# ---------------------------------------------------------------------------
+# Benford
+# ---------------------------------------------------------------------------
+
+def test_benford_digits_hand_computed(spark):
+    # scale=2 fixed point; 0, NULL excluded; 0.004 rounds to 0 -> excluded
+    vals = [1.23, 19.99, 2.50, 0.31, 0.0, None, -3.4, 0.004]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r["digit"]: r for r in benford_first_digit(df, "x").collect()}
+    # digits: 1.23->1, 19.99->1, 2.50->2, 0.31->3, -3.4->3
+    assert {d: out[d]["n"] for d in out} == {1: 2, 2: 1, 3: 2}
+    assert abs(out[1]["observed_frac"] - 0.4) < 1e-9
+    import math
+    assert abs(out[1]["expected_frac"] - round(math.log10(2), 9)) < 1e-12
+    assert abs(out[1]["abs_deviation"]
+               - round(abs(0.4 - round(math.log10(2), 9)), 9)) < 1e-12
+
+
+def test_benford_boundary_is_integer_stable(spark):
+    # 999.995 at scale=2 -> 100000 (round-half-up on the scaled int),
+    # first digit 1 — no float-log10 boundary flakiness
+    df = spark.createDataFrame([(999.995,), (0.01,)], "x double")
+    out = {r["digit"]: r["n"] for r in benford_first_digit(df, "x").collect()}
+    assert out == {1: 2}
+
+
+def test_benford_validates(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="scale"):
+        benford_first_digit(df, "x", scale=-1)
+
+
+# ---------------------------------------------------------------------------
+# segment completeness
+# ---------------------------------------------------------------------------
+
+def test_segment_completeness_flags_dead_segment(spark):
+    rows = []
+    for i in range(50):
+        rows.append(("en", f"t{i}", i))          # en: no nulls
+    for i in range(50):
+        rows.append(("de", None if i < 25 else f"t{i}", i))  # de: 50% null text
+    df = spark.createDataFrame(rows, "lang string, text string, n long")
+    out = {(r["lang"], r["column"]): r for r in
+           segment_completeness(df, ["lang"], ["text", "n"]).collect()}
+    de = out[("de", "text")]
+    assert de["n"] == 50 and de["n_null"] == 25
+    assert abs(de["null_frac"] - 0.5) < 1e-12
+    assert abs(de["global_null_frac"] - 0.25) < 1e-12
+    assert abs(de["excess"] - 0.25) < 1e-12 and de["flagged"] is True
+    en = out[("en", "text")]
+    assert en["n_null"] == 0 and en["flagged"] is False
+    assert out[("de", "n")]["flagged"] is False  # n has no nulls anywhere
+
+
+def test_segment_completeness_validates(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(ValueError, match="segment and value"):
+        segment_completeness(df, [], ["b"])
+
+
+# ---------------------------------------------------------------------------
+# freshness
+# ---------------------------------------------------------------------------
+
+def test_freshness_lag_and_staleness(spark):
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        ("live", t0), ("live", t0 - datetime.timedelta(days=3)),
+        ("stale", t0 - datetime.timedelta(days=2)),
+        ("empty_ts", None),
+    ]
+    df = spark.createDataFrame(rows, "src string, ts timestamp")
+    out = {r["src"]: r for r in
+           freshness(df, "ts", ["src"], max_lag_seconds=86_400).collect()}
+    assert "empty_ts" not in out            # NULL timestamps excluded
+    assert out["live"]["lag_seconds"] == 0.0 and out["live"]["is_stale"] is False
+    assert out["stale"]["lag_seconds"] == 2 * 86_400.0
+    assert out["stale"]["is_stale"] is True
+    assert out["live"]["n"] == 2
+
+
+def test_freshness_global_from_grouped_not_second_scan(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 5).alias("g"),
+        F.timestamp_seconds(F.col("id") + 1_700_000_000).alias("ts"))
+    plan = freshness(df, "ts", ["g"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Range") == 1         # raw input scanned once
+    assert "Window" in plan                 # global max over grouped rows
+
+
+def test_freshness_validates(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError, match="group column"):
+        freshness(df, "a", [])
