@@ -4320,6 +4320,196 @@ def o_freshness_events():
 
 
 # ---------------------------------------------------------------------------
+# round-5: temporal/relational operators (pipeline/relational.py) —
+# as-of join, range join, sessionization, heavy hitters, skew profile
+# ---------------------------------------------------------------------------
+
+def q_asof_join_events(spark, sf_dir):
+    """Backward as-of join: every click matched to the user's most
+    recent at-or-before view (merge formulation — ONE Exchange of
+    |L|+|R| slim rows, plan-pinned), aggregated per user with the lag
+    summed in exact integer microseconds before the single division
+    (pipeline/relational.py::asof_join; oracle uses DuckDB's NATIVE
+    ASOF LEFT JOIN — independent semantics)."""
+    from deepchecks_spark.pipeline.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", F.col("value").alias("view_value"))
+    joined = asof_join(clicks, views, on=["user_id"], ts_col="ts")
+    lag_us = (F.unix_micros(F.col("ts").cast("timestamp"))
+              - F.unix_micros(F.col("ts_right").cast("timestamp")))
+    return (
+        joined.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("ts_right").alias("n_matched"),
+            F.sum(lag_us).alias("sum_lag_us"),
+            F.round(F.sum("view_value"), 6).alias("sum_view_value"),
+        ).orderBy("user_id")
+    )
+
+
+def o_asof_join_events():
+    return """
+    WITH c AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click'),
+    v AS (SELECT user_id, ts, value AS view_value FROM events
+          WHERE event_type = 'view'),
+    j AS (SELECT c.user_id, c.ts, v.ts AS ts_right, v.view_value
+          FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND c.ts >= v.ts)
+    SELECT user_id, count(*)::BIGINT AS n_clicks,
+           count(ts_right)::BIGINT AS n_matched,
+           sum(epoch_us(ts) - epoch_us(ts_right))::BIGINT AS sum_lag_us,
+           round(sum(view_value), 6) AS sum_view_value
+    FROM j GROUP BY user_id ORDER BY user_id
+    """
+
+
+def q_range_join_events(spark, sf_dir):
+    """Range join: events falling inside any same-user 10-minute
+    incident window opened by an error event — bin-bucketed EQUI-join
+    (never a nested loop, plan-pinned), counted per event type
+    (pipeline/relational.py::range_join)."""
+    from deepchecks_spark.pipeline.relational import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("w_end"),
+        F.col("event_id").alias("incident_id"))
+    pts = ev.select("user_id", "ts", "event_id", "event_type")
+    pairs = range_join(pts, windows, "ts", "w_start", "w_end",
+                       on=["user_id"], bin_width_seconds=600)
+    return (
+        pairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("event_id").alias("n_events"),
+            F.count_distinct("incident_id").alias("n_incidents"),
+        ).orderBy("event_type")
+    )
+
+
+def o_range_join_events():
+    return """
+    WITH w AS (SELECT user_id, ts AS w_start,
+                      ts + INTERVAL 600 SECOND AS w_end,
+                      event_id AS incident_id
+               FROM events WHERE event_type = 'error'),
+    pairs AS (SELECT e.event_type, e.event_id, w.incident_id
+              FROM events e JOIN w ON e.user_id = w.user_id
+              AND w.w_start <= e.ts AND e.ts <= w.w_end)
+    SELECT event_type, count(*)::BIGINT AS n_pairs,
+           count(DISTINCT event_id)::BIGINT AS n_events,
+           count(DISTINCT incident_id)::BIGINT AS n_incidents
+    FROM pairs GROUP BY event_type ORDER BY event_type
+    """
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap sessionization (2h inactivity, strict-greater split rule)
+    per user — one partitioned window pass — rolled up to per-user
+    session stats with durations summed in exact integer microseconds
+    (pipeline/relational.py::sessionize/session_stats)."""
+    from deepchecks_spark.pipeline.relational import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, ["user_id"], "ts", gap_seconds=7200)
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts").cast("timestamp"))
+         - F.unix_micros(F.min("ts").cast("timestamp")))
+        .alias("dur_us"))
+    return (
+        per_session.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("dur_us").alias("sum_duration_us"),
+        ).orderBy("user_id")
+    )
+
+
+def o_sessionize_events():
+    return """
+    WITH o AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+               FROM events WHERE ts IS NOT NULL),
+    f AS (SELECT user_id, ts,
+                 CASE WHEN prev IS NOT NULL
+                      AND epoch_us(ts) - epoch_us(prev) > 7200000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM o),
+    s AS (SELECT user_id, ts,
+                 1 + sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM f),
+    per AS (SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+                   (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS dur_us
+            FROM s GROUP BY 1, 2)
+    SELECT user_id, count(*)::BIGINT AS n_sessions,
+           sum(n_events)::BIGINT AS n_events,
+           max(n_events)::BIGINT AS max_session_events,
+           sum(dur_us)::BIGINT AS sum_duration_us
+    FROM per GROUP BY user_id ORDER BY user_id
+    """
+
+
+def q_heavy_hitters_events(spark, sf_dir):
+    """Misra-Gries heavy hitters over user_id: O(k) state per task in
+    pass 1, exact recount of the bounded candidate set in pass 2 —
+    output provably EXACT and complete above the threshold, so the
+    plain GROUP BY / HAVING oracle must agree bit-for-bit
+    (pipeline/relational.py::heavy_hitters)."""
+    from deepchecks_spark.pipeline.relational import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    out = heavy_hitters(ev, "user_id", k=2000, threshold=60)
+    return out.orderBy("value")
+
+
+def o_heavy_hitters_events():
+    return """
+    SELECT CAST(user_id AS VARCHAR) AS value, count(*)::BIGINT AS count
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id HAVING count(*) >= 60 ORDER BY value
+    """
+
+
+def q_skew_profile_orders(spark, sf_dir):
+    """Join-skew profile of orders on o_custkey: top-20 heaviest keys
+    with table share, ratio to the mean group size and the salt factor
+    for a 10-rows-per-task target — one groupBy scan, stats and top-k
+    from the GROUPED output (pipeline/relational.py::skew_profile)."""
+    from deepchecks_spark.pipeline.relational import skew_profile
+
+    out = skew_profile(_t(spark, sf_dir, "orders"), ["o_custkey"],
+                       top_k=20, target_rows_per_task=10)
+    return out.select(
+        "o_custkey", "count",
+        F.round("share", 9).alias("share"),
+        F.round("skew_ratio", 9).alias("skew_ratio"),
+        "suggested_salt")
+
+
+def o_skew_profile_orders():
+    return """
+    WITH c AS (SELECT o_custkey, count(*)::BIGINT AS count
+               FROM orders GROUP BY 1),
+    s AS (SELECT sum(count)::BIGINT AS n,
+                 sum(count)::DOUBLE / count(*)::DOUBLE AS mean FROM c)
+    SELECT o_custkey, count,
+           round(count::DOUBLE / s.n, 9) AS share,
+           round(count::DOUBLE / s.mean, 9) AS skew_ratio,
+           CAST(greatest(1, ceil(count::DOUBLE / 10)) AS INT) AS suggested_salt
+    FROM c CROSS JOIN s
+    ORDER BY count DESC, o_custkey ASC NULLS LAST LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4364,19 +4554,14 @@ QUERIES = {
     "lsh_autotune_recall_embeddings": q_lsh_autotune_recall_embeddings,
     "dedup_clusters_documents": q_dedup_clusters_documents,
     # round-5 additions — kept inside the driver's 50-query window
-    "repetition_stats_documents": q_repetition_stats_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
-    "decontamination_documents": q_decontamination_documents,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "c4_clean_documents": q_c4_clean_documents,
     "pii_redaction_documents": q_pii_redaction_documents,
-    "domain_mixture_documents": q_domain_mixture_documents,
     "quality_classifier_documents": q_quality_classifier_documents,
-    "repeated_spans_documents": q_repeated_spans_documents,
     "incremental_dedup_documents": q_incremental_dedup_documents,
     "dsir_resample_documents": q_dsir_resample_documents,
-    "rebalance_classes_documents": q_rebalance_classes_documents,
     "embedding_integrity_embeddings": q_embedding_integrity_embeddings,
     # round-5: structure-discovery checks
     "fd_discovery_lineitem": q_fd_discovery_lineitem,
@@ -4384,10 +4569,21 @@ QUERIES = {
     "benford_lineitem": q_benford_lineitem,
     "segment_completeness_documents": q_segment_completeness_documents,
     "freshness_events": q_freshness_events,
+    # round-5: temporal/relational operators
+    "asof_join_events": q_asof_join_events,
+    "range_join_events": q_range_join_events,
+    "sessionize_events": q_sessionize_events,
+    "heavy_hitters_events": q_heavy_hitters_events,
+    "skew_profile_orders": q_skew_profile_orders,
     # entries below rotate just outside the driver's 50-query window —
     # all remain locked by the identical local oracle gate
-    # (test_entry_contract.py); the rotated dedup/LM rows each have a
-    # driver-verified family sibling inside the window
+    # (test_entry_contract.py); each rotated row has a family sibling
+    # inside the window (textstats rules, decontam, resampling, dedup)
+    "repetition_stats_documents": q_repetition_stats_documents,
+    "decontamination_documents": q_decontamination_documents,
+    "domain_mixture_documents": q_domain_mixture_documents,
+    "repeated_spans_documents": q_repeated_spans_documents,
+    "rebalance_classes_documents": q_rebalance_classes_documents,
     "duplicate_chunks_documents": q_duplicate_chunks_documents,
     "url_dedup_documents": q_url_dedup_documents,
     "line_dedup_documents": q_line_dedup_documents,
@@ -4573,6 +4769,11 @@ ORACLES = {
     "benford_lineitem": o_benford_lineitem(),
     "segment_completeness_documents": o_segment_completeness_documents(),
     "freshness_events": o_freshness_events(),
+    "asof_join_events": o_asof_join_events(),
+    "range_join_events": o_range_join_events(),
+    "sessionize_events": o_sessionize_events(),
+    "heavy_hitters_events": o_heavy_hitters_events(),
+    "skew_profile_orders": o_skew_profile_orders(),
     # round-5 (continuation): bloom-prefiltered incremental dedup — the
     # amortized batch-vs-corpus scale shape, oracle shared with the
     # exact path because the output is provably identical
