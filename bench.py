@@ -202,6 +202,32 @@ def bench_textstats(spark):
     return docs.count()
 
 
+def bench_relational(spark):
+    """Temporal/relational operators over events (round-5 addition —
+    delta documented in BENCH/BASELINE.md): as-of join (one-Exchange
+    merge), gap sessionization (one partitioned window), and
+    Misra-Gries heavy hitters (bounded-state candidates + exact
+    recount)."""
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.pipeline.relational import (
+        asof_join,
+        heavy_hitters,
+        sessionize,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", F.col("value").alias("view_value"))
+    asof_join(clicks, views, on=["user_id"], ts_col="ts").count()
+    sessionize(ev, ["user_id"], "ts", gap_seconds=7200) \
+        .agg({"session_id": "max"}).collect()
+    heavy_hitters(ev, "user_id", k=2000, threshold=60).count()
+    return ev.count()
+
+
 BENCHES = {
     "integrity_suite_lineitem": bench_integrity_suite,
     "feature_label_drift_orders": bench_drift,
@@ -209,6 +235,7 @@ BENCHES = {
     "dedup_documents": bench_dedup,
     "similarity_embeddings": bench_similarity,
     "textstats_documents": bench_textstats,
+    "relational_events": bench_relational,
     "corpus_runner_webpages": bench_corpus_runner,
 }
 
