@@ -140,7 +140,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: list, ts_col: str,
              # left rows sort AFTER right rows at equal t in both
              # directions, so an exact-timestamp right row is visible
              "__side",
-             F.col("__p").asc() if asc else F.col("__p").desc()]
+             # within one (keys, t) group the LAST right row wins, so
+             # payload ascending makes the greatest struct win in both
+             # directions (the t ordering never crosses a t group)
+             F.col("__p").asc()]
     w = (Window.partitionBy(*on).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = F.last("__p", ignorenulls=True).over(w)

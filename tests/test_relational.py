@@ -87,6 +87,16 @@ class TestAsofJoin:
         out = asof_join(left, right, on=["k"], ts_col="ts")
         assert out.collect()[0]["px"] == 9.0
 
+    def test_equal_right_timestamps_forward_pick_greatest_payload(self, spark):
+        left = spark.createDataFrame([("a", _ts(0), 1)],
+                                     "k string, ts timestamp, qty int")
+        right = spark.createDataFrame(
+            [("a", _ts(1), 1.0), ("a", _ts(1), 9.0)],
+            "k string, ts timestamp, px double")
+        out = asof_join(left, right, on=["k"], ts_col="ts",
+                        direction="forward")
+        assert out.collect()[0]["px"] == 9.0
+
     def test_empty_right(self, spark, trades):
         right = spark.createDataFrame([], "k string, ts timestamp, px double")
         out = asof_join(trades, right, on=["k"], ts_col="ts")
