@@ -241,10 +241,12 @@ BENCHES = {
 
 # min-of-N for the long-running corpus job: a single run can land in a
 # hypervisor-throttle window (measured 17 s vs 181 s for identical runs,
-# BENCH/BASELINE.md) — noise only ever ADDS time, so min-of-2 reports
-# the engine. The six short queries keep single runs for r1/r2
-# comparability.
-BENCH_RUNS = {"corpus_runner_webpages": 2}
+# BENCH/BASELINE.md) — noise only ever ADDS time, so min-of-N reports
+# the engine. Three runs because the FIRST corpus run in a fresh JVM
+# also pays one-off codegen + page-cache warm-up (~33 s vs ~13 s warm,
+# measured r5), so min-of-2 can still report a cold pair. The six
+# short queries keep single runs for r1/r2 comparability.
+BENCH_RUNS = {"corpus_runner_webpages": 3}
 
 
 def main():
