@@ -251,7 +251,10 @@ def benford_first_digit(df: DataFrame, col: str, scale: int = 2) -> DataFrame:
     ``10^scale`` and rounded to integers FIRST, so the digit extraction
     is integer/string arithmetic (bit-stable across engines — no float
     log10 whose last-ulp rounding could flip a boundary value); zero and
-    NULL values are excluded. Returns ≤9 rows::
+    NULL values are excluded, as are values the fixed-point grid cannot
+    represent (NaN/±Inf and ``|v|·10^scale`` beyond bigint range, which
+    would otherwise raise under the default ANSI session). Returns ≤9
+    rows::
 
         digit, n, observed_frac, expected_frac, abs_deviation
 
@@ -261,11 +264,16 @@ def benford_first_digit(df: DataFrame, col: str, scale: int = 2) -> DataFrame:
     """
     if scale < 0:
         raise ValueError("scale must be >= 0")
-    i = F.abs(F.round(F.col(col).cast("double") * F.lit(float(10 ** scale)), 0)
-              .cast("bigint"))
+    scaled = F.col(col).cast("double") * F.lit(float(10 ** scale))
+    # representable on the fixed-point grid: finite and within bigint
+    # (NaN fails isnan; ±Inf fails the magnitude bound — without this
+    # the ANSI double→bigint cast raises CAST_OVERFLOW)
+    representable = ~F.isnan(scaled) & (F.abs(scaled) <= F.lit(9.2e18))
+    i = F.abs(F.round(scaled, 0).cast("bigint"))
     digit = F.substring(i.cast("string"), 1, 1).cast("int")
     per = (
         df.filter(F.col(col).isNotNull())
+        .filter(representable)
         .select(i.alias("__i"), digit.alias("digit"))
         .filter(F.col("__i") > 0)
         .groupBy("digit").agg(F.count(F.lit(1)).alias("n"))

@@ -165,6 +165,15 @@ def test_benford_boundary_is_integer_stable(spark):
     assert out == {1: 2}
 
 
+def test_benford_excludes_unrepresentable_values(spark):
+    # NaN/±Inf and |v|·10^scale beyond bigint would raise CAST_OVERFLOW
+    # under the ANSI session — they are excluded like NULLs instead
+    vals = [1.23, float("nan"), float("inf"), float("-inf"), 1e19, 4.5]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r["digit"]: r["n"] for r in benford_first_digit(df, "x").collect()}
+    assert out == {1: 1, 4: 1}
+
+
 def test_benford_validates(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError, match="scale"):
