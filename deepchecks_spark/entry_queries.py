@@ -3388,6 +3388,40 @@ def o_pack_sequences_documents():
     """
 
 
+def q_token_shards_documents(spark, sf_dir):
+    """Token-balanced contiguous shard assignment: the corpus is cut
+    into 8 output shards of ~equal TOKEN mass (not row count) in doc_id
+    order, documents never split — the "write N balanced training
+    shards" step. Same distributed prefix scan as pack_sequences
+    (pipeline/packing.py::assign_token_shards)."""
+    from deepchecks_spark.pipeline.packing import assign_token_shards
+
+    df = _t(spark, sf_dir, "documents")
+    return assign_token_shards(df, "doc_id", "text", n_shards=8)
+
+
+def o_token_shards_documents():
+    # same double arithmetic as the engine: shard =
+    # least(floor(start / total * 8), 7)
+    return r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n,
+             coalesce(sum(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS s,
+             sum(n) OVER () AS total
+      FROM toks)
+    SELECT doc_id, n::BIGINT AS n_tokens, s::BIGINT AS start_offset,
+           least(floor(s / total::DOUBLE * 8), 7)::INT AS shard
+    FROM cum
+    """
+
+
 def q_dsir_resample_documents(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+
     bigram bag-of-ngrams models on a target slice (source = 'src1') vs
@@ -4593,6 +4627,7 @@ QUERIES = {
         q_simple_model_comparison_strategies_embeddings,
     "mixture_sampling_documents": q_mixture_sampling_documents,
     "pack_sequences_documents": q_pack_sequences_documents,
+    "token_shards_documents": q_token_shards_documents,
     "percent_of_nulls_lineitem": q_percent_of_nulls_lineitem,
     "is_single_value_orders": q_is_single_value_orders,
     "class_imbalance_embeddings": q_class_imbalance_embeddings,
@@ -4761,6 +4796,7 @@ ORACLES = {
     "incremental_dedup_documents": o_incremental_dedup_documents(),
     "mixture_sampling_documents": o_mixture_sampling_documents(),
     "pack_sequences_documents": o_pack_sequences_documents(),
+    "token_shards_documents": o_token_shards_documents(),
     "dsir_resample_documents": o_dsir_resample_documents(),
     "rebalance_classes_documents": o_rebalance_classes_documents(),
     "embedding_integrity_embeddings": o_embedding_integrity_embeddings(),

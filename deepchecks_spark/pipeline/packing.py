@@ -133,6 +133,53 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str, seq_len: int,
     )
 
 
+def assign_token_shards(df: DataFrame, id_col: str, text_col: str,
+                        n_shards: int, order_col: str | None = None) -> DataFrame:
+    """Assign every document to one of ``n_shards`` output shards so
+    that (a) shards are CONTIGUOUS in the ``order_col`` concatenation
+    order and (b) each shard carries ~``total_tokens / n_shards``
+    tokens — the "write the corpus as N balanced training shards" step
+    (a hash-modulo shard balances row counts, not token counts, and a
+    single skewed-length source can make one shard twice the bytes of
+    another). Documents are never split: a document belongs to the
+    shard its START offset falls in, so per-shard token sums deviate
+    from the ideal by less than one document. Returns the full spine::
+
+        id, n_tokens, start_offset, shard   -- shard in [0, n_shards)
+
+    ``shard = least(floor(start_offset / total_tokens * n_shards),
+    n_shards - 1)`` — double arithmetic, exact for any corpus below
+    2^53 tokens and mirrored verbatim by the SQL oracle. A zero-token
+    corpus lands entirely in shard 0. ``order_col`` (default
+    ``id_col``) must be unique, as in :func:`pack_sequences`.
+
+    Scale shape: the same distributed prefix scan as
+    :func:`pack_sequences` (no global-order window, no driver sort);
+    the grand total is one bounded agg over the materialized scan
+    output. Downstream, ``df.write.partitionBy('shard')`` gives one
+    balanced directory per shard without any further shuffle ordering.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    order_col = order_col or id_col
+    d = df.select(F.col(id_col).alias("__id"),
+                  F.col(order_col).alias("__ord"),
+                  _token_count_expr(text_col).cast("long").alias("n_tokens"))
+    out = _with_start_offsets(d, ["__ord"])
+    total = out.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    if total <= 0:
+        shard = F.lit(0)
+    else:
+        shard = F.least(
+            F.floor(F.col("start_offset") / F.lit(float(total))
+                    * F.lit(int(n_shards))),
+            F.lit(int(n_shards) - 1))
+    return out.select(
+        F.col("__id").alias(id_col), "n_tokens", "start_offset",
+        shard.cast("int").alias("shard"),
+    )
+
+
 def select_by_token_budget(df: DataFrame, id_col: str, text_col: str,
                            score_col: str, budget: int) -> DataFrame:
     """Quality-ranked corpus selection under a global token budget (the

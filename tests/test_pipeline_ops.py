@@ -1080,6 +1080,65 @@ def test_pack_sequences_partition_invariant(spark):
         start += n
 
 
+def test_assign_token_shards_hand_computed(spark):
+    """Contiguous token-balanced shards: shard = floor(start/total * n),
+    clamped; docs never split; zero-token docs take their offset's
+    shard."""
+    from deepchecks_spark.pipeline.packing import assign_token_shards
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"),      # start 0  -> shard 0
+         (2, ""),             # start 4  -> shard 1 (4/10*2=0.8? no: n=2)
+         (3, "e f g"),        # start 4
+         (4, "h i j")],       # start 7
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["shard"] for r in
+           assign_token_shards(df, "doc_id", "text", n_shards=2).collect()}
+    # total = 10 tokens; boundary at start >= 5: doc1 (0)->0, doc2/3
+    # (4)->0, doc4 (7)->1
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_shards"):
+        assign_token_shards(df, "doc_id", "text", n_shards=0)
+
+
+def test_assign_token_shards_balance_and_invariance(spark):
+    """Shards are contiguous in order, every doc lands in [0, n), the
+    assignment is partition-invariant, and per-shard token mass deviates
+    from the ideal by less than the largest document."""
+    from deepchecks_spark.pipeline.packing import assign_token_shards
+
+    rows = [(i, " ".join(["w"] * (i % 13))) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["start_offset"], r["shard"])
+           for r in assign_token_shards(df.repartition(17), "doc_id",
+                                        "text", n_shards=5).collect()}
+    total = sum(len(t.split()) for _, t in rows if t.strip())
+    start = 0
+    per_shard = {}
+    prev_shard = 0
+    for i, text in rows:
+        n = len(text.split()) if text.strip() else 0
+        shard = min(int(start / total * 5), 4)
+        assert got[i] == (n, start, shard), i
+        assert shard >= prev_shard  # contiguous, non-decreasing
+        prev_shard = shard
+        per_shard[shard] = per_shard.get(shard, 0) + n
+        start += n
+    ideal = total / 5
+    assert all(abs(v - ideal) < 13 for v in per_shard.values()), per_shard
+
+
+def test_assign_token_shards_zero_token_corpus(spark):
+    from deepchecks_spark.pipeline.packing import assign_token_shards
+
+    df = spark.createDataFrame([(1, ""), (2, "  ")],
+                               "doc_id long, text string")
+    out = assign_token_shards(df, "doc_id", "text", n_shards=4).collect()
+    assert {r["shard"] for r in out} == {0}
+    assert all(r["n_tokens"] == 0 for r in out)
+
+
 def test_remove_repeated_spans_merges_heavy_overlap(spark):
     """A long duplicated run produces many overlapping removal spans
     that must collapse into one merged interval: the whole duplicated
