@@ -867,6 +867,9 @@ def main(argv=None):
     parser.add_argument("--input", required=True)
     parser.add_argument("--output", required=True)
     parser.add_argument("--format", default="parquet")
+    parser.add_argument("--cat-features", default=None,
+                        help="comma-separated categorical feature columns "
+                             "(default: inferred)")
     parser.add_argument("--label", default=None)
     parser.add_argument("--snapshot-id", type=int, default=None)
     parser.add_argument("--no-resume", action="store_true")
@@ -904,6 +907,8 @@ def main(argv=None):
     spark = get_spark("deepchecks_spark_runner", cores=args.cores)
     manifest = run_job(
         spark, args.input, args.output, fmt=args.format, label=args.label,
+        cat_features=(args.cat_features.split(",")
+                      if args.cat_features else None),
         snapshot_id=args.snapshot_id, resume=not args.no_resume,
         reference_input=args.reference,
         prediction_column=args.prediction_column,

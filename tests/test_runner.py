@@ -117,6 +117,51 @@ def test_package_zip(tmp_path):
     assert "deepchecks_spark/__init__.py" in names
 
 
+@pytest.mark.skipif(
+    not (os.environ.get("SPARK_HOME")
+         and os.path.exists(os.path.join(os.environ["SPARK_HOME"],
+                                         "bin", "spark-submit"))),
+    reason="spark-submit not on this image")
+def test_spark_submit_py_files_end_to_end(tmp_path, corpus_parquet):
+    """The north-rule packaging shape, driven for real: a freshly built
+    dist zip is the ONLY source of the engine (the job runs from an
+    empty cwd with no repo on any path; the main file is the runner.py
+    extracted FROM the zip), and the full suite job writes all four
+    output tables. Catches anything the zip build misses (a new module
+    not matching the *.py walk, an import that only resolves from the
+    repo checkout) that import-based tests cannot see."""
+    import subprocess
+    import sys
+    import zipfile
+
+    from deepchecks_spark.package import build_zip
+
+    zip_path = build_zip("dist")
+    workdir = tmp_path / "isolated"
+    workdir.mkdir()
+    with zipfile.ZipFile(zip_path) as zf:
+        zf.extract("deepchecks_spark/runner.py", str(workdir / "job"))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    out_dir = str(workdir / "out")
+    proc = subprocess.run(
+        [os.path.join(os.environ["SPARK_HOME"], "bin", "spark-submit"),
+         "--master", "local[4]",
+         "--py-files", zip_path,
+         str(workdir / "job" / "deepchecks_spark" / "runner.py"),
+         "--input", corpus_parquet, "--output", out_dir,
+         "--cat-features", "lang", "--no-resume"],
+        cwd=str(workdir), env=env, capture_output=True, text=True,
+        timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    manifest = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert set(manifest["stages"]) == {"global_verdicts", "partition_verdicts",
+                                       "violations", "metrics"}
+    assert manifest["params"]["cat_features"] == ["lang"]
+    for table in ("verdicts", "partition_verdicts", "violations", "metrics"):
+        assert os.path.exists(os.path.join(out_dir, table)), table
+
+
 def test_mixed_nulls_partition_parity(spark, tmp_path, corpus_parquet):
     """Per-partition MixedNulls verdicts equal running the check on each
     partition's slice through the normal path."""
