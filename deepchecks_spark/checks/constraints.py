@@ -610,6 +610,64 @@ def suggestions_to_specs(suggestions) -> list:
     return specs
 
 
+def _row_digest(cols: list) -> F.Column:
+    # canonical row serialization: each column cast to string with a
+    # NULL sentinel, joined on an unlikely separator, md5'd — 32 chars
+    # per row regardless of payload width. concat_ws alone would make
+    # ('a', NULL) collide with ('a',), hence the explicit coalesce.
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+             for c in cols]
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
+def snapshot_row_diff(old: DataFrame, new: DataFrame, key_cols,
+                      compare_cols: list | None = None,
+                      detail: bool = False) -> DataFrame:
+    """Row-level diff between two snapshots of a table keyed by
+    ``key_cols`` (the data half of crawl-over-crawl change accounting;
+    ``schema_diff`` is the metadata half). Reference parity: deepchecks
+    has no snapshot differ — this is the recrawl bookkeeping a web-scale
+    validation run needs before trusting drift scores (a 40% 'changed'
+    rate explains a drift alarm; a 40% 'removed' rate is the alarm).
+
+    Summary mode (default) returns one row per status::
+
+        status ∈ {added, removed, changed, unchanged}, n_rows
+
+    ``detail=True`` returns (key_cols..., status) for every key instead.
+
+    Scale shape: each side is reduced to ``(key, md5(canonical row))``
+    BEFORE the full-outer join, so the shuffle carries a 32-character
+    digest per row — never the document payload — and the join is a
+    plain sort-merge on the key (AQE skew handling applies). The
+    summary is one map-side-combinable groupBy over four statuses.
+    Keys are assumed unique per snapshot (a crawl's url column); a
+    duplicated key compares row-to-row within the join multiplicity.
+    'changed' means the digests differ — md5 collisions are the usual
+    2^-64 caveat, and strings containing the separator/sentinel bytes
+    (\\x1f / \\x00) can in principle alias."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns
+                        if c not in key_cols and c in old.columns]
+    o = old.select(*key_cols, _row_digest(compare_cols).alias("_digest_old"))
+    n = new.select(*key_cols, _row_digest(compare_cols).alias("_digest_new"))
+    j = o.join(n, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("_digest_old").isNull(), F.lit("added"))
+        .when(F.col("_digest_new").isNull(), F.lit("removed"))
+        .when(F.col("_digest_old") == F.col("_digest_new"),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    ).alias("status")
+    if detail:
+        return j.select(*key_cols, status)
+    return (j.select(status).groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("status"))
+
+
 def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Schema evolution between two snapshots of a table (the metadata
     half of snapshot-over-snapshot drift — the stats half is

@@ -3905,6 +3905,66 @@ def o_latest_crawl_documents():
     """
 
 
+def q_snapshot_row_diff_documents(spark, sf_dir):
+    """Crawl-over-crawl row-level diff: old snapshot drops every
+    doc_id % 10 == 0 page, new snapshot drops % 10 == 1 and rewrites
+    the text of every % 7 == 0 page — snapshot_row_diff must class the
+    keys added / removed / changed / unchanged accordingly. Scale shape
+    under test: each side reduces to (key, md5 digest) BEFORE the
+    full-outer join, so the shuffle never carries the text payload."""
+    from deepchecks_spark.checks.constraints import snapshot_row_diff
+
+    df = _t(spark, sf_dir, "documents")
+    old = df.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text", "lang")
+    new = df.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+        "lang")
+    return snapshot_row_diff(old, new, "doc_id")
+
+
+def o_snapshot_row_diff_documents():
+    # the diff statuses are a closed-form function of doc_id: only-new
+    # (% 10 == 0) => added, only-old (% 10 == 1) => removed, text
+    # rewritten in both (% 7 == 0) => changed (the ' v2' suffix always
+    # alters the digest), else unchanged
+    return """
+    SELECT status, count(*) AS n_rows FROM (
+      SELECT CASE WHEN doc_id % 10 = 0 THEN 'added'
+                  WHEN doc_id % 10 = 1 THEN 'removed'
+                  WHEN doc_id % 7 = 0 THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM documents)
+    GROUP BY status ORDER BY status
+    """
+
+
+def q_stratified_sample_documents(spark, sf_dir):
+    """Exact deterministic k-per-language sample: rank inside each
+    stratum by the engine-portable (md5(id), id) order. The salted
+    two-stage top-k must reproduce the single-window answer exactly —
+    the oracle IS that single window, in DuckDB."""
+    from deepchecks_spark.pipeline.webclean import stratified_sample
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_sample(df, "lang", "doc_id", 7)
+    return out.withColumn("sample_rank", F.col("sample_rank").cast("long"))
+
+
+def o_stratified_sample_documents():
+    return """
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id)
+               AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 7
+    """
+
+
 def q_corpus_datacard_documents(spark, sf_dir):
     """Corpus data card: the headline release numbers (datasheet stats
     block) in one melted (metric, value) table — plain moments in one
@@ -4556,6 +4616,8 @@ def _ctx(ds):
 QUERIES = {
     # never-driver-verified queries FIRST: the driver's correctness run
     # caps at the first 50 entries of this dict (VERDICT r4 next-1).
+    "snapshot_row_diff_documents": q_snapshot_row_diff_documents,
+    "stratified_sample_documents": q_stratified_sample_documents,
     "warc_roundtrip_documents": q_warc_roundtrip_documents,
     "metric_anomalies_events": q_metric_anomalies_events,
     "suggest_constraints_orders": q_suggest_constraints_orders,
@@ -4684,6 +4746,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snapshot_row_diff_documents": o_snapshot_row_diff_documents(),
+    "stratified_sample_documents": o_stratified_sample_documents(),
     "warc_roundtrip_documents": o_warc_roundtrip_documents(),
     "metric_anomalies_events": o_metric_anomalies_events(),
     "suggest_constraints_orders": o_suggest_constraints_orders(),

@@ -482,3 +482,56 @@ def rebalance_classes(df: DataFrame, label_col: str, id_col: str,
         .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .select(*cols, "copy")
     )
+
+
+# salted two-stage top-k: a stratum is split into this many sub-windows
+# for the first (heavy) rank pass so one giant stratum — 'en' is
+# routinely >80% of a web corpus — never funnels through a single
+# window partition
+STRATA_SALT_BUCKETS = 64
+
+
+def stratified_sample(df: DataFrame, strata_cols, id_col: str,
+                      k: int, salt_buckets: int = STRATA_SALT_BUCKETS
+                      ) -> DataFrame:
+    """Deterministic EXACT k-per-stratum sample (the 'inspect 100 docs
+    per language' / per-domain eval-slice draw). Rows are ranked inside
+    each stratum by ``(md5(cast(id as string)), id)`` — a fixed,
+    engine-portable total order, so the same rows are drawn on every
+    run, every engine, and every cluster size; output carries a
+    ``sample_rank`` column (1..k within the stratum).
+
+    Reference parity: deepchecks samples with pandas
+    ``DataFrame.sample`` (seeded but partition-order-dependent when
+    chained after distributed reads); this operator's draw is a pure
+    function of the row id.
+
+    Scale shape — the naive single window per stratum makes the
+    largest stratum a one-reducer straggler. Instead, two-stage salted
+    top-k: stage 1 ranks within ``(stratum, salt)`` where ``salt =
+    pmod(xxhash64(id), salt_buckets)`` and keeps each salted group's k
+    smallest — correct because a row's global in-stratum rank is never
+    smaller than its salted rank, so the true top-k all survive; stage
+    2 re-ranks the ≤ k·salt_buckets survivors per stratum — a shuffle
+    of at most ``k·salt_buckets·n_strata`` rows, trivially small. Both
+    passes are JVM window functions; no collect, no Python."""
+    if isinstance(strata_cols, str):
+        strata_cols = [strata_cols]
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    from pyspark.sql import Window
+
+    w1 = (Window.partitionBy(*strata_cols, "__salt")
+          .orderBy("__rk", id_col))
+    w2 = Window.partitionBy(*strata_cols).orderBy("__rk", id_col)
+    cols = df.columns
+    return (
+        df.withColumn("__rk", F.md5(F.col(id_col).cast("string")))
+        .withColumn("__salt",
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= k)
+        .select(*cols, "sample_rank")
+    )

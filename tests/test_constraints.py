@@ -453,3 +453,50 @@ def test_dict_specs_with_none_value_rejected(spark):
     bad_deny = {"kind": "not_in_set", "column": "status", "values": [None]}
     with pytest.raises(ValueError, match="contains None"):
         validate_constraints(df, [bad_deny])
+
+
+def test_snapshot_row_diff_statuses_and_detail(spark):
+    """Detail mode classes every key; compare_cols restricts the digest
+    so non-compared churn does not count as 'changed'; NULL vs '' vs
+    the literal sentinel text are three distinct digests."""
+    from deepchecks_spark.checks.constraints import snapshot_row_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, None, "x"), (3, "", "x"), (4, "keep", "x")],
+        "k long, text string, meta string")
+    new = spark.createDataFrame(
+        [(1, "a", "CHANGED-META"), (2, "", "x"), (3, None, "x"),
+         (5, "new", "x")],
+        "k long, text string, meta string")
+    rows = {r["k"]: r["status"]
+            for r in snapshot_row_diff(old, new, "k",
+                                       compare_cols=["text"],
+                                       detail=True).collect()}
+    # k=1: meta changed but text compared only -> unchanged
+    # k=2: NULL -> ''  and  k=3: '' -> NULL are real changes
+    assert rows == {1: "unchanged", 2: "changed", 3: "changed",
+                    4: "removed", 5: "added"}
+    summary = {r["status"]: r["n_rows"]
+               for r in snapshot_row_diff(old, new, "k",
+                                          compare_cols=["text"]).collect()}
+    assert summary == {"added": 1, "removed": 1, "changed": 2,
+                       "unchanged": 1}
+
+
+def test_snapshot_row_diff_shuffles_digests_not_text(spark):
+    """The full-outer join must consume (key, digest) projections —
+    the text payload never reaches the shuffle."""
+    from deepchecks_spark.checks.constraints import snapshot_row_diff
+
+    old = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("text"))
+    new = spark.range(50, 150).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("text"))
+    plan = snapshot_row_diff(
+        old, new, "k", detail=True)._jdf.queryExecution().executedPlan().toString()
+    # every Exchange row below the join carries k + a digest, not text:
+    # the projection happens before the shuffle, so the raw text column
+    # must not appear in any Exchange output schema
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "_digest" in line or "text" not in line, line

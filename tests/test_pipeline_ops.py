@@ -1636,3 +1636,53 @@ def test_embedding_integrity_stats_single_aggregation_plan(spark):
     assert plan.count("Exchange") == 1
     assert "Expand" not in plan
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_stratified_sample_exact_vs_single_window(spark):
+    """The salted two-stage top-k must equal the naive single-window
+    answer exactly, including on a heavily skewed stratum and with
+    k larger than a small stratum's size."""
+    from deepchecks_spark.pipeline.webclean import stratified_sample
+
+    rows = ([(i, "en") for i in range(500)]          # huge stratum
+            + [(1000 + i, "fr") for i in range(9)]   # medium
+            + [(2000, "xx")]                          # singleton
+            + [(3000, None), (3001, None)])           # NULL stratum
+    df = spark.createDataFrame(rows, "doc_id long, lang string").repartition(8)
+    out = stratified_sample(df, "lang", "doc_id", k=5, salt_buckets=4)
+    got = sorted(((r["lang"], r["sample_rank"], r["doc_id"])
+                  for r in out.collect()), key=repr)
+    df.createOrReplaceTempView("strat_in")
+    expected = sorted(((r["lang"], r["sample_rank"], r["doc_id"])
+                       for r in spark.sql("""
+        SELECT lang, doc_id, sample_rank FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(cast(doc_id AS string)),
+                                             doc_id) AS sample_rank
+          FROM strat_in) WHERE sample_rank <= 5""").collect()), key=repr)
+    assert got == expected
+    # per-stratum sizes: min(k, |stratum|)
+    sizes = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"en": 5, "fr": 5, "xx": 1, None: 2}
+    # deterministic under a different physical layout
+    again = stratified_sample(df.repartition(3), "lang", "doc_id",
+                              k=5, salt_buckets=4)
+    assert sorted(((r["lang"], r["sample_rank"], r["doc_id"])
+                   for r in again.collect()), key=repr) == got
+
+
+def test_stratified_sample_stage1_partitions_by_salt(spark):
+    """Plan pin: the heavy first window must hash-partition by
+    (stratum, salt) so one giant stratum splits across reducers; the
+    second window then runs over the trimmed survivors only."""
+    from deepchecks_spark.pipeline.webclean import stratified_sample
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"),
+                                  (F.col("id") % 3).cast("string").alias("lang"))
+    plan = stratified_sample(df, "lang", "doc_id", k=3)._jdf \
+        .queryExecution().executedPlan().toString()
+    salted = [l for l in plan.splitlines()
+              if "hashpartitioning" in l and "__salt" in l]
+    assert salted, plan
