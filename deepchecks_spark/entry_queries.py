@@ -4603,6 +4603,123 @@ def o_skew_profile_orders():
     """
 
 
+def q_tfidf_terms_documents(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (sklearn smooth-idf): one
+    corpus scan (explode -> groupBy(id, term)), a second
+    map-side-combined groupBy(term) over the (doc, term) table for
+    document frequency, a term-keyed join back, and a per-document
+    row_number window. Ranking uses the score rounded to 6 decimals so
+    the order is engine-exact vs the oracle's ln()."""
+    from deepchecks_spark.pipeline.textstats import tfidf_terms
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id % 7 = 0")
+    return tfidf_terms(docs, "doc_id", "text", k=3)
+
+
+def o_tfidf_terms_documents():
+    return r"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+         n AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+         toks AS (SELECT doc_id,
+                         CASE WHEN length(trim(text)) = 0 THEN []
+                              ELSE string_split_regex(trim(text), '\s+') END AS t
+                  FROM d),
+         tf AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+         dfc AS (SELECT term, count(*) AS doc_freq FROM tfc GROUP BY 1),
+         s AS (SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.doc_freq,
+                      round(tfc.tf * (ln((1.0 + (SELECT n_docs FROM n))
+                                         / (dfc.doc_freq + 1.0)) + 1.0), 6) AS tfidf
+               FROM tfc JOIN dfc USING (term)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf DESC, term ASC) AS rank
+               FROM s)
+    SELECT doc_id, term, tf::BIGINT AS tf, doc_freq::BIGINT AS doc_freq,
+           tfidf, rank::BIGINT AS rank
+    FROM r WHERE rank <= 3
+    """
+
+
+def q_zipf_fit_documents(spark, sf_dir):
+    """Zipf-law fit over the top-500 corpus terms: TakeOrderedAndProject
+    top-n, a 500-row rank window, then one closed-form least-squares agg
+    of ln(count) ~ ln(rank). Explicit sums (not regr_slope) so the
+    oracle's arithmetic is identical."""
+    from deepchecks_spark.pipeline.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), "text", top_n=500)
+
+
+def o_zipf_fit_documents():
+    return r"""
+    WITH toks AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+                              ELSE string_split_regex(trim(text), '\s+') END AS t
+                  FROM documents),
+         c AS (SELECT term, count(*) AS n
+               FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1
+               ORDER BY n DESC, term ASC LIMIT 500),
+         xy AS (SELECT ln(row_number() OVER (ORDER BY n DESC, term ASC)::DOUBLE) AS x,
+                       ln(n::DOUBLE) AS y
+                FROM c),
+         s AS (SELECT count(*)::DOUBLE AS m, sum(x) AS sx, sum(y) AS sy,
+                      sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+               FROM xy),
+         fit AS (SELECT m,
+                        (m * sxy - sx * sy) / (m * sxx - sx * sx) AS slope,
+                        sx, sy, sxx, syy
+                 FROM s)
+    SELECT m::BIGINT AS n_terms_fit,
+           round(slope, 6) AS zipf_slope,
+           round((sy - slope * sx) / m, 6) AS zipf_intercept,
+           round(CASE WHEN syy - sy * sy / m > 0
+                      THEN slope * slope * (sxx - sx * sx / m) / (syy - sy * sy / m)
+                      ELSE 1.0 END, 6) AS r2
+    FROM fit
+    """
+
+
+def q_ngram_overlap_documents(spark, sf_dir):
+    """Cross-corpus trigram-set overlap (even vs odd doc_id halves):
+    one shuffle — tagged union of the two corpora's gram-hash explodes
+    into a single groupBy(hash) whose map-side combine is the dedup —
+    then a one-row agg. The oracle compares gram STRINGS (identical to
+    the xxhash64 comparison absent a 64-bit collision)."""
+    from deepchecks_spark.pipeline.decontam import ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_overlap(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"),
+        "text", ngram=3,
+    )
+
+
+def o_ngram_overlap_documents():
+    return r"""
+    WITH toks AS (SELECT doc_id % 2 AS side,
+                         CASE WHEN length(trim(text)) = 0 THEN []
+                              ELSE string_split_regex(trim(text), '\s+') END AS t
+                  FROM documents),
+         g AS (SELECT side,
+                      CASE WHEN len(t) >= 3
+                           THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                                             i -> array_to_string(t[i:i+2], ' ')))
+                           ELSE [] END AS grams
+               FROM toks),
+         e AS (SELECT DISTINCT side, unnest(grams) AS gr FROM g),
+         f AS (SELECT gr,
+                      max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS a,
+                      max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS b
+               FROM e GROUP BY 1),
+         tot AS (SELECT sum(a) AS na, sum(b) AS nb, sum(a * b) AS nc FROM f)
+    SELECT na::BIGINT AS n_grams_a, nb::BIGINT AS n_grams_b, nc::BIGINT AS n_common,
+           round(CASE WHEN na + nb - nc > 0
+                      THEN nc / (na + nb - nc)::DOUBLE ELSE 0.0 END, 6) AS jaccard,
+           round(CASE WHEN na > 0 THEN nc / na::DOUBLE ELSE 0.0 END, 6) AS containment_a_in_b,
+           round(CASE WHEN nb > 0 THEN nc / nb::DOUBLE ELSE 0.0 END, 6) AS containment_b_in_a
+    FROM tot
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4616,6 +4733,9 @@ def _ctx(ds):
 QUERIES = {
     # never-driver-verified queries FIRST: the driver's correctness run
     # caps at the first 50 entries of this dict (VERDICT r4 next-1).
+    "tfidf_terms_documents": q_tfidf_terms_documents,
+    "zipf_fit_documents": q_zipf_fit_documents,
+    "ngram_overlap_documents": q_ngram_overlap_documents,
     "snapshot_row_diff_documents": q_snapshot_row_diff_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "warc_roundtrip_documents": q_warc_roundtrip_documents,
@@ -4746,6 +4866,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tfidf_terms_documents": o_tfidf_terms_documents(),
+    "zipf_fit_documents": o_zipf_fit_documents(),
+    "ngram_overlap_documents": o_ngram_overlap_documents(),
     "snapshot_row_diff_documents": o_snapshot_row_diff_documents(),
     "stratified_sample_documents": o_stratified_sample_documents(),
     "warc_roundtrip_documents": o_warc_roundtrip_documents(),

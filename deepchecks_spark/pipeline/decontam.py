@@ -186,3 +186,58 @@ def ngram_decontamination(
             "is_contaminated",
         )
     )
+
+
+def ngram_overlap(corpus_a: DataFrame, corpus_b: DataFrame, text_col: str,
+                  ngram: int = 3, text_col_b: str | None = None) -> DataFrame:
+    """Corpus-level word-``ngram`` set overlap between two corpora — the
+    one-row contamination/redundancy summary (how much of snapshot B's
+    gram vocabulary already exists in snapshot A, and vice versa)::
+
+        n_grams_a, n_grams_b, n_common, jaccard,
+        containment_a_in_b, containment_b_in_a
+
+    Grams are compared by xxhash64 of the space-joined gram (identical
+    to comparing gram text absent a 64-bit collision — the
+    :func:`ngram_decontamination` convention).
+
+    Scale shape: ONE shuffle total — each corpus explodes to
+    ``(hash, flag_a, flag_b)`` rows, the tagged union feeds a single
+    ``groupBy(hash).agg(max(a), max(b))`` whose map-side combine
+    collapses within-partition duplicates before the Exchange (no
+    per-corpus ``distinct()`` pre-pass: the group-by IS the dedup), and
+    the final agg reduces the O(|vocab union|) table to one row. The
+    shuffle carries 8-byte hashes plus two ints; gram text never leaves
+    the map side and nothing but one row reaches the driver.
+    """
+    tcb = text_col_b or text_col
+    ga = corpus_a.select(
+        F.explode(_gram_hashes(text_col, ngram)).alias("__h"),
+        F.lit(1).alias("__a"), F.lit(0).alias("__b"),
+    )
+    gb = corpus_b.select(
+        F.explode(_gram_hashes(tcb, ngram)).alias("__h"),
+        F.lit(0).alias("__a"), F.lit(1).alias("__b"),
+    )
+    per = (
+        ga.unionByName(gb)
+        .groupBy("__h")
+        .agg(F.max("__a").alias("a"), F.max("__b").alias("b"))
+    )
+    tot = per.agg(
+        F.sum("a").cast("long").alias("n_grams_a"),
+        F.sum("b").cast("long").alias("n_grams_b"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n_common"),
+    )
+    union_n = F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_common")
+    return tot.select(
+        "n_grams_a", "n_grams_b", "n_common",
+        F.round(F.when(union_n > 0, F.col("n_common") / union_n.cast("double"))
+                .otherwise(F.lit(0.0)), 6).alias("jaccard"),
+        F.round(F.when(F.col("n_grams_a") > 0,
+                       F.col("n_common") / F.col("n_grams_a").cast("double"))
+                .otherwise(F.lit(0.0)), 6).alias("containment_a_in_b"),
+        F.round(F.when(F.col("n_grams_b") > 0,
+                       F.col("n_common") / F.col("n_grams_b").cast("double"))
+                .otherwise(F.lit(0.0)), 6).alias("containment_b_in_a"),
+    )

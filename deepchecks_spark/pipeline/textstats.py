@@ -554,3 +554,104 @@ def document_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerpri
     return df.withColumn(out_col, F.array_min(grams)).withColumn(
         f"{out_col}_exact", F.xxhash64(F.col(text_col))
     )
+
+
+def tfidf_terms(df: DataFrame, id_col: str, text_col: str, k: int = 5,
+                min_df: int = 1) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document: ``(id, term, tf, doc_freq,
+    tfidf, rank)`` with the sklearn smooth-idf convention
+    ``idf = ln((1 + N) / (1 + df)) + 1`` and ``score = tf * idf`` (raw
+    term count; N = total documents including empty ones).
+
+    Scale shape: one explode then ``groupBy(id, term)`` with map-side
+    combine (the shuffle carries one row per distinct (doc, term), not
+    per occurrence); document frequency is a second map-side-combined
+    ``groupBy(term)`` over THAT table — the corpus is scanned once; the
+    O(|vocab|) df table joins back keyed on term (sort-merge, AQE
+    broadcasts when it fits); the per-document top-k is a ``row_number``
+    window PARTITIONED BY the document id — millions of tiny partitions,
+    never a global sort. Ranking uses the score rounded to 6 decimals
+    (ties broken by term asc) so the order is engine-exact for the
+    DuckDB oracle despite 1-ulp ``ln`` differences.
+    """
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(_tokens(text_col))
+    n_docs = df.count()
+    tf = (
+        df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("term"))
+        .groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("doc_freq") >= min_df)
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (F.log(F.lit(float(1 + n_docs)) / (F.col("doc_freq") + F.lit(1.0)))
+               + F.lit(1.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__id").alias(id_col), "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            "tfidf", F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
+    """Least-squares fit of ``ln(count) ~ ln(rank)`` over the corpus's
+    ``top_n`` terms — the Zipf-law health check (a natural web corpus
+    fits slope ≈ −1 with high R²; template/boilerplate floods or broken
+    extraction bend the curve). One row:
+    ``(n_terms_fit, zipf_slope, zipf_intercept, r2)``.
+
+    Scale shape: explode → map-side-combined ``groupBy(term)``, then
+    ``orderBy(...).limit(top_n)`` compiles to TakeOrderedAndProject (a
+    per-partition top-n + driver merge of n rows per partition, never a
+    vocabulary sort); the rank window and the closed-form slope agg run
+    over the ≤ ``top_n``-row result. Sums are computed explicitly (not
+    ``regr_slope``) so the oracle's arithmetic is identical.
+    """
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(_tokens(text_col))
+    counts = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(top_n)
+    )
+    # unpartitioned window is safe HERE: input is the top_n-row limit output
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    xy = counts.withColumn("r", F.row_number().over(w)).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("m")
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("m")
+    ssr = slope * slope * (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m"))
+    r2 = F.when(sst > 0, ssr / sst).otherwise(F.lit(1.0))
+    return s.select(
+        F.col("m").cast("long").alias("n_terms_fit"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

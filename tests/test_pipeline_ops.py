@@ -1686,3 +1686,60 @@ def test_stratified_sample_stage1_partitions_by_salt(spark):
     salted = [l for l in plan.splitlines()
               if "hashpartitioning" in l and "__salt" in l]
     assert salted, plan
+
+
+def test_tfidf_terms_hand_computed(spark):
+    """3 docs: 'b' appears everywhere (df=3, idf = ln(4/4)+1 = 1),
+    'a' only in doc 0 (df=1, idf = ln(4/2)+1). Empty and NULL texts
+    count toward N but emit no terms."""
+    import math
+
+    from deepchecks_spark.pipeline.textstats import tfidf_terms
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "b"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["term"]): r for r in
+           tfidf_terms(df, "doc_id", "text", k=2).collect()}
+    idf1 = math.log(6.0 / 2.0) + 1.0  # df=1, N=5
+    idf3 = math.log(6.0 / 4.0) + 1.0  # df=3
+    assert out[(0, "a")]["tf"] == 2 and out[(0, "a")]["doc_freq"] == 1
+    assert abs(out[(0, "a")]["tfidf"] - round(2 * idf1, 6)) < 1e-9
+    assert out[(0, "a")]["rank"] == 1  # 2*idf1 > 1*idf3
+    assert abs(out[(0, "b")]["tfidf"] - round(idf3, 6)) < 1e-9
+    assert (3, "") not in out and all(k[0] != 3 and k[0] != 4 for k in out)
+    # ties (equal score) break by term asc: doc 1 has b,c both tf=1
+    assert out[(1, "c")]["rank"] == 1  # idf(c)=idf1 > idf(b)=idf3
+    assert out[(1, "b")]["rank"] == 2
+
+
+def test_zipf_fit_exact_line(spark):
+    """A corpus whose top terms follow counts = round(C / rank) exactly
+    on a power law fits slope -1 with r2 ~ 1."""
+    from deepchecks_spark.pipeline.textstats import zipf_fit
+
+    # term t_r appears 2^(8-r) times: ln(n) = (8-r) ln 2, x = ln(r) —
+    # not a perfect line in ln(rank); instead plant n = 64/r exactly
+    rows = []
+    for r, n in [(1, 60), (2, 30), (3, 20), (4, 15), (5, 12), (6, 10)]:
+        rows.extend([(f"t{r:02d}",)] * n)
+    df = spark.createDataFrame([(" ".join(t for (t,) in rows),)], "text string")
+    out = zipf_fit(df, "text", top_n=6).first()
+    assert out["n_terms_fit"] == 6
+    assert abs(out["zipf_slope"] + 1.0) < 1e-6  # n = 60/rank exactly
+    assert abs(out["r2"] - 1.0) < 1e-6
+
+
+def test_ngram_overlap_hand_computed(spark):
+    from deepchecks_spark.pipeline.decontam import ngram_overlap
+
+    a = spark.createDataFrame(
+        [("w x y z",), ("p q r",), ("",), (None,)], "text string")
+    b = spark.createDataFrame(
+        [("x y z w2",), ("p q r",)], "text string")
+    # A grams: {w x y, x y z, p q r}; B grams: {x y z, y z w2, p q r}
+    out = ngram_overlap(a, b, "text", ngram=3).first()
+    assert (out["n_grams_a"], out["n_grams_b"], out["n_common"]) == (3, 3, 2)
+    assert abs(out["jaccard"] - 0.5) < 1e-9
+    assert abs(out["containment_a_in_b"] - round(2 / 3, 6)) < 1e-9
+    assert abs(out["containment_b_in_a"] - round(2 / 3, 6)) < 1e-9

@@ -454,3 +454,50 @@ def test_select_by_token_budget_no_global_order_window(spark):
     assert "ExistingRDD" in plan or "Scan" in plan  # checkpointed, no re-scan lineage
     import re
     assert not re.search(r"Window \[[^\]]*windowspecdefinition\(\s*[^,]*__ord", plan)
+
+
+def test_tfidf_window_partitioned_and_exchanges_carry_no_text(spark):
+    # per-document top-k must be a window PARTITIONED BY the doc id
+    # (millions of tiny partitions, no global sort), the (doc, term)
+    # count must map-side combine, and no Exchange may carry the raw
+    # text column — the shuffle rows are (id, term) pairs and the
+    # O(|vocab|) df table
+    import re
+
+    from deepchecks_spark.pipeline.textstats import tfidf_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(tfidf_terms(docs, "doc_id", "text", k=3))
+    assert "partial_count" in plan
+    assert re.search(r"windowspecdefinition\(__id", plan)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+
+
+def test_zipf_fit_is_take_ordered_not_vocab_sort(spark):
+    # the top-n cut must compile to TakeOrderedAndProject (per-partition
+    # top-n + driver merge), never a global Sort of the vocabulary
+    from deepchecks_spark.pipeline.textstats import zipf_fit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(zipf_fit(docs, "text", top_n=100))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ngram_overlap_single_hash_shuffle_no_text(spark):
+    # the tagged-union groupBy(hash) is the ONLY hash-partitioned
+    # exchange (its map-side combine IS the per-corpus dedup — no
+    # distinct() pre-pass adding a second shuffle each side), and it
+    # carries 8-byte gram hashes, never gram text
+    import re
+
+    from deepchecks_spark.pipeline.decontam import ngram_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ngram_overlap(docs.filter("doc_id % 2 = 0"),
+                        docs.filter("doc_id % 2 = 1"), "text", ngram=3)
+    plan = _plan(out)
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hash_exchanges) == 1
+    assert "text" not in hash_exchanges[0]
+    assert "partial_max" in plan
