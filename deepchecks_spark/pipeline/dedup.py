@@ -1003,3 +1003,52 @@ def incremental_dedup_bloom_partitioned(
         .filter(F.col(id_col) == F.col("__keep"))
         .drop("__h", "__bp", "__cand", "__keep")
     )
+
+
+def cluster_size_profile(df: DataFrame, pairs: DataFrame, id_col: str,
+                         id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Duplication profile of the corpus: the distribution of duplicate
+    CLUSTER sizes after transitive closure — the datacard panel that
+    says *how* a corpus is duplicated, not just how much (a few giant
+    boilerplate clusters vs a long tail of pairs need different fixes).
+    One row per observed cluster size::
+
+        cluster_size, n_clusters, n_docs, pct_of_corpus, n_removable
+
+    where ``n_removable = n_docs − n_clusters`` (what
+    :func:`deduplicate_by_pairs` would drop). Rows of ``df`` appearing
+    in no pair are size-1 singleton clusters, so ``sum(n_docs)`` always
+    equals the corpus row count and ``sum(n_removable)`` equals the
+    total dedup saving.
+
+    Scale shape: :func:`connected_components` over the PAIR list only
+    (near-dup pair sets are tiny relative to the corpus); the corpus
+    spine joins the O(clustered) label table on the id (AQE broadcasts
+    it when it fits), then two map-side-combined aggregations reduce
+    (component → size) → (size → distribution); the final table is
+    O(distinct sizes) — a handful of rows. The document payload never
+    enters any exchange: the spine is projected to the id column before
+    the join."""
+    comps = connected_components(pairs, id_a, id_b)
+    spine = df.select(F.col(id_col).alias("id"))
+    labeled = spine.join(comps, "id", "left").select(
+        F.coalesce(F.col("component"), F.col("id")).alias("component")
+    )
+    sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    prof = sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    )
+    total = prof.agg(F.sum("n_docs").alias("__total"))
+    return (
+        prof.crossJoin(F.broadcast(total))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("__total").cast("double"), 6)
+            .alias("pct_of_corpus"),
+            (F.col("n_docs") - F.col("n_clusters")).cast("long")
+            .alias("n_removable"),
+        )
+    )

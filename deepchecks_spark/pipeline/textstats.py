@@ -655,3 +655,43 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
         F.round(intercept, 6).alias("zipf_intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def char_entropy(df: DataFrame, text_col: str,
+                 out_col: str = "char_entropy") -> DataFrame:
+    """Per-document Shannon entropy over characters (nats) plus
+    ``n_chars`` / ``n_distinct_chars`` — the standard gibberish /
+    binary-spill / key-mash detector (natural language sits near
+    3.0–3.3 nats; base64 blobs and repeated-character floods land far
+    above / below). Empty and NULL texts score 0.0.
+
+    Uses the identity ``H = ln(L) − (Σ_c n_c ln n_c) / L`` so only one
+    pass over the distinct-character set is needed. The sum runs over
+    the SORTED distinct characters — same order as the oracle's
+    ``list_sort``, so float summation is bit-identical cross-engine.
+
+    Scale shape: a pure per-row projection built from higher-order
+    array functions (split / array_distinct / filter / aggregate) —
+    zero shuffle, zero Python, full whole-stage codegen; cost is
+    O(distinct_chars × length) per row on the executor that already
+    holds the row. At 100 TB the cost is the scan."""
+    text = F.col(text_col)
+    chars = F.split(text, "")
+    # character count from length(text), NOT size(chars): split('', '')
+    # yields [''] (size 1) in both Spark and the DuckDB oracle
+    length = F.length(text)
+    empty = text.isNull() | (length == 0)
+    dist = F.array_sort(F.array_distinct(chars))
+    counts = F.transform(
+        dist, lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double")
+    )
+    nlogn = F.aggregate(counts, F.lit(0.0), lambda acc, n: acc + n * F.log(n))
+    h = F.when(empty, F.lit(0.0)).otherwise(
+        F.log(length.cast("double")) - nlogn / length.cast("double"))
+    return df.select(
+        "*",
+        F.when(empty, F.lit(0)).otherwise(length).cast("long").alias("n_chars"),
+        F.when(empty, F.lit(0)).otherwise(F.size(dist)).cast("long")
+        .alias("n_distinct_chars"),
+        F.round(h, 6).alias(out_col),
+    )

@@ -535,3 +535,37 @@ def stratified_sample(df: DataFrame, strata_cols, id_col: str,
         .filter(F.col("sample_rank") <= k)
         .select(*cols, "sample_rank")
     )
+
+
+def pii_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus-level PII exposure report — the one-row summary a data
+    card / release review needs before the per-row redaction pass is
+    even scheduled::
+
+        n_docs, n_docs_with_pii, pct_docs_with_pii,
+        n_email, n_ip, n_phone
+
+    Counts use the identical sequential-replacement semantics as
+    :func:`pii_redaction` (emails counted before IP/phone patterns see
+    the text), so ``redact-then-audit`` and ``audit-then-redact`` agree
+    exactly.
+
+    Scale shape: the per-row counts are the same zero-shuffle codegen'd
+    regexp projection as the redaction pass; the summary is ONE
+    distributive aggregation — partials collapse map-side and a single
+    one-row exchange reaches the driver. At 100 TB the cost is the
+    scan."""
+    per = pii_redaction(df.select(F.col(text_col)), text_col)
+    any_pii = (
+        (F.col("n_email") + F.col("n_ip") + F.col("n_phone")) > 0
+    ).cast("long")
+    n_docs = F.count(F.lit(1))
+    return per.agg(
+        n_docs.cast("long").alias("n_docs"),
+        F.sum(any_pii).cast("long").alias("n_docs_with_pii"),
+        F.round(F.sum(any_pii) / F.greatest(n_docs, F.lit(1)).cast("double"), 6)
+        .alias("pct_docs_with_pii"),
+        F.sum("n_email").cast("long").alias("n_email"),
+        F.sum("n_ip").cast("long").alias("n_ip"),
+        F.sum("n_phone").cast("long").alias("n_phone"),
+    )

@@ -1743,3 +1743,67 @@ def test_ngram_overlap_hand_computed(spark):
     assert abs(out["jaccard"] - 0.5) < 1e-9
     assert abs(out["containment_a_in_b"] - round(2 / 3, 6)) < 1e-9
     assert abs(out["containment_b_in_a"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from deepchecks_spark.pipeline.textstats import char_entropy
+
+    df = spark.createDataFrame(
+        [(0, "aabb"), (1, "aaaa"), (2, "abcd"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in char_entropy(df, "text").collect()}
+    assert abs(out[0]["char_entropy"] - round(math.log(2), 6)) < 1e-9
+    assert out[0]["n_chars"] == 4 and out[0]["n_distinct_chars"] == 2
+    assert out[1]["char_entropy"] == 0.0  # single symbol: zero entropy
+    assert abs(out[2]["char_entropy"] - round(math.log(4), 6)) < 1e-9
+    # empty and NULL texts score 0.0 with zero counts, never NULL/NaN
+    for i in (3, 4):
+        assert out[i]["char_entropy"] == 0.0
+        assert out[i]["n_chars"] == 0 and out[i]["n_distinct_chars"] == 0
+
+
+def test_pii_stats_hand_computed(spark):
+    from deepchecks_spark.pipeline.webclean import pii_stats
+
+    df = spark.createDataFrame(
+        [("mail a@b.com and c@d.org",),       # 2 emails
+         ("ip 10.0.0.7 ok",),                  # 1 ip
+         ("call +1 555-123-4567 now",),        # 1 phone
+         ("clean text",),
+         (None,)],
+        "text string")
+    r = pii_stats(df, "text").first()
+    assert r["n_docs"] == 5
+    assert r["n_docs_with_pii"] == 3
+    assert abs(r["pct_docs_with_pii"] - 0.6) < 1e-9
+    assert (r["n_email"], r["n_ip"], r["n_phone"]) == (2, 1, 1)
+
+
+def test_pii_stats_sequential_semantics(spark):
+    # digits inside an email must be counted as EMAIL only — the
+    # sequential-replacement convention pii_redaction documents
+    from deepchecks_spark.pipeline.webclean import pii_stats
+
+    df = spark.createDataFrame([("reach me at 555-123-4567x@mail.com",)],
+                               "text string")
+    r = pii_stats(df, "text").first()
+    assert (r["n_email"], r["n_phone"]) == (1, 0)
+
+
+def test_cluster_size_profile_hand_computed(spark):
+    from deepchecks_spark.pipeline.dedup import cluster_size_profile
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    out = {r["cluster_size"]: r for r in
+           cluster_size_profile(docs, pairs, "id").collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_clusters"], out[1]["n_docs"], out[1]["n_removable"]) == (3, 3, 0)
+    assert (out[2]["n_clusters"], out[2]["n_docs"], out[2]["n_removable"]) == (1, 2, 1)
+    assert (out[3]["n_clusters"], out[3]["n_docs"], out[3]["n_removable"]) == (1, 3, 2)
+    # sum(n_docs) == corpus rows; pct sums to 1
+    assert sum(r["n_docs"] for r in out.values()) == 8
+    assert abs(sum(r["pct_of_corpus"] for r in out.values()) - 1.0) < 1e-6

@@ -501,3 +501,27 @@ def test_ngram_overlap_single_hash_shuffle_no_text(spark):
     assert len(hash_exchanges) == 1
     assert "text" not in hash_exchanges[0]
     assert "partial_max" in plan
+
+
+def test_char_entropy_is_pure_projection_no_exchange(spark):
+    # entropy must stay a per-row higher-order-function projection:
+    # zero shuffle, zero Python — any Exchange or Python eval here
+    # means the hot path regressed to a (doc, char) shuffle
+    from deepchecks_spark.pipeline.textstats import char_entropy
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(char_entropy(docs.select("doc_id", "text"), "text"))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_pii_stats_single_one_row_exchange(spark):
+    # the corpus summary is ONE distributive agg: partial_sum map-side,
+    # a single SinglePartition exchange, no Expand
+    from deepchecks_spark.pipeline.webclean import pii_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pii_stats(docs, "text"))
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" in plan
+    assert "partial_sum" in plan and "Expand" not in plan
