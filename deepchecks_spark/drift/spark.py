@@ -272,3 +272,82 @@ def calc_drift_score(
             )
         raise ValueError(f"unknown categorical_drift_method {categorical_drift_method!r}")
     raise ValueError(f"unsupported column type for drift: {kind}")
+
+
+def temporal_drift(df: DataFrame, ts_col: str, value_col: str,
+                   granularity: str = "day", n_bins: int = 10) -> DataFrame:
+    """Drift TIME SERIES — the continuous-monitoring companion to the
+    two-snapshot FeatureDrift check: per ``granularity`` window
+    (``date_trunc`` semantics: 'hour' / 'day' / 'week' / 'month'), the
+    PSI of ``value_col``'s binned distribution against the FIRST
+    window's distribution, with the reference's 0.01 share floor
+    (``PSI_MIN_PERCENTAGE``). Output one row per window::
+
+        window_start (string), n_rows, psi
+
+    Binning is fixed-width over the global [min, max] (``n_bins``
+    equal intervals, top edge closed) so every window is measured on
+    the SAME support — per-window quantile bins would confound drift
+    with bin movement.
+
+    Scale shape: fully distributed, nothing collected — one scalar agg
+    for the global extremes (broadcast back), then ONE
+    map-side-combined ``groupBy(window, bin)`` — the only shuffle that
+    sees data volume; totals, the baseline-window distribution and the
+    dense window × bin grid all derive from that O(windows × bins)
+    table (broadcast joins), and the PSI fold is a tiny final groupBy.
+    At 100 TB the cost is the scan plus one (window, bin)-rows
+    exchange."""
+    ts = F.col(ts_col)
+    v = F.col(value_col)
+    rows = df.filter(ts.isNotNull() & v.isNotNull()).select(
+        F.date_format(F.date_trunc(granularity, ts), "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        v.cast("double").alias("__v"),
+    )
+    mm = rows.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    binned = rows.crossJoin(F.broadcast(mm)).select(
+        "window_start",
+        F.when(
+            F.col("__hi") == F.col("__lo"), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.floor((F.col("__v") - F.col("__lo"))
+                        / (F.col("__hi") - F.col("__lo")) * n_bins),
+                F.lit(n_bins - 1),
+            )
+        ).cast("int").alias("bin"),
+    )
+    wc = binned.groupBy("window_start", "bin").agg(
+        F.count(F.lit(1)).alias("n"))
+    wt = wc.groupBy("window_start").agg(F.sum("n").alias("total"))
+    first = wt.agg(F.min("window_start").alias("__w0"))
+    base = (
+        wc.crossJoin(F.broadcast(first))
+        .filter(F.col("window_start") == F.col("__w0"))
+        .select("bin", F.col("n").alias("__bn"))
+    )
+    base_total = base.agg(F.sum("__bn").alias("__btot"))
+    grid = wt.withColumn(
+        "bin", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))))
+    j = (
+        grid.join(wc, ["window_start", "bin"], "left")
+        .join(F.broadcast(base), "bin", "left")
+        .crossJoin(F.broadcast(base_total))
+        .select(
+            "window_start", "total",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("__bn"), F.lit(0)).alias("bn"),
+            F.col("__btot"),
+        )
+    )
+    e = F.greatest(F.col("bn") / F.col("__btot").cast("double"), F.lit(0.01))
+    a = F.greatest(F.col("n") / F.col("total").cast("double"), F.lit(0.01))
+    return (
+        j.groupBy("window_start")
+        .agg(
+            F.max("total").cast("long").alias("n_rows"),
+            F.round(F.sum((e - a) * F.log(e / a)), 6).alias("psi"),
+        )
+        .orderBy("window_start")
+    )

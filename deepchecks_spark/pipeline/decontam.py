@@ -241,3 +241,82 @@ def ngram_overlap(corpus_a: DataFrame, corpus_b: DataFrame, text_col: str,
                        F.col("n_common") / F.col("n_grams_b").cast("double"))
                 .otherwise(F.lit(0.0)), 6).alias("containment_b_in_a"),
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_name_col: str,
+    bench_text_col: str | None = None,
+    ngram: int = 13,
+    max_benchmark_grams: int = 5_000_000,
+) -> DataFrame:
+    """Per-BENCHMARK contamination summary — the release-review table
+    (one row per eval set) on top of :func:`ngram_decontamination`'s
+    per-document flags: for every distinct ``bench_name_col`` value::
+
+        benchmark, n_bench_grams, n_docs_contaminated,
+        pct_docs_contaminated
+
+    A document counts as contaminated for benchmark B when ANY of its
+    word ``ngram``-grams appears in B (the GPT-3 any-overlap
+    convention, threshold 0). Grams compare by xxhash64, identical to
+    gram text absent a 64-bit collision.
+
+    Scale shape: the (name, gram-hash) table is deduped with one
+    bounded groupBy, gated at ``max_benchmark_grams`` (cap+1 probe +
+    descriptive raise — an eval set bigger than that is a corpus), and
+    BROADCAST; corpus grams join it map-side, so the only exchange the
+    corpus pays is the (doc, benchmark) distinct — one row per
+    contaminated (doc, benchmark) pair, not per gram hit. The per-name
+    summary and the one-row corpus count are O(benchmarks) and
+    broadcast back."""
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.col(bench_name_col).alias("benchmark"),
+            F.explode(_gram_hashes(bench_text, ngram)).alias("__h"),
+        )
+        .groupBy("benchmark", "__h")
+        .agg(F.count(F.lit(1)).alias("__dummy"))
+        .select("benchmark", "__h")
+    )
+    probe = bench_grams.limit(max_benchmark_grams + 1).count()
+    if probe > max_benchmark_grams:
+        raise BenchmarkTooLargeError(
+            f"benchmark table has more than {max_benchmark_grams:,} distinct "
+            f"(benchmark, {ngram}-gram) pairs; the report broadcasts that set, "
+            "so shrink the eval sets or raise max_benchmark_grams explicitly"
+        )
+    per_bench = bench_grams.groupBy("benchmark").agg(
+        F.count(F.lit(1)).alias("n_bench_grams"))
+    hits = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.explode(_gram_hashes(text_col, ngram)).alias("__h"),
+        )
+        .join(F.broadcast(bench_grams), "__h")
+        .select("__id", "benchmark")
+        .distinct()
+    )
+    n_docs = corpus.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        per_bench.join(
+            hits.groupBy("benchmark").agg(
+                F.count(F.lit(1)).alias("n_docs_contaminated")),
+            "benchmark", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "benchmark",
+            F.col("n_bench_grams").cast("long").alias("n_bench_grams"),
+            F.coalesce(F.col("n_docs_contaminated"), F.lit(0)).cast("long")
+            .alias("n_docs_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_docs_contaminated"), F.lit(0))
+                / F.greatest(F.col("__n"), F.lit(1)).cast("double"), 6)
+            .alias("pct_docs_contaminated"),
+        )
+        .orderBy("benchmark")
+    )

@@ -1807,3 +1807,78 @@ def test_cluster_size_profile_hand_computed(spark):
     # sum(n_docs) == corpus rows; pct sums to 1
     assert sum(r["n_docs"] for r in out.values()) == 8
     assert abs(sum(r["pct_of_corpus"] for r in out.values()) - 1.0) < 1e-6
+
+
+def test_temporal_drift_hand_computed(spark):
+    """Two days, 2 bins over [0,10]: day 1 (baseline) splits 50/50,
+    day 2 is 75/25 -> psi = 0.25*ln(2/3)*(-1) + 0.25*ln(2) by hand;
+    day 1 vs itself is 0."""
+    import math
+
+    from deepchecks_spark.drift.spark import temporal_drift
+
+    rows = [("2024-01-01 05:00:00", 0.0), ("2024-01-01 06:00:00", 0.0),
+            ("2024-01-01 07:00:00", 10.0), ("2024-01-01 08:00:00", 10.0),
+            ("2024-01-02 05:00:00", 0.0), ("2024-01-02 06:00:00", 0.0),
+            ("2024-01-02 07:00:00", 0.0), ("2024-01-02 08:00:00", 10.0)]
+    df = spark.createDataFrame(rows, "ts string, value double") \
+        .selectExpr("cast(ts as timestamp) ts", "value")
+    out = {r["window_start"]: r for r in
+           temporal_drift(df, "ts", "value", "day", n_bins=2).collect()}
+    assert out["2024-01-01 00:00:00"]["psi"] == 0.0
+    assert out["2024-01-01 00:00:00"]["n_rows"] == 4
+    expected = (0.5 - 0.75) * math.log(0.5 / 0.75) + (0.5 - 0.25) * math.log(0.5 / 0.25)
+    assert abs(out["2024-01-02 00:00:00"]["psi"] - round(expected, 6)) < 1e-9
+
+
+def test_temporal_drift_floor_on_empty_bin(spark):
+    """A bin with zero mass takes the 0.01 floor on that side, never
+    a log-of-zero NaN."""
+    import math
+
+    from deepchecks_spark.drift.spark import temporal_drift
+
+    rows = [("2024-01-01 05:00:00", 0.0), ("2024-01-01 06:00:00", 10.0),
+            ("2024-01-02 05:00:00", 0.0), ("2024-01-02 06:00:00", 0.0)]
+    df = spark.createDataFrame(rows, "ts string, value double") \
+        .selectExpr("cast(ts as timestamp) ts", "value")
+    out = {r["window_start"]: r["psi"] for r in
+           temporal_drift(df, "ts", "value", "day", n_bins=2).collect()}
+    # day2: a=(1.0, floor .01) vs e=(.5,.5)
+    expected = (0.5 - 1.0) * math.log(0.5 / 1.0) + (0.5 - 0.01) * math.log(0.5 / 0.01)
+    assert abs(out["2024-01-02 00:00:00"] - round(expected, 6)) < 1e-9
+    assert not math.isnan(out["2024-01-02 00:00:00"])
+
+
+def test_contamination_report_hand_computed(spark):
+    from deepchecks_spark.pipeline.decontam import contamination_report
+
+    corpus = spark.createDataFrame(
+        [(0, "a b c d e f"),        # grams: 'a b c d e', 'b c d e f'
+         (1, "a b c d e"),          # gram:  'a b c d e'
+         (2, "p q r s t"),          # gram:  'p q r s t'
+         (3, "x y")],               # sub-gram: none
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("A", "a b c d e"),        # hits docs 0 and 1
+         ("B", "p q r s t u")],     # grams 'p q r s t','q r s t u' -> hits doc 2
+        "bench_name string, text string")
+    out = {r["benchmark"]: r for r in contamination_report(
+        corpus, bench, "doc_id", "text", "bench_name", ngram=5).collect()}
+    assert (out["A"]["n_bench_grams"], out["A"]["n_docs_contaminated"]) == (1, 2)
+    assert (out["B"]["n_bench_grams"], out["B"]["n_docs_contaminated"]) == (2, 1)
+    assert abs(out["A"]["pct_docs_contaminated"] - 0.5) < 1e-9
+
+
+def test_contamination_report_gate_raises(spark):
+    import pytest as _pytest
+
+    from deepchecks_spark.pipeline.decontam import (
+        BenchmarkTooLargeError, contamination_report)
+
+    corpus = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("A", "a b c d e f g h i j")], "bench_name string, text string")
+    with _pytest.raises(BenchmarkTooLargeError):
+        contamination_report(corpus, bench, "doc_id", "text", "bench_name",
+                             ngram=5, max_benchmark_grams=3).collect()

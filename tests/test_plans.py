@@ -525,3 +525,34 @@ def test_pii_stats_single_one_row_exchange(spark):
     assert plan.count("Exchange") == 1
     assert "SinglePartition" in plan
     assert "partial_sum" in plan and "Expand" not in plan
+
+
+def test_temporal_drift_value_never_shuffles(spark):
+    # the raw value column must be projected into a bin BEFORE the
+    # (window, bin) groupBy — no hash Exchange may carry __v, and the
+    # big groupBy must map-side combine
+    import re
+
+    from deepchecks_spark.drift.spark import temporal_drift
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(temporal_drift(events, "ts", "value", "day", n_bins=10))
+    assert "partial_count" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__v" not in m.group(1) and "value" not in m.group(1)
+
+
+def test_contamination_report_benchmark_broadcasts(spark):
+    # the (benchmark, gram-hash) set must BROADCAST into the corpus
+    # explode — the corpus side never hash-partitions its gram hits
+    # before the bounded (doc, benchmark) distinct
+    from deepchecks_spark.pipeline.decontam import contamination_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter("doc_id % 25 = 0").selectExpr(
+        "concat('b', CAST(doc_id % 2 AS STRING)) AS bench_name", "text")
+    plan = _plan(contamination_report(docs, bench, "doc_id", "text",
+                                      "bench_name", ngram=5))
+    assert "BroadcastHashJoin" in plan
+    assert "text" not in "".join(
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l)
