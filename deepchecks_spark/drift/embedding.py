@@ -1,0 +1,125 @@
+"""Embedding-corpus drift — the multivariate companion to the
+per-column drift kernels for `array<float>` embedding columns.
+
+The reference's multivariate drift check (
+reference/deepchecks/tabular/checks/train_test_validation/multivariate_drift.py)
+trains a domain classifier over tabular FEATURES; embeddings have no
+named features, so the standard corpus-level statistic is the kernel
+maximum mean discrepancy (Gretton et al., JMLR 2012, "A Kernel
+Two-Sample Test") estimated with random Fourier features (Rahimi &
+Recht, NeurIPS 2007): for the RBF kernel ``k(x,y)=exp(-g*||x-y||^2)``,
+
+    z_j(x) = cos(w_j . x + b_j),  w_j ~ N(0, 2g I),  b_j ~ U[0, 2pi)
+    MMD^2  ~= (2/D) * sum_j (mean_A z_j - mean_B z_j)^2
+
+so the whole two-sample statistic collapses to ONE distributive
+aggregation per corpus (D feature means + dim coordinate means + a
+count), with the projections fixed, seeded constants inlined into the
+plan. No pairwise anything, no Python, no shuffle beyond two one-row
+exchanges — at 10^12 rows the cost is the two scans.
+
+The same seeded constants are inlined into the DuckDB oracle SQL
+(:func:`rff_oracle_sql`), and every dot product folds left-to-right in
+both engines, so the comparison is deterministic to the last ulp of
+libm cos.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rff_params(dim: int, n_features: int, gamma: float, seed: int = 42):
+    """Seeded random-Fourier projection constants for the RBF kernel
+    ``exp(-gamma * ||x - y||^2)``: returns ``(W, b)`` as plain Python
+    float lists (``W`` is n_features x dim, rows ~ N(0, 2*gamma*I);
+    ``b`` ~ U[0, 2pi)). Plain floats so the same decimal literals can
+    be inlined into both the Spark plan and the oracle SQL."""
+    rng = np.random.default_rng(seed)
+    w = rng.normal(0.0, math.sqrt(2.0 * gamma), size=(n_features, dim))
+    b = rng.uniform(0.0, 2.0 * math.pi, size=n_features)
+    return [[float(x) for x in row] for row in w], [float(x) for x in b]
+
+
+def _feature_col(vec_col: str, w_row: list, b_j: float):
+    # left-fold b + w0*v[1] + w1*v[2] + ... so the float summation
+    # order is identical to the oracle's left-associative SQL chain
+    expr = F.lit(b_j)
+    for k, w in enumerate(w_row):
+        expr = expr + F.lit(w) * F.element_at(F.col(vec_col), k + 1).cast("double")
+    return F.cos(expr)
+
+
+def _corpus_means(df: DataFrame, vec_col: str, w: list, b: list,
+                  dim: int, tag: str) -> DataFrame:
+    rows = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+    aggs = [F.count(F.lit(1)).alias(f"n_{tag}")]
+    aggs += [F.avg(_feature_col(vec_col, w[j], b[j])).alias(f"z{j}_{tag}")
+             for j in range(len(b))]
+    aggs += [F.avg(F.element_at(F.col(vec_col), k + 1).cast("double"))
+             .alias(f"c{k}_{tag}") for k in range(dim)]
+    return rows.agg(*aggs)
+
+
+def embedding_drift(ref: DataFrame, cur: DataFrame, vec_col: str, dim: int,
+                    n_features: int = 64, gamma: float | None = None,
+                    seed: int = 42) -> DataFrame:
+    """RFF-estimated MMD^2 between two embedding corpora plus the
+    centroid cosine similarity. One output row::
+
+        n_ref, n_cur, mmd2, centroid_cos
+
+    ``mmd2`` near 0 means the corpora are kernel-indistinguishable at
+    this feature resolution; ``centroid_cos`` is the first-moment
+    summary (1.0 = identical mean direction). Rows with NULL vectors
+    or the wrong dimension are excluded on both sides.
+
+    Scale shape: ONE distributive aggregation per corpus (the RFF
+    features and coordinates are codegen'd JVM expressions over the
+    array column — no explode, no Python, no Expand), then O(D + dim)
+    arithmetic on the two broadcast one-row frames. ``gamma`` defaults
+    to ``1/dim`` (the median-heuristic-free convention for unit-ish
+    scaled embeddings)."""
+    if gamma is None:
+        gamma = 1.0 / dim
+    w, b = rff_params(dim, n_features, gamma, seed)
+    a = _corpus_means(ref, vec_col, w, b, dim, "a")
+    c = _corpus_means(cur, vec_col, w, b, dim, "b")
+    joined = a.crossJoin(F.broadcast(c))
+    mmd2 = F.lit(0.0)
+    for j in range(n_features):
+        d = F.col(f"z{j}_a") - F.col(f"z{j}_b")
+        mmd2 = mmd2 + d * d
+    mmd2 = mmd2 * F.lit(2.0 / n_features)
+    dot = F.lit(0.0)
+    na = F.lit(0.0)
+    nb = F.lit(0.0)
+    for k in range(dim):
+        dot = dot + F.col(f"c{k}_a") * F.col(f"c{k}_b")
+        na = na + F.col(f"c{k}_a") * F.col(f"c{k}_a")
+        nb = nb + F.col(f"c{k}_b") * F.col(f"c{k}_b")
+    cos = F.when((na > 0) & (nb > 0), dot / (F.sqrt(na) * F.sqrt(nb)))
+    return joined.select(
+        F.col("n_a").cast("long").alias("n_ref"),
+        F.col("n_b").cast("long").alias("n_cur"),
+        F.round(mmd2, 6).alias("mmd2"),
+        F.round(cos, 6).alias("centroid_cos"),
+    )
+
+
+def rff_oracle_sql(vec_expr: str, w: list, b: list) -> list:
+    """The DuckDB twin of :func:`_feature_col` — one
+    ``cos(b + w0*vec[1]::DOUBLE + ...)`` string per feature, same
+    left-associative fold order as the Spark expression."""
+    out = []
+    for j in range(len(b)):
+        terms = "".join(
+            f" + ({wk!r}) * ({vec_expr})[{k + 1}]::DOUBLE"
+            for k, wk in enumerate(w[j])
+        )
+        out.append(f"cos(({b[j]!r}){terms})")
+    return out

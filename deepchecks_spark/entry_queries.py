@@ -4924,6 +4924,104 @@ def o_contamination_report_documents():
     """
 
 
+def q_embedding_drift_embeddings(spark, sf_dir):
+    """RFF-MMD^2 embedding-corpus drift: even vec_ids are the reference
+    corpus, odd vec_ids get a +0.25 per-coordinate shift (planted
+    drift). One distributive agg per corpus; the seeded projection
+    constants are inlined into BOTH engines' plans, and every dot
+    product folds left-to-right identically."""
+    from deepchecks_spark.drift.embedding import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1).withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(0.25)))
+    return embedding_drift(ref, cur, "embedding", dim=64, n_features=16)
+
+
+def o_embedding_drift_embeddings():
+    from deepchecks_spark.drift.embedding import rff_oracle_sql, rff_params
+
+    dim, d = 64, 16
+    w, b = rff_params(dim, d, 1.0 / dim)
+
+    def side(where, vec, tag):
+        feats = rff_oracle_sql(vec, w, b)
+        zs = ", ".join(f"avg({f}) AS z{j}_{tag}" for j, f in enumerate(feats))
+        cs = ", ".join(f"avg(({vec})[{k + 1}]::DOUBLE) AS c{k}_{tag}"
+                       for k in range(dim))
+        return (f"SELECT count(*) AS n_{tag}, {zs}, {cs} FROM embeddings "
+                f"WHERE {where} AND embedding IS NOT NULL "
+                f"AND len(embedding) = {dim}")
+
+    a = side("vec_id % 2 = 0", "embedding", "a")
+    bq = side("vec_id % 2 = 1",
+              "list_transform(embedding, x -> x::DOUBLE + 0.25)", "b")
+    mmd = " + ".join(f"(z{j}_a - z{j}_b) * (z{j}_a - z{j}_b)" for j in range(d))
+    dot = " + ".join(f"c{k}_a * c{k}_b" for k in range(dim))
+    na = " + ".join(f"c{k}_a * c{k}_a" for k in range(dim))
+    nb = " + ".join(f"c{k}_b * c{k}_b" for k in range(dim))
+    return f"""
+    WITH a AS ({a}), b AS ({bq})
+    SELECT n_a::BIGINT AS n_ref, n_b::BIGINT AS n_cur,
+           round(({mmd}) * {2.0 / d!r}, 6) AS mmd2,
+           round(CASE WHEN ({na}) > 0 AND ({nb}) > 0
+                      THEN ({dot}) / (sqrt({na}) * sqrt({nb})) END, 6)
+           AS centroid_cos
+    FROM a, b
+    """
+
+
+def q_unigram_js_documents(spark, sf_dir):
+    """Lexical drift between the English and non-English documents:
+    Jensen-Shannon divergence of the two unigram distributions over the
+    union vocabulary. Two map-side-combined token groupBys (reused by
+    the totals branch via exchange reuse), one vocab-sized join, one
+    final sum."""
+    from deepchecks_spark.pipeline.textstats import unigram_js_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_js_divergence(docs.filter(F.col("lang") == "en"),
+                                 docs.filter(F.col("lang") != "en"), "text")
+
+
+def o_unigram_js_documents():
+    import math
+
+    return rf"""
+    WITH toks_a AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE lang = 'en' AND length(trim(text)) > 0),
+    toks_b AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE lang <> 'en' AND length(trim(text)) > 0),
+    ca AS (SELECT tok, count(*) AS na FROM toks_a GROUP BY 1),
+    cb AS (SELECT tok, count(*) AS nb FROM toks_b GROUP BY 1),
+    j AS (SELECT coalesce(ca.na, 0) AS na, coalesce(cb.nb, 0) AS nb
+          FROM ca FULL OUTER JOIN cb USING (tok)),
+    t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM j),
+    c AS (SELECT na, nb,
+                 na / (SELECT ta FROM t)::DOUBLE AS p,
+                 nb / (SELECT tb FROM t)::DOUBLE AS q
+          FROM j)
+    SELECT (SELECT ta FROM t)::BIGINT AS n_tokens_a,
+           (SELECT tb FROM t)::BIGINT AS n_tokens_b,
+           sum(CASE WHEN na > 0 THEN 1 ELSE 0 END)::BIGINT AS n_types_a,
+           sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END)::BIGINT AS n_types_b,
+           count(*)::BIGINT AS n_types_union,
+           round(sum(CASE WHEN na > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0))
+                          ELSE 0.0 END
+                     + CASE WHEN nb > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0))
+                            ELSE 0.0 END), 6) AS js_divergence,
+           round(sum(CASE WHEN na > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0))
+                          ELSE 0.0 END
+                     + CASE WHEN nb > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0))
+                            ELSE 0.0 END) / {math.log(2.0)!r}, 6)
+           AS js_normalized
+    FROM c
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4937,6 +5035,8 @@ def _ctx(ds):
 QUERIES = {
     # never-driver-verified queries FIRST: the driver's correctness run
     # caps at the first 50 entries of this dict (VERDICT r4 next-1).
+    "embedding_drift_embeddings": q_embedding_drift_embeddings,
+    "unigram_js_documents": q_unigram_js_documents,
     "temporal_drift_events": q_temporal_drift_events,
     "contamination_report_documents": q_contamination_report_documents,
     "char_entropy_documents": q_char_entropy_documents,
@@ -5075,6 +5175,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_drift_embeddings": o_embedding_drift_embeddings(),
+    "unigram_js_documents": o_unigram_js_documents(),
     "temporal_drift_events": o_temporal_drift_events(),
     "contamination_report_documents": o_contamination_report_documents(),
     "char_entropy_documents": o_char_entropy_documents(),

@@ -5,6 +5,8 @@ list lambdas / xxhash64); no Python UDFs in the hot path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -694,4 +696,61 @@ def char_entropy(df: DataFrame, text_col: str,
         F.when(empty, F.lit(0)).otherwise(F.size(dist)).cast("long")
         .alias("n_distinct_chars"),
         F.round(h, 6).alias(out_col),
+    )
+
+
+def unigram_js_divergence(corpus_a: DataFrame, corpus_b: DataFrame,
+                          text_col: str) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's unigram
+    distributions — the standard lexical-drift distance for comparing
+    crawls / sources / filtered-vs-raw corpora (symmetric, bounded,
+    defined even where vocabularies only partially overlap — exactly
+    where plain KL blows up). Natural-log convention, so the bound is
+    ln 2; ``js_normalized`` divides it out to [0, 1]. One row::
+
+        n_tokens_a, n_tokens_b, n_types_a, n_types_b, n_types_union,
+        js_divergence, js_normalized
+
+    ``JSD = 0.5*KL(P||M) + 0.5*KL(Q||M)`` with ``M=(P+Q)/2`` over the
+    UNION vocabulary; a type absent from one side contributes only the
+    other side's term (0*ln 0 = 0).
+
+    Scale shape: one map-side-combined ``groupBy(token)`` per corpus
+    (the only shuffles that see data volume — one row per distinct
+    token per partition), a vocab-sized full-outer join on the two
+    agg outputs, then the totals (an O(vocab) one-row agg, broadcast
+    back — Catalyst reuses the two groupBy Exchanges, so neither
+    corpus is scanned twice) and ONE final all-to-one sum. Token text
+    never reaches the driver."""
+    def counts(df, tag):
+        toks = F.when(
+            F.length(F.trim(F.col(text_col))) == 0,
+            F.array().cast("array<string>"),
+        ).otherwise(_tokens(text_col))
+        return (df.select(F.explode(toks).alias("__tok"))
+                  .groupBy("__tok")
+                  .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
+
+    j = counts(corpus_a, "a").join(counts(corpus_b, "b"), "__tok", "full_outer") \
+        .select(
+            F.coalesce(F.col("n_a"), F.lit(0)).alias("na"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("nb"),
+        )
+    totals = j.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    t = j.crossJoin(F.broadcast(totals))
+    p = F.col("na") / F.col("ta").cast("double")
+    q = F.col("nb") / F.col("tb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    contrib = (
+        F.when(F.col("na") > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("nb") > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    return t.groupBy().agg(
+        F.max("ta").cast("long").alias("n_tokens_a"),
+        F.max("tb").cast("long").alias("n_tokens_b"),
+        F.sum(F.when(F.col("na") > 0, 1).otherwise(0)).cast("long").alias("n_types_a"),
+        F.sum(F.when(F.col("nb") > 0, 1).otherwise(0)).cast("long").alias("n_types_b"),
+        F.count(F.lit(1)).cast("long").alias("n_types_union"),
+        F.round(F.sum(contrib), 6).alias("js_divergence"),
+        F.round(F.sum(contrib) / F.lit(math.log(2.0)), 6).alias("js_normalized"),
     )

@@ -1882,3 +1882,77 @@ def test_contamination_report_gate_raises(spark):
     with _pytest.raises(BenchmarkTooLargeError):
         contamination_report(corpus, bench, "doc_id", "text", "bench_name",
                              ngram=5, max_benchmark_grams=3).collect()
+
+
+def test_unigram_js_divergence_hand_computed(spark):
+    """corpus A = 'a a b' (P: a=2/3,b=1/3), B = 'a c' (Q: a=1/2,c=1/2):
+    JSD = .5[(2/3)ln(8/7)+(1/3)ln2] + .5[(1/2)ln(6/7)+(1/2)ln2] by hand;
+    absent types contribute only the present side's term."""
+    import math
+
+    from deepchecks_spark.pipeline.textstats import unigram_js_divergence
+
+    a = spark.createDataFrame([("a a b",)], "text string")
+    b = spark.createDataFrame([("a c",)], "text string")
+    r = unigram_js_divergence(a, b, "text").collect()[0]
+    assert (r["n_tokens_a"], r["n_tokens_b"]) == (3, 2)
+    assert (r["n_types_a"], r["n_types_b"], r["n_types_union"]) == (2, 2, 3)
+    expected = 0.5 * ((2 / 3) * math.log((2 / 3) / (7 / 12))
+                      + (1 / 3) * math.log((1 / 3) / (1 / 6))) \
+        + 0.5 * ((1 / 2) * math.log((1 / 2) / (7 / 12))
+                 + (1 / 2) * math.log((1 / 2) / (1 / 4)))
+    assert abs(r["js_divergence"] - round(expected, 6)) < 1e-9
+    assert abs(r["js_normalized"] - round(expected / math.log(2), 6)) < 1e-9
+
+
+def test_unigram_js_divergence_identical_is_zero(spark):
+    from deepchecks_spark.pipeline.textstats import unigram_js_divergence
+
+    a = spark.createDataFrame([("x y z",), ("", ), ("x",)], "text string")
+    r = unigram_js_divergence(a, a, "text").collect()[0]
+    assert r["js_divergence"] == 0.0 and r["js_normalized"] == 0.0
+    assert r["n_tokens_a"] == r["n_tokens_b"] == 4  # blank doc contributes 0
+
+
+def test_embedding_drift_numpy_parity(spark):
+    """The one-agg Spark estimate equals the straight numpy RFF MMD^2
+    and centroid cosine on the same seeded projections."""
+    import numpy as np
+
+    from deepchecks_spark.drift.embedding import embedding_drift, rff_params
+
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(40, 8))
+    B = rng.normal(size=(40, 8)) + 0.5
+    ref = spark.createDataFrame([(r.tolist(),) for r in A], "embedding array<double>")
+    cur = spark.createDataFrame([(r.tolist(),) for r in B], "embedding array<double>")
+    out = embedding_drift(ref, cur, "embedding", dim=8, n_features=32).collect()[0]
+    w, b = rff_params(8, 32, 1.0 / 8)
+    W, bb = np.array(w), np.array(b)
+    za = np.cos(A @ W.T + bb).mean(axis=0)
+    zb = np.cos(B @ W.T + bb).mean(axis=0)
+    mmd2 = (2.0 / 32) * ((za - zb) ** 2).sum()
+    ca, cb = A.mean(axis=0), B.mean(axis=0)
+    cos = ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb))
+    assert (out["n_ref"], out["n_cur"]) == (40, 40)
+    assert abs(out["mmd2"] - round(float(mmd2), 6)) < 2e-6
+    assert abs(out["centroid_cos"] - round(float(cos), 6)) < 2e-6
+
+
+def test_embedding_drift_self_is_null_drift(spark):
+    from deepchecks_spark.drift.embedding import embedding_drift
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = embedding_drift(emb, emb, "embedding", dim=64, n_features=16).collect()[0]
+    assert out["mmd2"] == 0.0 and out["centroid_cos"] == 1.0
+
+
+def test_embedding_drift_excludes_null_and_wrong_dim(spark):
+    from deepchecks_spark.drift.embedding import embedding_drift
+
+    ref = spark.createDataFrame(
+        [([1.0, 0.0],), (None,), ([1.0, 0.0, 5.0],)], "embedding array<double>")
+    cur = spark.createDataFrame([([1.0, 0.0],)], "embedding array<double>")
+    out = embedding_drift(ref, cur, "embedding", dim=2, n_features=8).collect()[0]
+    assert (out["n_ref"], out["n_cur"]) == (1, 1)
+    assert out["mmd2"] == 0.0 and out["centroid_cos"] == 1.0

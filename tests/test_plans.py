@@ -556,3 +556,36 @@ def test_contamination_report_benchmark_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "text" not in "".join(
         l for l in plan.splitlines() if "Exchange hashpartitioning" in l)
+
+
+def test_embedding_drift_is_two_one_row_aggs(spark):
+    # the whole two-sample statistic must be ONE distributive agg per
+    # corpus: no hash Exchange (nothing shuffles by key), exactly two
+    # SinglePartition exchanges (one one-row frame per side), no
+    # Expand, no Python — the RFF features are codegen'd expressions
+    from deepchecks_spark.drift.embedding import embedding_drift
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_drift(emb.filter("vec_id % 2 = 0"),
+                                 emb.filter("vec_id % 2 = 1"),
+                                 "embedding", dim=64, n_features=16))
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange SinglePartition") == 2
+    assert "Expand" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_unigram_js_reuses_token_count_exchanges(spark):
+    # the totals branch must REUSE the two groupBy(token) shuffles
+    # (each corpus scanned once for the vocab table), and the token
+    # groupBys must map-side combine
+    from deepchecks_spark.pipeline.textstats import unigram_js_divergence
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = unigram_js_divergence(docs.filter("lang = 'en'"),
+                               docs.filter("lang <> 'en'"), "text")
+    df.collect()  # AQE applies exchange reuse at execution time
+    plan = _plan(df)
+    assert plan.count("ReusedExchange") >= 2
+    assert "partial_count" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
