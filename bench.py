@@ -228,6 +228,38 @@ def bench_relational(spark):
     return ev.count()
 
 
+def bench_corpus_drift(spark):
+    """Corpus-drift operators (round-5 addition, NEW stage so the
+    pre-existing per-stage timings stay cross-round comparable):
+    PSI drift time series over events, RFF-MMD embedding drift +
+    its per-window time series, and unigram JS lexical divergence."""
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.drift.embedding import (
+        embedding_drift,
+        embedding_drift_timeseries,
+    )
+    from deepchecks_spark.drift.spark import temporal_drift
+    from deepchecks_spark.pipeline.textstats import unigram_js_divergence
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    temporal_drift(ev, "ts", "value", "day", n_bins=10).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    embedding_drift(emb.filter(F.col("vec_id") % 2 == 0),
+                    emb.filter(F.col("vec_id") % 2 == 1),
+                    "embedding", dim=64, n_features=16).collect()
+    ts = emb.selectExpr(
+        "timestamp(date_add(date'2024-01-01', cast(vec_id % 3 as int))) AS ts",
+        "embedding")
+    embedding_drift_timeseries(ts, "ts", "embedding", dim=64,
+                               n_features=16).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    unigram_js_divergence(docs.filter(F.col("lang") == "en"),
+                          docs.filter(F.col("lang") != "en"),
+                          "text").collect()
+    return ev.count()
+
+
 BENCHES = {
     "integrity_suite_lineitem": bench_integrity_suite,
     "feature_label_drift_orders": bench_drift,
@@ -236,6 +268,7 @@ BENCHES = {
     "similarity_embeddings": bench_similarity,
     "textstats_documents": bench_textstats,
     "relational_events": bench_relational,
+    "corpusdrift_events": bench_corpus_drift,
     "corpus_runner_webpages": bench_corpus_runner,
 }
 

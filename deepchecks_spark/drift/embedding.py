@@ -123,3 +123,59 @@ def rff_oracle_sql(vec_expr: str, w: list, b: list) -> list:
         )
         out.append(f"cos(({b[j]!r}){terms})")
     return out
+
+
+def embedding_drift_timeseries(df: DataFrame, ts_col: str, vec_col: str,
+                               dim: int, granularity: str = "day",
+                               n_features: int = 64,
+                               gamma: float | None = None,
+                               seed: int = 42) -> DataFrame:
+    """Embedding-drift TIME SERIES — the multivariate companion to
+    :func:`deepchecks_spark.drift.spark.temporal_drift`: per
+    ``granularity`` window (``date_trunc`` semantics), the RFF-MMD^2
+    of the window's embedding distribution against the FIRST window's.
+    One row per window::
+
+        window_start (string), n_rows, mmd2
+
+    (the baseline window reports 0.0 against itself). Rows with NULL
+    timestamps, NULL vectors, or the wrong dimension are excluded.
+
+    Scale shape: the RFF features are per-row codegen'd expressions, so
+    the whole series is ONE ``groupBy(window)`` aggregation whose
+    shuffle carries O(windows x n_features) partial means — the raw
+    vectors never enter an exchange; the first-window lookup and the
+    per-window MMD are O(windows) broadcast arithmetic after."""
+    if gamma is None:
+        gamma = 1.0 / dim
+    w, b = rff_params(dim, n_features, gamma, seed)
+    rows = df.filter(
+        F.col(ts_col).isNotNull() & F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+    ).select(
+        F.date_format(F.date_trunc(granularity, F.col(ts_col)),
+                      "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col(vec_col),
+    )
+    means = rows.groupBy("window_start").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.avg(_feature_col(vec_col, w[j], b[j])).alias(f"z{j}")
+          for j in range(n_features)],
+    )
+    first = means.crossJoin(
+        F.broadcast(means.agg(F.min("window_start").alias("__w0")))
+    ).filter(F.col("window_start") == F.col("__w0")).select(
+        *[F.col(f"z{j}").alias(f"b{j}") for j in range(n_features)])
+    mmd2 = F.lit(0.0)
+    for j in range(n_features):
+        d = F.col(f"z{j}") - F.col(f"b{j}")
+        mmd2 = mmd2 + d * d
+    return (
+        means.crossJoin(F.broadcast(first))
+        .select(
+            "window_start",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(mmd2 * F.lit(2.0 / n_features), 6).alias("mmd2"),
+        )
+        .orderBy("window_start")
+    )

@@ -4972,6 +4972,45 @@ def o_embedding_drift_embeddings():
     """
 
 
+def q_embedding_drift_ts_embeddings(spark, sf_dir):
+    """Embedding-drift time series: vec_id % 3 assigns each vector a
+    deterministic synthetic day, and each day's RFF feature means are
+    compared to day 0's. One groupBy(window) agg whose shuffle carries
+    O(windows x n_features) partials — vectors never enter an
+    exchange."""
+    from deepchecks_spark.drift.embedding import embedding_drift_timeseries
+
+    emb = _t(spark, sf_dir, "embeddings").selectExpr(
+        "timestamp(date_add(date'2024-01-01', cast(vec_id % 3 as int))) AS ts",
+        "embedding")
+    return embedding_drift_timeseries(emb, "ts", "embedding", dim=64,
+                                      n_features=16)
+
+
+def o_embedding_drift_ts_embeddings():
+    from deepchecks_spark.drift.embedding import rff_oracle_sql, rff_params
+
+    dim, d = 64, 16
+    w, b = rff_params(dim, d, 1.0 / dim)
+    feats = rff_oracle_sql("v", w, b)
+    zs = ", ".join(f"avg({f}) AS z{j}" for j, f in enumerate(feats))
+    bs = ", ".join(f"z{j} AS b{j}" for j in range(d))
+    mmd = " + ".join(f"(m.z{j} - base.b{j}) * (m.z{j} - base.b{j})"
+                     for j in range(d))
+    return f"""
+    WITH r AS (SELECT strftime(DATE '2024-01-01' + (vec_id % 3)::INT,
+                               '%Y-%m-%d %H:%M:%S') AS w,
+                      embedding AS v
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND len(embedding) = {dim}),
+    m AS (SELECT w, count(*) AS n, {zs} FROM r GROUP BY w),
+    base AS (SELECT {bs} FROM m WHERE w = (SELECT min(w) FROM m))
+    SELECT m.w AS window_start, m.n::BIGINT AS n_rows,
+           round(({mmd}) * {2.0 / d!r}, 6) AS mmd2
+    FROM m, base ORDER BY 1
+    """
+
+
 def q_unigram_js_documents(spark, sf_dir):
     """Lexical drift between the English and non-English documents:
     Jensen-Shannon divergence of the two unigram distributions over the
@@ -5036,6 +5075,7 @@ QUERIES = {
     # never-driver-verified queries FIRST: the driver's correctness run
     # caps at the first 50 entries of this dict (VERDICT r4 next-1).
     "embedding_drift_embeddings": q_embedding_drift_embeddings,
+    "embedding_drift_ts_embeddings": q_embedding_drift_ts_embeddings,
     "unigram_js_documents": q_unigram_js_documents,
     "temporal_drift_events": q_temporal_drift_events,
     "contamination_report_documents": q_contamination_report_documents,
@@ -5176,6 +5216,7 @@ QUERIES = {
 
 ORACLES = {
     "embedding_drift_embeddings": o_embedding_drift_embeddings(),
+    "embedding_drift_ts_embeddings": o_embedding_drift_ts_embeddings(),
     "unigram_js_documents": o_unigram_js_documents(),
     "temporal_drift_events": o_temporal_drift_events(),
     "contamination_report_documents": o_contamination_report_documents(),

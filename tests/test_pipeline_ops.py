@@ -1956,3 +1956,31 @@ def test_embedding_drift_excludes_null_and_wrong_dim(spark):
     out = embedding_drift(ref, cur, "embedding", dim=2, n_features=8).collect()[0]
     assert (out["n_ref"], out["n_cur"]) == (1, 1)
     assert out["mmd2"] == 0.0 and out["centroid_cos"] == 1.0
+
+
+def test_embedding_drift_timeseries_numpy_parity(spark):
+    """Three windows of seeded vectors: baseline window reports 0.0,
+    each later window equals the straight numpy RFF MMD^2 vs window 0."""
+    import numpy as np
+
+    from deepchecks_spark.drift.embedding import (
+        embedding_drift_timeseries, rff_params)
+
+    rng = np.random.default_rng(11)
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    mats = [rng.normal(size=(30, 4)) + i for i in range(3)]
+    rows = [(f"{d} {i:02d}:00:00", v.tolist())
+            for d, m in zip(days, mats) for i, v in enumerate(m[:24])]
+    df = spark.createDataFrame(rows, "ts string, embedding array<double>") \
+        .selectExpr("cast(ts as timestamp) ts", "embedding")
+    out = {r["window_start"]: r for r in embedding_drift_timeseries(
+        df, "ts", "embedding", dim=4, n_features=32).collect()}
+    assert out["2024-01-01 00:00:00"]["mmd2"] == 0.0
+    w, b = rff_params(4, 32, 1.0 / 4)
+    W, bb = np.array(w), np.array(b)
+    z = [np.cos(m[:24] @ W.T + bb).mean(axis=0) for m in mats]
+    for i in (1, 2):
+        expected = (2.0 / 32) * ((z[i] - z[0]) ** 2).sum()
+        got = out[f"{days[i]} 00:00:00"]["mmd2"]
+        assert abs(got - round(float(expected), 6)) < 2e-6
+        assert out[f"{days[i]} 00:00:00"]["n_rows"] == 24

@@ -589,3 +589,22 @@ def test_unigram_js_reuses_token_count_exchanges(spark):
     assert plan.count("ReusedExchange") >= 2
     assert "partial_count" in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_embedding_drift_timeseries_vectors_never_shuffle(spark):
+    # the groupBy(window) shuffle must carry only the O(D) partial
+    # means — the embedding array never enters a hash Exchange, and
+    # the per-window agg map-side combines
+    import re
+
+    from deepchecks_spark.drift.embedding import embedding_drift_timeseries
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .selectExpr("timestamp(date_add(date'2024-01-01', "
+                    "cast(vec_id % 3 as int))) AS ts", "embedding")
+    plan = _plan(embedding_drift_timeseries(emb, "ts", "embedding",
+                                            dim=64, n_features=16))
+    assert "partial_avg" in plan or "partial_count" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1)
+    assert "Python" not in plan and "ArrowEval" not in plan
