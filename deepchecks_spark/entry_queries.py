@@ -2965,6 +2965,151 @@ def o_url_dedup_documents():
     """
 
 
+def q_domain_profile_documents(spark, sf_dir):
+    """Per-domain corpus profile over the arithmetic URL fixture: five
+    domains (example0-4.com, mixed case / ports in the raw form), each
+    with its document count, exact-duplicate-text rate, token mass and
+    mean length. The oracle builds the domain key ARITHMETICALLY from
+    doc_id (never running the host regexp), so a host-extraction slip —
+    an unstripped port, a case leak — moves rows between groups and
+    breaks the hash; duplicate counts compare xxhash64-distinct (engine)
+    against text-distinct (oracle), identical absent a 64-bit
+    collision."""
+    from deepchecks_spark.pipeline.webclean import domain_profile
+
+    df = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "text", _URL_FIXTURE_SQL + " AS url")
+    out = domain_profile(df, "url", "text")
+    return out.select(
+        "domain", "n_docs", "n_unique_texts",
+        F.round("dup_ratio", 6).alias("dup_ratio"),
+        "n_tokens",
+        F.round("avg_chars", 6).alias("avg_chars"),
+    )
+
+
+def o_domain_profile_documents():
+    return f"""
+    WITH f AS (SELECT concat('example', CAST(doc_id % 5 AS STRING), '.com') AS domain,
+                      text,
+                      (CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE array_length(string_split_regex(trim(text), '\\s+')) END) AS nt
+               FROM documents)
+    SELECT domain,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT text)::BIGINT AS n_unique_texts,
+           round((count(*) - count(DISTINCT text)) / count(*)::DOUBLE, 6) AS dup_ratio,
+           sum(nt)::BIGINT AS n_tokens,
+           round(sum(length(text)) / count(*)::DOUBLE, 6) AS avg_chars
+    FROM f GROUP BY domain ORDER BY domain
+    """
+
+
+# spam-URL fixture: digit-stuffed subdomain chains every 3rd doc, deep
+# paths cycling 0-8 segments, parameter explosions every 4th doc
+_SPAM_URL_FIXTURE_SQL = (
+    "concat('http://',"
+    " CASE WHEN doc_id % 3 = 0"
+    "      THEN concat('a', CAST(doc_id % 10 AS STRING), '7.b.c.example',"
+    "                  CAST(doc_id % 5 AS STRING), '.com')"
+    "      ELSE concat('example', CAST(doc_id % 5 AS STRING), '.com') END,"
+    " '/p', repeat('/x', CAST(doc_id % 9 AS INT)),"
+    " CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2&c=3&d=4&e=5&f=6'"
+    "      WHEN doc_id % 4 = 1 THEN '?q=1' ELSE '' END)"
+)
+
+
+def q_url_spam_documents(spark, sf_dir):
+    """Structural URL spam signals over a fixture with digit-stuffed
+    subdomain chains, deep paths and parameter explosions. The oracle
+    re-derives every signal with a DIFFERENT parse strategy
+    (split_part/substr arithmetic instead of the engine's regexp
+    extraction), so the two agree only if both parse the URL grammar
+    correctly; the composite score is the identical double expression
+    on both sides."""
+    from deepchecks_spark.pipeline.webclean import url_spam_scores
+
+    df = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _SPAM_URL_FIXTURE_SQL + " AS url")
+    out = url_spam_scores(df, "url")
+    return out.select(
+        "doc_id", "url_len",
+        F.round("host_digit_ratio", 6).alias("host_digit_ratio"),
+        "path_depth", "n_params", "n_subdomains",
+        F.round("spam_score", 6).alias("spam_score"), "is_spam",
+    )
+
+
+def o_url_spam_documents():
+    return f"""
+    WITH f AS (SELECT doc_id, {_SPAM_URL_FIXTURE_SQL} AS url FROM documents),
+    p AS (SELECT doc_id, url,
+                 split_part(url, '?', 2) AS query,
+                 split_part(split_part(url, '?', 1), '/', 3) AS host,
+                 substr(split_part(url, '?', 1),
+                        8 + length(split_part(split_part(url, '?', 1), '/', 3)))
+                   AS path
+          FROM f),
+    s AS (SELECT doc_id,
+                 length(url)::BIGINT AS url_len,
+                 CASE WHEN length(host) > 0
+                      THEN length(regexp_replace(host, '[^0-9]', '', 'g'))
+                           / length(host)::DOUBLE
+                      ELSE 0.0 END AS host_digit_ratio,
+                 (length(path) - length(replace(path, '/', '')))::BIGINT AS path_depth,
+                 (CASE WHEN length(query) = 0 THEN 0
+                       ELSE length(query) - length(replace(query, '&', '')) + 1
+                  END)::BIGINT AS n_params,
+                 greatest(length(host) - length(replace(host, '.', '')) - 1,
+                          0)::BIGINT AS n_subdomains
+          FROM p)
+    SELECT doc_id, url_len, round(host_digit_ratio, 6) AS host_digit_ratio,
+           path_depth, n_params, n_subdomains,
+           round(0.25 * least(url_len / 200.0, 1.0)
+                 + 0.25 * host_digit_ratio
+                 + 0.20 * least(n_params / 5.0, 1.0)
+                 + 0.15 * least(path_depth / 8.0, 1.0)
+                 + 0.15 * least(n_subdomains / 4.0, 1.0), 6) AS spam_score,
+           (0.25 * least(url_len / 200.0, 1.0)
+            + 0.25 * host_digit_ratio
+            + 0.20 * least(n_params / 5.0, 1.0)
+            + 0.15 * least(path_depth / 8.0, 1.0)
+            + 0.15 * least(n_subdomains / 4.0, 1.0)) >= 0.5 AS is_spam
+    FROM s ORDER BY doc_id
+    """
+
+
+def q_boilerplate_lines_documents(spark, sf_dir):
+    """Top-k boilerplate-line report over the line-dedup fixture (one
+    planted line shared by every document containing ' table ', plus
+    whatever text fragments repeat organically): the k most-shared
+    trimmed lines with distinct-document counts and corpus fractions.
+    The oracle recomputes the report from the line TEXT in SQL —
+    per-document distinctness, the min_docs cut, the (count desc, line)
+    total order and the top-k boundary must all agree exactly."""
+    from deepchecks_spark.pipeline.webclean import boilerplate_lines
+
+    df = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _LINEDEDUP_FIXTURE_SQL + " AS text")
+    out = boilerplate_lines(df, "text", min_docs=2, k=20)
+    return out.select(
+        "line", "n_docs", F.round("frac_docs", 6).alias("frac_docs"))
+
+
+def o_boilerplate_lines_documents():
+    return r"""
+    WITH f AS (SELECT doc_id, """ + _LINEDEDUP_FIXTURE_SQL + r""" AS text FROM documents),
+    e AS (SELECT DISTINCT doc_id, trim(x) AS line
+          FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS x FROM f)
+          WHERE length(trim(x)) > 0),
+    c AS (SELECT line, count(*)::BIGINT AS n_docs FROM e GROUP BY line
+          HAVING count(*) >= 2),
+    t AS (SELECT count(*)::DOUBLE AS total FROM f)
+    SELECT line, n_docs, round(n_docs / (SELECT total FROM t), 6) AS frac_docs
+    FROM c ORDER BY n_docs DESC, line LIMIT 20
+    """
+
+
 # line-dedup fixture: every ' table ' becomes an identical boilerplate
 # line, shared across every document that contains the token
 _LINEDEDUP_FIXTURE_SQL = (
@@ -5144,6 +5289,9 @@ QUERIES = {
     # all remain locked by the identical local oracle gate
     # (test_entry_contract.py); each rotated row has a family sibling
     # inside the window (textstats rules, decontam, resampling, dedup)
+    "domain_profile_documents": q_domain_profile_documents,
+    "url_spam_documents": q_url_spam_documents,
+    "boilerplate_lines_documents": q_boilerplate_lines_documents,
     "repetition_stats_documents": q_repetition_stats_documents,
     "decontamination_documents": q_decontamination_documents,
     "domain_mixture_documents": q_domain_mixture_documents,
@@ -5318,6 +5466,9 @@ ORACLES = {
     "streaming_performance_events": o_streaming_performance_events(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),
     # round-5: Gopher-style repetition signals + cross-corpus chunk dedup
+    "domain_profile_documents": o_domain_profile_documents(),
+    "url_spam_documents": o_url_spam_documents(),
+    "boilerplate_lines_documents": o_boilerplate_lines_documents(),
     "repetition_stats_documents": o_repetition_stats_documents(),
     "duplicate_chunks_documents": o_duplicate_chunks_documents(),
     # round-5: rule filter, LM scoring, decontamination, semantic dedup

@@ -569,3 +569,161 @@ def pii_stats(df: DataFrame, text_col: str) -> DataFrame:
         F.sum("n_ip").cast("long").alias("n_ip"),
         F.sum("n_phone").cast("long").alias("n_phone"),
     )
+
+
+# host extraction: scheme '://' then optional userinfo, host ends at
+# port / path / query / fragment. No lookaround, no backreferences —
+# the same pattern compiles under Java regex (Spark) and RE2 (DuckDB).
+URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+# path component: everything from the first '/' after the authority up
+# to the query/fragment
+URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
+
+
+def extract_domain(df: DataFrame, url_col: str,
+                   out_col: str = "domain") -> DataFrame:
+    """Lower-cased host extracted from a URL column — the grouping key
+    for every per-domain corpus operator. Pure codegen'd
+    ``regexp_extract`` projection: zero shuffle."""
+    return df.withColumn(
+        out_col, F.lower(F.regexp_extract(F.col(url_col), URL_HOST_RE, 1))
+    )
+
+
+def domain_profile(df: DataFrame, url_col: str, text_col: str) -> DataFrame:
+    """Per-domain corpus profile — the RefinedWeb/FineWeb-style "which
+    hosts feed the corpus, and which are junk" report: document count,
+    exact-duplicate-text rate WITHIN the domain, whitespace-token mass
+    and mean document length per domain.
+
+    Scale shape: text reduces to its 64-bit ``xxhash64`` before any
+    exchange (the text itself never shuffles). Two aggregations — one
+    over (domain, text-hash) with map-side combine, then one over
+    domain whose input is already one row per distinct text — and a
+    final sort by domain for determinism. A viral duplicate (one text
+    repeated across millions of rows of one domain) collapses map-side
+    in the first partial aggregation, so the hot key ships one row per
+    input partition, not one per document."""
+    host = F.lower(F.regexp_extract(F.col(url_col), URL_HOST_RE, 1))
+    t = F.trim(F.col(text_col))
+    toks = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    per_text = (
+        df.select(
+            host.alias("domain"),
+            F.xxhash64(F.col(text_col)).alias("__th"),
+            toks.cast("long").alias("__nt"),
+            F.length(F.col(text_col)).cast("long").alias("__nc"),
+        )
+        .groupBy("domain", "__th")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__nt").alias("__snt"),
+            F.sum("__nc").alias("__snc"),
+        )
+    )
+    return (
+        per_text.groupBy("domain")
+        .agg(
+            F.sum("__n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_unique_texts"),
+            ((F.sum("__n") - F.count(F.lit(1)))
+             / F.sum("__n").cast("double")).alias("dup_ratio"),
+            F.sum("__snt").cast("long").alias("n_tokens"),
+            (F.sum("__snc") / F.sum("__n").cast("double")).alias("avg_chars"),
+        )
+        .orderBy("domain")
+    )
+
+
+def url_spam_scores(df: DataFrame, url_col: str,
+                    threshold: float = 0.5) -> DataFrame:
+    """Structural URL spam signals (WEBSPAM-UK / SEO-farm heuristics:
+    long URLs, digit-stuffed hosts, deep paths, parameter explosions,
+    subdomain chains) combined into one bounded score.
+
+    Adds per-row columns::
+
+        url_len, host_digit_ratio, path_depth, n_params, n_subdomains,
+        spam_score  = 0.25*min(url_len/200,1) + 0.25*host_digit_ratio
+                    + 0.20*min(n_params/5,1) + 0.15*min(path_depth/8,1)
+                    + 0.15*min(n_subdomains/4,1)
+        is_spam     = spam_score >= threshold
+
+    Every signal is plain length/replace arithmetic on regexp-extracted
+    URL parts — a zero-shuffle, fully codegen'd projection that is
+    reproducible verbatim in ANSI SQL (the DuckDB oracle recomputes the
+    identical expressions). At 100 TB the cost is the scan."""
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, URL_HOST_RE, 1))
+    path = F.regexp_extract(u, URL_PATH_RE, 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    host_len = F.length(host)
+    url_len = F.length(u).cast("long")
+    digit_ratio = F.when(host_len > 0,
+                         F.length(F.regexp_replace(host, "[^0-9]", ""))
+                         / host_len.cast("double")).otherwise(F.lit(0.0))
+    depth = (F.length(path)
+             - F.length(F.regexp_replace(path, "/", ""))).cast("long")
+    n_params = F.when(F.length(query) == 0, F.lit(0)).otherwise(
+        F.length(query) - F.length(F.regexp_replace(query, "&", "")) + 1
+    ).cast("long")
+    dots = host_len - F.length(F.regexp_replace(host, r"\.", ""))
+    n_sub = F.greatest(dots - 1, F.lit(0)).cast("long")
+    one = F.lit(1.0)
+    score = (
+        F.lit(0.25) * F.least(url_len / F.lit(200.0), one)
+        + F.lit(0.25) * digit_ratio
+        + F.lit(0.20) * F.least(n_params / F.lit(5.0), one)
+        + F.lit(0.15) * F.least(depth / F.lit(8.0), one)
+        + F.lit(0.15) * F.least(n_sub / F.lit(4.0), one)
+    )
+    return (
+        df.withColumn("url_len", url_len)
+        .withColumn("host_digit_ratio", digit_ratio)
+        .withColumn("path_depth", depth)
+        .withColumn("n_params", n_params)
+        .withColumn("n_subdomains", n_sub)
+        .withColumn("spam_score", score)
+        .withColumn("is_spam", score >= F.lit(float(threshold)))
+    )
+
+
+def boilerplate_lines(df: DataFrame, text_col: str,
+                      min_docs: int = 2, k: int = 20) -> DataFrame:
+    """Top-k boilerplate-line REPORT (the inspection twin of
+    :func:`remove_duplicated_lines`): the trimmed, non-blank lines that
+    occur in the most distinct documents, with document counts and
+    corpus fractions — what an operator reads before deciding the
+    ``min_docs`` cut for the removal pass.
+
+    Returns ``(line, n_docs, frac_docs)``, ordered by
+    ``(n_docs DESC, line)`` and cut to ``k`` rows.
+
+    Scale shape: per-document distinctness is resolved INSIDE the row
+    (``array_distinct`` on the trimmed line array) so the explode emits
+    each (document, line) pair once; one groupBy(line) with map-side
+    combine — the exchange carries at most one instance of each
+    distinct line per input partition, and the viral boilerplate line
+    everyone shares collapses map-side; the final top-k is a
+    TakeOrderedAndProject, never a global sort; the one-row corpus
+    total broadcasts back for the fraction."""
+    lines = F.split(F.col(text_col), "\n")
+    nonblank = F.filter(lines, lambda x: F.length(F.trim(x)) > 0)
+    trimmed = F.array_distinct(F.transform(nonblank, lambda x: F.trim(x)))
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__total"))
+    per = (
+        df.select(F.explode(trimmed).alias("line"))
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("frac_docs",
+                    F.col("n_docs") / F.col("__total").cast("double"))
+        .drop("__total")
+        .orderBy(F.desc("n_docs"), "line")
+        .limit(int(k))
+    )

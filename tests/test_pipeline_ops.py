@@ -1984,3 +1984,81 @@ def test_embedding_drift_timeseries_numpy_parity(spark):
         got = out[f"{days[i]} 00:00:00"]["mmd2"]
         assert abs(got - round(float(expected), 6)) < 2e-6
         assert out[f"{days[i]} 00:00:00"]["n_rows"] == 24
+
+
+def test_extract_domain_and_spam_signals_hand_computed(spark):
+    from deepchecks_spark.pipeline.webclean import extract_domain, url_spam_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://user:pw@Sub1.Sub2.Example.COM:8080/a/b/c?x=1&y=2&z=3"),
+            (2, "https://ex4mple99.com"),
+            (3, "not a url"),
+        ],
+        "id long, url string",
+    )
+    doms = {r["id"]: r["domain"] for r in extract_domain(df, "url").collect()}
+    # userinfo and port stripped, host lower-cased; non-URL -> empty
+    assert doms == {1: "sub1.sub2.example.com", 2: "ex4mple99.com", 3: ""}
+
+    rows = {r["id"]: r for r in url_spam_scores(df, "url").collect()}
+    r1 = rows[1]
+    assert r1["path_depth"] == 3          # /a/b/c
+    assert r1["n_params"] == 3            # x, y, z
+    assert r1["n_subdomains"] == 2        # sub1, sub2 before example.com
+    assert r1["host_digit_ratio"] == pytest.approx(2 / 21)  # '1','2' of 21 chars
+    r2 = rows[2]
+    assert (r2["path_depth"], r2["n_params"], r2["n_subdomains"]) == (0, 0, 0)
+    assert r2["host_digit_ratio"] == pytest.approx(3 / 13)  # 4,9,9 of ex4mple99.com
+    r3 = rows[3]
+    # no scheme -> empty host/path/query: every signal bottoms out
+    assert (r3["path_depth"], r3["n_params"], r3["n_subdomains"],
+            r3["host_digit_ratio"]) == (0, 0, 0, 0.0)
+    expected_1 = (0.25 * min(r1["url_len"] / 200.0, 1.0) + 0.25 * (2 / 21)
+                  + 0.20 * min(3 / 5.0, 1.0) + 0.15 * min(3 / 8.0, 1.0)
+                  + 0.15 * min(2 / 4.0, 1.0))
+    assert r1["spam_score"] == pytest.approx(expected_1)
+    assert bool(r1["is_spam"]) == (expected_1 >= 0.5)
+
+
+def test_domain_profile_hand_computed(spark):
+    from deepchecks_spark.pipeline.webclean import domain_profile
+
+    df = spark.createDataFrame(
+        [
+            ("http://A.com/1", "x y"),
+            ("http://a.com:80/2", "x y"),      # duplicate text of doc 1
+            ("http://a.com/3", "z"),
+            ("http://b.com/1", "only one doc"),
+        ],
+        "url string, text string",
+    )
+    rows = {r["domain"]: r for r in domain_profile(df, "url", "text").collect()}
+    a = rows["a.com"]
+    assert a["n_docs"] == 3 and a["n_unique_texts"] == 2
+    assert a["dup_ratio"] == pytest.approx(1 / 3)
+    assert a["n_tokens"] == 5               # 2 + 2 + 1
+    assert a["avg_chars"] == pytest.approx((3 + 3 + 1) / 3)
+    b = rows["b.com"]
+    assert (b["n_docs"], b["n_unique_texts"], b["dup_ratio"]) == (1, 1, 0.0)
+    assert b["n_tokens"] == 3
+
+
+def test_boilerplate_lines_report_hand_computed(spark):
+    from deepchecks_spark.pipeline.webclean import boilerplate_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared\nshared\nunique one\n  \n"),  # in-doc repeat counts ONCE
+            (2, " shared \nother"),                   # trimmed form matches
+            (3, "shared\nother"),
+            (4, ""),                                  # blank doc still in the total
+        ],
+        "id long, text string",
+    )
+    out = boilerplate_lines(df, "text", min_docs=2, k=10).collect()
+    assert [(r["line"], r["n_docs"]) for r in out] == [("shared", 3), ("other", 2)]
+    assert out[0]["frac_docs"] == pytest.approx(3 / 4)
+    # k cuts the report deterministically at the (n_docs desc, line) order
+    top1 = boilerplate_lines(df, "text", min_docs=2, k=1).collect()
+    assert [(r["line"], r["n_docs"]) for r in top1] == [("shared", 3)]

@@ -608,3 +608,50 @@ def test_embedding_drift_timeseries_vectors_never_shuffle(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in m.group(1)
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_url_spam_scores_is_pure_projection_no_exchange(spark):
+    # every spam signal is length/replace arithmetic on regexp-extracted
+    # URL parts: zero shuffle, zero Python — an Exchange here means the
+    # per-row scoring regressed to an aggregation or UDF
+    from deepchecks_spark.pipeline.webclean import url_spam_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = docs.selectExpr(
+        "doc_id",
+        "concat('http://sub.example', CAST(doc_id % 5 AS STRING),"
+        " '.com/a/b?x=1&y=2') AS url")
+    plan = _plan(url_spam_scores(df, "url"))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_domain_profile_text_never_shuffles(spark):
+    # text reduces to xxhash64 BEFORE the (domain, hash) aggregation —
+    # no hash Exchange may carry the raw text column, and the first
+    # aggregation must combine map-side so a viral duplicate collapses
+    # before it ships
+    from deepchecks_spark.pipeline.webclean import domain_profile
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = docs.selectExpr(
+        "text",
+        "concat('http://example', CAST(doc_id % 5 AS STRING), '.com/p') AS url")
+    plan = _plan(domain_profile(df, "url", "text"))
+    assert "partial_count" in plan or "partial_sum" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+
+
+def test_boilerplate_lines_topk_is_take_ordered(spark):
+    # the report's cut must be a TakeOrderedAndProject (bounded top-k,
+    # never a global Sort of every distinct line), the line counts must
+    # combine map-side, and the one-row corpus total must broadcast
+    from deepchecks_spark.pipeline.webclean import boilerplate_lines
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(boilerplate_lines(docs.select("text"), "text", k=20))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
