@@ -562,6 +562,74 @@ def o_ngram_jaccard_adjacent_documents():
     """
 
 
+def q_containment_adjacent_documents(spark, sf_dir):
+    """Broder containment (one-sided near-dup) between consecutive doc
+    ids, both directions: catches a short document quoted whole inside
+    a longer one, which Jaccard under-scores. Same token sets as the
+    Jaccard check; the oracle recomputes |A∩B|/|A| and |A∩B|/|B| from
+    the distinct-token lists in SQL."""
+    from deepchecks_spark.pipeline.dedup import containment_adjacent
+
+    df = _t(spark, sf_dir, "documents")
+    return containment_adjacent(df, id_col="doc_id", text_col="text").select(
+        "doc_id_a", "doc_id_b",
+        F.round("containment_a_in_b", 6).alias("containment_a_in_b"),
+        F.round("containment_b_in_a", 6).alias("containment_b_in_a"),
+    )
+
+
+def o_containment_adjacent_documents():
+    return """
+    WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) t FROM documents)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           round(len(list_intersect(a.t, b.t)) / len(a.t)::double, 6) AS containment_a_in_b,
+           round(len(list_intersect(a.t, b.t)) / len(b.t)::double, 6) AS containment_b_in_a
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    """
+
+
+# churn fixture: even docs form the OLD crawl (url keys doc_id % 31),
+# odd docs the NEW crawl (keys shifted by +10) — a deterministic
+# retained/added/removed split once both residue sets are populated
+_CHURN_OLD_SQL = ("concat('http://e.com/', CAST(doc_id % 31 AS STRING))")
+_CHURN_NEW_SQL = ("concat('http://e.com/', CAST((doc_id % 31) + 10 AS STRING))")
+
+
+def q_crawl_churn_documents(spark, sf_dir):
+    """Crawl-over-crawl URL churn summary: distinct-URL retention /
+    addition / removal between two snapshots. The engine computes it
+    with a full-outer join + conditional sums; the oracle recomputes
+    each count with INDEPENDENT set operations (semi joins on the
+    distinct sides), so the two agree only if the set arithmetic is
+    right."""
+    from deepchecks_spark.pipeline.webclean import crawl_churn
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 2 = 0").selectExpr(_CHURN_OLD_SQL + " AS url")
+    new = docs.filter("doc_id % 2 = 1").selectExpr(_CHURN_NEW_SQL + " AS url")
+    out = crawl_churn(old, new, "url")
+    return out.select(
+        "n_old", "n_new", "n_retained", "n_added", "n_removed",
+        F.round("retention_rate", 6).alias("retention_rate"),
+        F.round("growth_rate", 6).alias("growth_rate"),
+    )
+
+
+def o_crawl_churn_documents():
+    return f"""
+    WITH old AS (SELECT DISTINCT {_CHURN_OLD_SQL} AS u FROM documents WHERE doc_id % 2 = 0),
+         new AS (SELECT DISTINCT {_CHURN_NEW_SQL} AS u FROM documents WHERE doc_id % 2 = 1),
+         c AS (SELECT (SELECT count(*) FROM old) AS n_old,
+                      (SELECT count(*) FROM new) AS n_new,
+                      (SELECT count(*) FROM old WHERE u IN (SELECT u FROM new)) AS n_ret)
+    SELECT n_old::BIGINT AS n_old, n_new::BIGINT AS n_new, n_ret::BIGINT AS n_retained,
+           (n_new - n_ret)::BIGINT AS n_added, (n_old - n_ret)::BIGINT AS n_removed,
+           round(n_ret / n_old::DOUBLE, 6) AS retention_rate,
+           round((n_new - n_ret) / n_old::DOUBLE, 6) AS growth_rate
+    FROM c
+    """
+
+
 def q_repetition_stats_documents(spark, sf_dir):
     from deepchecks_spark.pipeline.textstats import repetition_stats
 
@@ -5292,6 +5360,8 @@ QUERIES = {
     "domain_profile_documents": q_domain_profile_documents,
     "url_spam_documents": q_url_spam_documents,
     "boilerplate_lines_documents": q_boilerplate_lines_documents,
+    "containment_adjacent_documents": q_containment_adjacent_documents,
+    "crawl_churn_documents": q_crawl_churn_documents,
     "repetition_stats_documents": q_repetition_stats_documents,
     "decontamination_documents": q_decontamination_documents,
     "domain_mixture_documents": q_domain_mixture_documents,
@@ -5467,6 +5537,8 @@ ORACLES = {
     "dedup_clusters_documents": o_dedup_clusters_documents(),
     # round-5: Gopher-style repetition signals + cross-corpus chunk dedup
     "domain_profile_documents": o_domain_profile_documents(),
+    "containment_adjacent_documents": o_containment_adjacent_documents(),
+    "crawl_churn_documents": o_crawl_churn_documents(),
     "url_spam_documents": o_url_spam_documents(),
     "boilerplate_lines_documents": o_boilerplate_lines_documents(),
     "repetition_stats_documents": o_repetition_stats_documents(),

@@ -111,6 +111,30 @@ def jaccard_adjacent(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def containment_adjacent(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-sided near-dup between consecutive ids: Broder containment
+    C(A,B) = |A∩B| / |A| over distinct-token sets, in both directions.
+    Containment catches what resemblance misses — a short document
+    quoted whole inside a much longer one has low Jaccard but
+    containment ≈ 1 on the short side. Same linear-size adjacent-pair
+    verification pattern as :func:`jaccard_adjacent`; the all-pairs
+    scale path reuses the LSH bucket candidates below, which bound the
+    intersection from the same shingle sets."""
+    toks = df.select(F.col(id_col), _tokens(text_col).alias("t"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect("a.t", "b.t"))
+    return (
+        a.join(b, F.col(f"b.{id_col}") == F.col(f"a.{id_col}") + 1)
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            (inter / F.size("a.t").cast("double")).alias("containment_a_in_b"),
+            (inter / F.size("b.t").cast("double")).alias("containment_b_in_a"),
+        )
+    )
+
+
 def shingle_sets(df: DataFrame, id_col: str, text_col: str,
                  shingle_words: int = 3) -> DataFrame:
     """(id, sh array<string>) — distinct word shingles, built JVM-side

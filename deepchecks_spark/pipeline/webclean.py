@@ -727,3 +727,41 @@ def boilerplate_lines(df: DataFrame, text_col: str,
         .orderBy(F.desc("n_docs"), "line")
         .limit(int(k))
     )
+
+
+def crawl_churn(old_df: DataFrame, new_df: DataFrame,
+                url_col: str) -> DataFrame:
+    """Crawl-over-crawl URL churn: the one-row retention summary an
+    operator reads before trusting a recrawl (how much of the previous
+    snapshot survived, how much is new, how much vanished), computed on
+    DISTINCT URLs per side::
+
+        n_old, n_new, n_retained, n_added, n_removed,
+        retention_rate = n_retained / n_old   (NULL when n_old = 0)
+        growth_rate    = n_added    / n_old   (NULL when n_old = 0)
+
+    Scale shape: each side reduces to its distinct URL set (map-side
+    combined groupBy on the key itself — the URL IS the join key, so
+    there is nothing smaller to ship), one full-outer join on that key,
+    then a single one-row distributive aggregation. Both the distincts
+    and the join hash-partition on the same key, so AQE plans the join
+    shuffle-free on the already-partitioned sides; a skewed URL cannot
+    exist post-distinct."""
+    o = old_df.select(F.col(url_col).alias("__u")).dropDuplicates(["__u"]) \
+        .withColumn("__o", F.lit(1))
+    n = new_df.select(F.col(url_col).alias("__u")).dropDuplicates(["__u"]) \
+        .withColumn("__n", F.lit(1))
+    j = o.join(n, "__u", "full_outer")
+    n_old = F.sum(F.coalesce(F.col("__o"), F.lit(0)))
+    n_new = F.sum(F.coalesce(F.col("__n"), F.lit(0)))
+    n_ret = F.sum(F.when(F.col("__o").isNotNull() & F.col("__n").isNotNull(),
+                         1).otherwise(0))
+    return j.agg(
+        n_old.cast("long").alias("n_old"),
+        n_new.cast("long").alias("n_new"),
+        n_ret.cast("long").alias("n_retained"),
+        (n_new - n_ret).cast("long").alias("n_added"),
+        (n_old - n_ret).cast("long").alias("n_removed"),
+        F.when(n_old > 0, n_ret / n_old.cast("double")).alias("retention_rate"),
+        F.when(n_old > 0, (n_new - n_ret) / n_old.cast("double")).alias("growth_rate"),
+    )

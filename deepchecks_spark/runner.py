@@ -597,7 +597,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
             constraints: list | None = None,
             metrics_history: str | None = None,
             anomaly_rules: dict | None = None,
-            suggest: bool = False) -> dict:
+            suggest: bool = False,
+            domain_profile_col: str | None = None) -> dict:
     """Execute the integrity suite with per-partition lineage and
     checkpointed stage outputs. Returns the manifest dict."""
     os.makedirs(output_dir, exist_ok=True)
@@ -614,7 +615,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
               "probability_columns": probability_columns,
               "task_type": task_type,
               "constraints": constraints,
-              "suggest": suggest}
+              "suggest": suggest,
+              "domain_profile_col": domain_profile_col}
     manifest = {"fingerprint": fingerprint, "input": input_path,
                 "params": params, "stages": {}, "run_id": f"run-{fingerprint}"}
     if resume and os.path.exists(manifest_path):
@@ -828,6 +830,19 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         write_table(suggest_constraints(ds.df),
                     os.path.join(output_dir, "suggested_constraints"))
 
+    def _domain_profile():
+        # per-domain corpus profile over the cached input: doc counts,
+        # within-domain exact-duplicate-text rate, token mass. Text
+        # shuffles only as xxhash64 (pipeline/webclean.py); the output
+        # is O(domains) rows — written, never collected.
+        from deepchecks_spark.pipeline.webclean import domain_profile
+
+        # without a text column the counts/dup-rate remain meaningful
+        # (the URL stands in as the "text", so duplicates = repeated URLs)
+        text_col = "text" if "text" in ds.df.columns else domain_profile_col
+        out = domain_profile(ds.df, domain_profile_col, text_col)
+        write_table(out, os.path.join(output_dir, "domain_profile"))
+
     stages = [
         ("global_verdicts", _global_verdicts),
         ("partition_verdicts", _partition_verdicts),
@@ -840,6 +855,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         stages.append(("anomaly", _anomaly))
     if suggest:
         stages.append(("suggested_constraints", _suggest))
+    if domain_profile_col:
+        stages.append(("domain_profile", _domain_profile))
     try:
         if concurrent_stages:
             # the four stages are independent reads of the cached input;
@@ -897,6 +914,9 @@ def main(argv=None):
     parser.add_argument("--anomaly-rules", default=None,
                         help='JSON rule dict for the anomaly stage, e.g. '
                              '{"max_relative_change": 0.5, "z_threshold": 3}')
+    parser.add_argument("--domain-profile-col", default=None,
+                        help="URL column enabling the per-domain corpus "
+                             "profile stage (writes a domain_profile table)")
     parser.add_argument("--suggest-constraints", action="store_true",
                         help="profile the input and write a "
                              "suggested_constraints table (pin it as the "
@@ -921,6 +941,7 @@ def main(argv=None):
         anomaly_rules=(json.loads(args.anomaly_rules)
                        if args.anomaly_rules else None),
         suggest=args.suggest_constraints,
+        domain_profile_col=args.domain_profile_col,
     )
     print(json.dumps(manifest))
 

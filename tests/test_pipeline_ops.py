@@ -2062,3 +2062,45 @@ def test_boilerplate_lines_report_hand_computed(spark):
     # k cuts the report deterministically at the (n_docs desc, line) order
     top1 = boilerplate_lines(df, "text", min_docs=2, k=1).collect()
     assert [(r["line"], r["n_docs"]) for r in top1] == [("shared", 3)]
+
+
+def test_containment_adjacent_hand_computed(spark):
+    from deepchecks_spark.pipeline.dedup import containment_adjacent
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id_a"], r["doc_id_b"]): r
+            for r in containment_adjacent(df, "doc_id", "text").collect()}
+    # doc 1 ("a b") is fully contained in doc 2 ("a b c d")
+    r12 = rows[(1, 2)]
+    assert r12["containment_a_in_b"] == pytest.approx(1.0)
+    assert r12["containment_b_in_a"] == pytest.approx(0.5)
+    # disjoint pair
+    r23 = rows[(2, 3)]
+    assert r23["containment_a_in_b"] == 0.0 and r23["containment_b_in_a"] == 0.0
+
+
+def test_crawl_churn_hand_computed(spark):
+    from deepchecks_spark.pipeline.webclean import crawl_churn
+
+    old = spark.createDataFrame(
+        [("u1",), ("u2",), ("u3",), ("u3",)], "url string")  # dup collapses
+    new = spark.createDataFrame(
+        [("u2",), ("u3",), ("u4",), ("u5",)], "url string")
+    r = crawl_churn(old, new, "url").collect()[0]
+    assert (r["n_old"], r["n_new"], r["n_retained"]) == (3, 4, 2)
+    assert (r["n_added"], r["n_removed"]) == (2, 1)
+    assert r["retention_rate"] == pytest.approx(2 / 3)
+    assert r["growth_rate"] == pytest.approx(2 / 3)
+
+
+def test_crawl_churn_empty_old_is_null_rates(spark):
+    from deepchecks_spark.pipeline.webclean import crawl_churn
+
+    old = spark.createDataFrame([], "url string")
+    new = spark.createDataFrame([("u1",)], "url string")
+    r = crawl_churn(old, new, "url").collect()[0]
+    assert (r["n_old"], r["n_new"], r["n_added"]) == (0, 1, 1)
+    assert r["retention_rate"] is None and r["growth_rate"] is None

@@ -639,3 +639,26 @@ def test_run_job_regression_task_type(spark, tmp_path):
     pv = spark.read.parquet(os.path.join(out, "partition_verdicts")).collect()
     perf = [r for r in pv if r["check"] == "Single Dataset Performance"]
     assert perf and all("MAE" in r["condition"] for r in perf)
+
+
+def test_run_job_domain_profile_stage(spark, tmp_path, corpus_parquet):
+    """--domain-profile-col adds a domain_profile output table: one row
+    per distinct host with the within-domain duplicate-text rate."""
+    out = str(tmp_path / "out_dp")
+    manifest = run_job(spark, corpus_parquet, out, cat_features=["lang"],
+                       domain_profile_col="url")
+    assert manifest["stages"].get("domain_profile") == "done"
+    dp = spark.read.parquet(os.path.join(out, "domain_profile"))
+    rows = dp.collect()
+    assert len(rows) >= 1
+    assert set(dp.columns) == {"domain", "n_docs", "n_unique_texts",
+                               "dup_ratio", "n_tokens", "avg_chars"}
+    src = spark.read.parquet(corpus_parquet)
+    assert sum(r["n_docs"] for r in rows) == src.count()
+    for r in rows:
+        assert 0.0 <= r["dup_ratio"] <= 1.0
+        assert r["n_unique_texts"] <= r["n_docs"]
+    # the stage is part of the resume identity: same params resume skips
+    # it, a run WITHOUT the flag must not inherit the done marker
+    manifest2 = run_job(spark, corpus_parquet, out, cat_features=["lang"])
+    assert "domain_profile" not in manifest2["stages"]
