@@ -630,6 +630,68 @@ def o_crawl_churn_documents():
     """
 
 
+# blocklist fixture: five domains, every 3rd doc behind a subdomain —
+# blocking example1/example3.com must also drop their subdomain rows
+_BLOCKLIST_URL_SQL = (
+    "concat('http://',"
+    " CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END,"
+    " 'example', CAST(doc_id % 5 AS STRING), '.com/p',"
+    " CAST(doc_id AS STRING))"
+)
+
+
+def q_domain_blocklist_documents(spark, sf_dir):
+    """UT1-style domain blocklist filter: example1.com and example3.com
+    are blocked, so every doc whose host is one of them OR any
+    subdomain ('sub.example1.com') must vanish. The oracle selects the
+    survivors ARITHMETICALLY (doc_id % 5 not in the blocked residues)
+    without running any suffix logic — a suffix-matching slip (a
+    surviving subdomain row, an over-matched 'notexample1.com') breaks
+    the row set."""
+    from deepchecks_spark.pipeline.webclean import filter_by_domain_blocklist
+
+    df = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _BLOCKLIST_URL_SQL + " AS url")
+    out = filter_by_domain_blocklist(df, "url",
+                                     ["example1.com", "example3.com"])
+    return out.select("doc_id", "url").orderBy("doc_id")
+
+
+def o_domain_blocklist_documents():
+    return f"""
+    SELECT doc_id, {_BLOCKLIST_URL_SQL} AS url
+    FROM documents WHERE doc_id % 5 NOT IN (1, 3) ORDER BY doc_id
+    """
+
+
+# NFC fixture: a decomposed 'e' + COMBINING ACUTE and 'A' + COMBINING
+# RING appended to every text — normalization must precompose both
+_NFC_FIXTURE_SQL = "concat(text, ' café Å')"
+
+
+def q_nfc_normalize_documents(spark, sf_dir):
+    """Unicode NFC normalization (Arrow-batched pandas UDF over
+    unicodedata): the planted decomposed combining sequences must
+    precompose into 'café' / 'Å'. The oracle is DuckDB's utf8proc
+    ``nfc_normalize`` — an INDEPENDENT implementation of the same
+    Unicode spec, compared on the full normalized text."""
+    from deepchecks_spark.pipeline.webclean import normalize_text_nfc
+
+    df = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _NFC_FIXTURE_SQL + " AS text")
+    return normalize_text_nfc(df, "text").select(
+        "doc_id", "nfc_text", "changed")
+
+
+def o_nfc_normalize_documents():
+    return f"""
+    WITH f AS (SELECT doc_id, {_NFC_FIXTURE_SQL} AS text FROM documents)
+    SELECT doc_id, nfc_normalize(text) AS nfc_text,
+           nfc_normalize(text) != text AS changed
+    FROM f
+    """
+
+
 def q_repetition_stats_documents(spark, sf_dir):
     from deepchecks_spark.pipeline.textstats import repetition_stats
 
@@ -5362,6 +5424,8 @@ QUERIES = {
     "boilerplate_lines_documents": q_boilerplate_lines_documents,
     "containment_adjacent_documents": q_containment_adjacent_documents,
     "crawl_churn_documents": q_crawl_churn_documents,
+    "domain_blocklist_documents": q_domain_blocklist_documents,
+    "nfc_normalize_documents": q_nfc_normalize_documents,
     "repetition_stats_documents": q_repetition_stats_documents,
     "decontamination_documents": q_decontamination_documents,
     "domain_mixture_documents": q_domain_mixture_documents,
@@ -5539,6 +5603,8 @@ ORACLES = {
     "domain_profile_documents": o_domain_profile_documents(),
     "containment_adjacent_documents": o_containment_adjacent_documents(),
     "crawl_churn_documents": o_crawl_churn_documents(),
+    "domain_blocklist_documents": o_domain_blocklist_documents(),
+    "nfc_normalize_documents": o_nfc_normalize_documents(),
     "url_spam_documents": o_url_spam_documents(),
     "boilerplate_lines_documents": o_boilerplate_lines_documents(),
     "repetition_stats_documents": o_repetition_stats_documents(),

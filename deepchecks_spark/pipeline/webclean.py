@@ -765,3 +765,98 @@ def crawl_churn(old_df: DataFrame, new_df: DataFrame,
         F.when(n_old > 0, n_ret / n_old.cast("double")).alias("retention_rate"),
         F.when(n_old > 0, (n_new - n_ret) / n_old.cast("double")).alias("growth_rate"),
     )
+
+
+# suffix probe depth for the DataFrame blocklist path: hosts match on
+# their last-K-label suffixes; K=8 covers any real registered domain
+MAX_SUFFIX_DEPTH = 8
+
+
+def filter_by_domain_blocklist(df: DataFrame, url_col: str,
+                               blocked, spark=None) -> DataFrame:
+    """UT1-style domain blocklist filter (the RefinedWeb/FineWeb adult/
+    malware-list step): drop rows whose URL host IS a blocked domain or
+    is any SUBDOMAIN of one ('ads.bad.com' is blocked by 'bad.com').
+
+    ``blocked`` is a python list/set of lower-case domains, or a
+    single-column DataFrame of them for list sizes where inlining
+    literals would bloat the plan.
+
+    Scale shape: the host's dot-suffix set ('a.b.c.com' → {a.b.c.com,
+    b.c.com, c.com, com}) is built per row JVM-side. A literal
+    blocklist becomes ONE ``arrays_overlap`` against a constant array —
+    zero shuffle, zero join. A DataFrame blocklist (the UT1 lists run
+    to millions of domains) probes one shared BroadcastExchange with a
+    bounded chain of broadcast LEFT joins — one equi-join per suffix
+    depth up to ``MAX_SUFFIX_DEPTH`` labels — so the corpus side never
+    hash-partitions, never explodes, and row identity is native (no
+    row-id round trip). Blocked entries deeper than MAX_SUFFIX_DEPTH
+    labels are ignored (real blocklists hold registered domains of
+    2–4 labels)."""
+    host = F.lower(F.regexp_extract(F.col(url_col), URL_HOST_RE, 1))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    if not isinstance(blocked, DataFrame):
+        blocked_sorted = sorted({str(b).lower() for b in blocked})
+        if len(blocked_sorted) <= WEIGHTS_LITERAL_MAX:
+            sufs = F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+            )
+            lit = F.array(*[F.lit(b) for b in blocked_sorted])
+            return df.filter(~F.arrays_overlap(sufs, lit))
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        blocked = spark.createDataFrame(
+            [(b,) for b in blocked_sorted], "domain string")
+    bl = F.broadcast(blocked.toDF("__bl_domain").dropDuplicates(["__bl_domain"]))
+    orig_cols = df.columns
+    out = df
+    hit_cols = []
+    for depth in range(1, MAX_SUFFIX_DEPTH + 1):
+        # last `depth` labels of the host ('a.b.com', depth 2 -> 'b.com');
+        # NULL when the host has fewer labels (slice(-d) would wrap)
+        suf = F.when(n >= depth,
+                     F.array_join(F.slice(parts, -depth, depth), "."))
+        probe = bl.select(F.col("__bl_domain").alias(f"__s{depth}"),
+                          F.lit(True).alias(f"__hit{depth}"))
+        out = out.withColumn(f"__s{depth}", suf).join(
+            probe, f"__s{depth}", "left")
+        hit_cols.append(f"__hit{depth}")
+    keep = ~F.coalesce(*[F.col(c) for c in hit_cols], F.lit(False))
+    return out.filter(keep).select(*orig_cols)
+
+
+def normalize_text_nfc(df: DataFrame, text_col: str,
+                       out_col: str = "nfc_text") -> DataFrame:
+    """Unicode NFC normalization of a text column — the canonical-form
+    pass that makes hash-based dedup and token counting see 'café'
+    (precomposed) and 'cafe' + U+0301 (decomposed) as the same bytes.
+    Spark has no built-in Unicode normalizer, so this is an
+    Arrow-batched pandas UDF over ``unicodedata.normalize`` (the
+    documented slow-path exception: vectorized batches, never per-row
+    Python dispatch in the plan). Adds ``out_col`` and a ``changed``
+    flag (true when normalization altered the string).
+
+    Cross-engine parity: python's unicodedata and DuckDB's
+    ``nfc_normalize`` (utf8proc) implement the same Unicode NFC spec —
+    verified value-identical on combining sequences in the oracle
+    fixture."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    out = df.withColumn(out_col, _nfc(F.col(text_col)))
+    return out.withColumn(
+        "changed",
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.col(out_col) != F.col(text_col)),
+    )

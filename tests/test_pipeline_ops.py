@@ -2104,3 +2104,45 @@ def test_crawl_churn_empty_old_is_null_rates(spark):
     r = crawl_churn(old, new, "url").collect()[0]
     assert (r["n_old"], r["n_new"], r["n_added"]) == (0, 1, 1)
     assert r["retention_rate"] is None and r["growth_rate"] is None
+
+
+def test_domain_blocklist_literal_and_dataframe_paths_agree(spark):
+    from deepchecks_spark.pipeline.webclean import filter_by_domain_blocklist
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://bad.com/x"),
+            (2, "http://ads.bad.com/x"),        # subdomain of blocked
+            (3, "http://notbad.com/x"),         # suffix must NOT over-match
+            (4, "http://good.com/x"),
+            (5, "http://deep.sub.bad.com/x"),
+        ],
+        "id long, url string",
+    )
+    blocked = ["bad.com"]
+    lit_ids = sorted(r["id"] for r in
+                     filter_by_domain_blocklist(df, "url", blocked).collect())
+    bl_df = spark.createDataFrame([(b,) for b in blocked], "domain string")
+    df_ids = sorted(r["id"] for r in
+                    filter_by_domain_blocklist(df, "url", bl_df).collect())
+    assert lit_ids == df_ids == [3, 4]
+    # the DataFrame path preserves the original columns
+    out = filter_by_domain_blocklist(df, "url", bl_df)
+    assert out.columns == ["id", "url"]
+
+
+def test_normalize_text_nfc_hand_computed(spark):
+    import unicodedata
+
+    from deepchecks_spark.pipeline.webclean import normalize_text_nfc
+
+    decomposed = "café Å"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, "plain ascii"), (3, None)],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in normalize_text_nfc(df, "text").collect()}
+    assert rows[1]["nfc_text"] == unicodedata.normalize("NFC", decomposed)
+    assert rows[1]["nfc_text"] != decomposed and bool(rows[1]["changed"])
+    assert rows[2]["nfc_text"] == "plain ascii" and not rows[2]["changed"]
+    assert rows[3]["nfc_text"] is None and rows[3]["changed"] is None

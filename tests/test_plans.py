@@ -655,3 +655,42 @@ def test_boilerplate_lines_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_domain_blocklist_literal_path_is_shuffle_free(spark):
+    # a small literal blocklist must compile to ONE arrays_overlap
+    # filter against a constant array: zero shuffle, zero Python, no
+    # explode — the plan-size-safe path for the common small-list case
+    from deepchecks_spark.pipeline.webclean import filter_by_domain_blocklist
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = docs.selectExpr(
+        "doc_id",
+        "concat('http://sub.example', CAST(doc_id % 5 AS STRING), '.com/p') AS url")
+    plan = _plan(filter_by_domain_blocklist(df, "url", ["example1.com"]))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "Generate" not in plan  # no explode on the literal path
+
+
+def test_domain_blocklist_dataframe_path_broadcasts(spark):
+    # the DataFrame blocklist must broadcast into the exploded-suffix
+    # join — the corpus side never hash-partitions
+    from deepchecks_spark.pipeline.webclean import filter_by_domain_blocklist
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = docs.selectExpr(
+        "doc_id",
+        "concat('http://sub.example', CAST(doc_id % 5 AS STRING), '.com/p') AS url")
+    bl = spark.createDataFrame([("example1.com",)], "domain string")
+    plan = _plan(filter_by_domain_blocklist(df, "url", bl))
+    assert "BroadcastHashJoin" in plan
+    # the CORPUS side never hash-partitions (the only permitted exchange
+    # is the tiny blocklist's own dropDuplicates); no explode, no
+    # row-id round trip
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__bl_domain" in line, line
+    assert "Generate" not in plan
+    assert "monotonically_increasing_id" not in plan
+    assert "SortMergeJoin" not in plan
