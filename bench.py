@@ -260,6 +260,42 @@ def bench_corpus_drift(spark):
     return ev.count()
 
 
+def bench_webgraph(spark):
+    """Web-graph / URL-level operators (round-5 addition, NEW stage so
+    pre-existing timings stay cross-round comparable): per-domain
+    profile (hash-only shuffles), URL spam scoring (zero-shuffle
+    projection), domain blocklist filtering (literal arrays_overlap
+    path), boilerplate-line report (TakeOrdered top-k) and the
+    crawl-churn summary (distinct + full-outer join)."""
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.pipeline.webclean import (
+        boilerplate_lines,
+        crawl_churn,
+        domain_profile,
+        filter_by_domain_blocklist,
+        url_spam_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    url = ("concat('http://', CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END,"
+           " 'example', CAST(doc_id % 1000 AS STRING), '.com/p',"
+           " CAST(doc_id % 7 AS STRING),"
+           " CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2' ELSE '' END)")
+    with_url = docs.selectExpr("doc_id", "text", url + " AS url")
+    domain_profile(with_url, "url", "text").count()
+    url_spam_scores(with_url.select("doc_id", "url"), "url") \
+        .agg({"spam_score": "avg"}).collect()
+    filter_by_domain_blocklist(
+        with_url.select("doc_id", "url"), "url",
+        [f"example{i}.com" for i in range(0, 1000, 10)]).count()
+    boilerplate_lines(docs.select("text"), "text", min_docs=2, k=20).collect()
+    old = with_url.filter(F.col("doc_id") % 2 == 0).select("url")
+    new = with_url.filter(F.col("doc_id") % 2 == 1).select("url")
+    crawl_churn(old, new, "url").collect()
+    return docs.count()
+
+
 BENCHES = {
     "integrity_suite_lineitem": bench_integrity_suite,
     "feature_label_drift_orders": bench_drift,
@@ -269,6 +305,7 @@ BENCHES = {
     "textstats_documents": bench_textstats,
     "relational_events": bench_relational,
     "corpusdrift_events": bench_corpus_drift,
+    "webgraph_documents": bench_webgraph,
     "corpus_runner_webpages": bench_corpus_runner,
 }
 
