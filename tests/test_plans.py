@@ -694,3 +694,36 @@ def test_domain_blocklist_dataframe_path_broadcasts(spark):
     assert "Generate" not in plan
     assert "monotonically_increasing_id" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iteration_no_cartesian_and_narrow_shuffle(spark):
+    # the power iteration must stay equi-join + grouped sum: no
+    # cartesian/nested-loop join, map-side partial sum before the
+    # contribution exchange (pin the UN-checkpointed step — after
+    # localCheckpoint the outer plan is just an RDD scan)
+    from pyspark.sql import functions as SF
+    from deepchecks_spark.pipeline.webgraph import _pagerank_step
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 5) for i in range(40)], "src long, dst long")
+    e = edges.distinct()
+    deg = e.groupBy("src").agg(SF.count(SF.lit(1)).cast("double").alias("out_deg"))
+    ew = e.join(deg, "src")
+    nodes = (e.select(SF.col("src").alias("id"))
+             .union(e.select(SF.col("dst").alias("id"))).distinct())
+    dangling = nodes.join(deg, nodes["id"] == deg["src"], "left_anti")
+    ranks = nodes.withColumn("rank", SF.lit(1.0 / 7))
+    out = _pagerank_step(ew, nodes, dangling, ranks, 7, 0.85)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan  # map-side combine on the contribution agg
+
+
+def test_link_graph_summary_single_row_result(spark):
+    from deepchecks_spark.pipeline.webgraph import link_graph_summary
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 5) for i in range(40)], "src long, dst long")
+    out = link_graph_summary(edges)
+    assert out.count() == 1

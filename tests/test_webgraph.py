@@ -1,0 +1,84 @@
+"""Web-graph operators: PageRank matches an independent numpy power
+iteration (same update rule, dangling redistribution) on hand-built
+graphs; the link-graph summary's counts are hand-computed."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deepchecks_spark.pipeline.webgraph import link_graph_summary, pagerank
+
+
+def _numpy_pagerank(edges, n_iterations, damping):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    dedup = sorted(set(edges))
+    out_deg = np.zeros(n)
+    for a, _ in dedup:
+        out_deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iterations):
+        contrib = np.zeros(n)
+        for a, b in dedup:
+            contrib[idx[b]] += r[idx[a]] / out_deg[idx[a]]
+        d_mass = r[out_deg == 0].sum()
+        r = (1.0 - damping) / n + damping * (contrib + d_mass / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+@pytest.mark.parametrize("n_iterations", [1, 3, 10])
+def test_pagerank_matches_numpy_power_iteration(spark, n_iterations):
+    # cycle + chord + dangling sink (4 has no out-edge) + parallel edge
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (2, 4), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"]
+           for r in pagerank(df, n_iterations=n_iterations).collect()}
+    want = _numpy_pagerank(edges, n_iterations, 0.85)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_self_loop_and_string_ids(spark):
+    edges = [("a", "a"), ("a", "b"), ("b", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iterations=5).collect()}
+    want = _numpy_pagerank(edges, 5, 0.85)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # 'a' keeps half its own mass each round and receives all of b's:
+    # it must outrank b
+    assert got["a"] > got["b"]
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    got = [r["rank"] for r in pagerank(df, n_iterations=7).collect()]
+    assert all(r == pytest.approx(1.0 / 3, abs=1e-12) for r in got)
+
+
+def test_pagerank_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, n_iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
+
+
+def test_link_graph_summary_hand_computed(spark):
+    # edges after dedup: (1,2) (2,1) (2,3) (3,3) (3,4); parallel (1,2)x2
+    # nodes {1,2,3,4}; 4 dangling; one self-loop; reciprocal pair 1<->2
+    edges = [(1, 2), (1, 2), (2, 1), (2, 3), (3, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = link_graph_summary(df).first()
+    assert row["n_nodes"] == 4
+    assert row["n_edges"] == 5
+    assert row["n_dangling"] == 1
+    assert row["n_self_loops"] == 1
+    # directed non-loop edges: (1,2),(2,1),(2,3),(3,4) -> 2 reciprocal
+    assert row["reciprocity"] == pytest.approx(2 / 4)
+    assert row["avg_out_degree"] == pytest.approx(5 / 4)
+    assert row["max_out_degree"] == 2  # node 2 and 3 both have 2
+    assert row["max_in_degree"] == 2   # node 3: (2,3) + self-loop (3,3)
