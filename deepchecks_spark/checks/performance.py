@@ -1503,3 +1503,233 @@ class WeakSegmentsPerformance(SingleDatasetCheck):
         if v["weak_segments_list"]:
             out["weakest_segment_score"] = v["weak_segments_list"][0]["Score"]
         return out
+
+
+def ece_bin_frame(df, label_col: str, probability_columns: dict,
+                  n_bins: int):
+    """The ONE bounded aggregation behind ExpectedCalibrationError:
+    n_bins rows of (bin, n, avg_confidence, accuracy), map-side
+    combinable. Exposed for the physical-plan pins."""
+    y = F.col(f"`{label_col}`")
+    try:
+        classes = sorted(probability_columns)
+    except TypeError:
+        classes = sorted(probability_columns, key=str)
+    probs = [F.col(f"`{probability_columns[c]}`").cast("double")
+             for c in classes]
+    conf = probs[0] if len(probs) == 1 else F.greatest(*probs)
+    # argmax with deterministic tie-break: first class in sorted order
+    # whose probability equals the max wins
+    pred = F.lit(classes[0])
+    for c, p in list(zip(classes, probs))[::-1]:
+        pred = F.when(p == conf, F.lit(c)).otherwise(pred)
+    correct = (pred == y).cast("double")
+    bin_col = F.least(F.floor(conf * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.filter(y.isNotNull())
+        .select(bin_col.alias("__bin"), conf.alias("__conf"),
+                correct.alias("__ok"))
+        .groupBy("__bin")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.avg("__conf").alias("avg_confidence"),
+             F.avg("__ok").alias("accuracy"))
+        .orderBy("__bin")
+    )
+
+
+def confident_joint_frame(df, label_col: str, probability_columns: dict,
+                          thresholds: dict):
+    """LabelNoiseEstimate's pass 2: the ≤ n_classes² confident-joint
+    cell aggregation (thresholds baked in as plan literals). Exposed
+    for the physical-plan pins."""
+    y = F.col(f"`{label_col}`")
+    try:
+        classes = sorted(probability_columns)
+    except TypeError:
+        classes = sorted(probability_columns, key=str)
+    probs = {c: F.col(f"`{probability_columns[c]}`").cast("double")
+             for c in classes}
+    masked = [F.when(probs[c] >= F.lit(thresholds[c]), probs[c])
+              for c in classes if thresholds[c] is not None]
+    if not masked:
+        return None
+    conf = masked[0] if len(masked) == 1 else F.greatest(*masked)
+    pred = F.lit(None)
+    for c in [c for c in classes if thresholds[c] is not None][::-1]:
+        pred = F.when(probs[c] == conf, F.lit(c)).otherwise(pred)
+    return (
+        df.filter(y.isNotNull())
+        .select(y.alias("__given"), pred.alias("__pred"))
+        .groupBy("__given", "__pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+class ExpectedCalibrationError(SingleDatasetCheck):
+    """Binned reliability / Expected Calibration Error from probability
+    columns (engine extension: the reference's CalibrationScore ships
+    the Brier score plus a calibration-curve DISPLAY,
+    model_evaluation/calibration_score.py:98-130; ECE is the standard
+    scalar summary of that curve — Naeini et al., AAAI 2015; Guo et
+    al., ICML 2017).
+
+    value: {'ece': float, 'bins': [{'bin', 'n_samples',
+    'avg_confidence', 'accuracy'} ... non-empty bins ascending]}.
+
+    Spark: ONE aggregation — confidence = max class probability,
+    predicted class = argmax (sorted-class-order tie-break), bin =
+    ⌊confidence·n_bins⌋ clamped; groupBy(bin) keeps the result bounded
+    by n_bins whatever the row count, with map-side partial combine.
+    Nothing but n_bins rows leaves the executors.
+    """
+
+    def __init__(self, probability_columns: dict, n_bins: int = 10,
+                 n_samples=USE_DEFAULT, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        if not probability_columns:
+            raise ValueError("probability_columns must map at least one class to a column")
+        if n_bins < 1:
+            raise ValueError("n_bins must be >= 1")
+        self.probability_columns = dict(probability_columns)
+        self.n_bins = int(n_bins)
+
+    def compute(self, ctx, kind):
+        ds = ctx.data(kind)
+        if ds.label_name is None:
+            raise ValueError("ExpectedCalibrationError requires a label column")
+        df = self._effective_df(ctx, kind)
+        rows = ece_bin_frame(
+            df, ds.label_name, self.probability_columns, self.n_bins
+        ).collect()  # bounded: n_bins rows
+        total = sum(r["n"] for r in rows)
+        ece = 0.0 if total == 0 else sum(
+            r["n"] / total * abs(r["accuracy"] - r["avg_confidence"])
+            for r in rows)
+        bins = [{"bin": r["__bin"], "n_samples": r["n"],
+                 "avg_confidence": r["avg_confidence"],
+                 "accuracy": r["accuracy"]} for r in rows]
+        return {"ece": ece, "bins": bins}, None
+
+    def add_condition_ece_less_than(self, max_ece: float = 0.05):
+        def condition(result):
+            if result["ece"] >= max_ece:
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"Expected calibration error {format_number(result['ece'])} "
+                    f"is above threshold {max_ece}")
+            return ConditionResult(
+                ConditionCategory.PASS,
+                f"Expected calibration error {format_number(result['ece'])} "
+                f"is below {max_ece}")
+
+        return self.add_condition(
+            f"Expected calibration error is less than {max_ece}", condition)
+
+    def reduce_output(self, check_result) -> dict:
+        return {"ECE": check_result.value["ece"]}
+
+    def greater_is_better(self) -> bool:
+        return False
+
+
+class LabelNoiseEstimate(SingleDatasetCheck):
+    """Confident-joint label-noise estimate from probability columns
+    (Confident Learning, Northcutt, Jiang & Chuang, JAIR 70, 2021 —
+    https://arxiv.org/abs/1911.00068). Engine extension: the reference
+    flags exact same-features/different-label rows (ConflictingLabels);
+    at web scale the dominant labeling failure is *statistical* noise a
+    model sees but exact matching cannot — the confident joint counts
+    rows whose given label disagrees with a confidently predicted one.
+
+    For each class j a threshold t_j (default: mean p_j among rows
+    labeled j — ONE conditional-avg aggregation); a row is *confident*
+    for class j when p_j ≥ t_j; its predicted label is the
+    highest-probability class among those (sorted-class tie-break).
+    value: {'confident_joint': {(given, predicted): n}, 'n_confident',
+    'n_rows', 'noise_rate' (off-diagonal mass), 'thresholds'}.
+
+    Spark: two bounded aggregations (thresholds, then
+    groupBy(given, predicted) ≤ n_classes² cells) — thresholds become
+    plan literals, so pass 2 is a single map-side-combinable groupBy;
+    nothing row-shaped ever reaches the driver.
+    """
+
+    def __init__(self, probability_columns: dict, thresholds: dict | None = None,
+                 n_samples=USE_DEFAULT, **kw):
+        super().__init__(n_samples=n_samples, **kw)
+        if not probability_columns:
+            raise ValueError("probability_columns must map at least one class to a column")
+        self.probability_columns = dict(probability_columns)
+        self.thresholds = dict(thresholds) if thresholds is not None else None
+        if self.thresholds is not None:
+            missing = set(self.probability_columns) - set(self.thresholds)
+            if missing:
+                raise ValueError(f"thresholds missing for classes {sorted(missing, key=str)}")
+
+    def compute(self, ctx, kind):
+        ds = ctx.data(kind)
+        if ds.label_name is None:
+            raise ValueError("LabelNoiseEstimate requires a label column")
+        df = self._effective_df(ctx, kind)
+        y = F.col(f"`{ds.label_name}`")
+        try:
+            classes = sorted(self.probability_columns)
+        except TypeError:
+            classes = sorted(self.probability_columns, key=str)
+        probs = {c: F.col(f"`{self.probability_columns[c]}`").cast("double")
+                 for c in classes}
+        labeled = df.filter(y.isNotNull())
+        if self.thresholds is None:
+            # pass 1: per-class mean self-probability (cleanlab's default
+            # threshold), ONE distributive agg
+            t_row = labeled.agg(*[
+                F.avg(F.when(y == F.lit(c), probs[c])).alias(f"__t_{i}")
+                for i, c in enumerate(classes)]).first()
+            thresholds = {c: t_row[f"__t_{i}"] for i, c in enumerate(classes)}
+        else:
+            thresholds = {c: float(self.thresholds[c]) for c in classes}
+        # a class with no labeled rows has a NULL mean threshold: it can
+        # never be confidently predicted (confident_joint_frame skips it)
+        frame = confident_joint_frame(
+            labeled, ds.label_name, self.probability_columns, thresholds)
+        if frame is None:
+            return {"confident_joint": {}, "n_confident": 0,
+                    "n_rows": labeled.count(), "noise_rate": 0.0,
+                    "thresholds": thresholds}, None
+        cells = frame.collect()  # bounded: ≤ (n_classes+1) × n_classes cells
+        n_rows = sum(r["n"] for r in cells)
+        joint = {(r["__given"], r["__pred"]): r["n"]
+                 for r in cells if r["__pred"] is not None}
+        n_confident = sum(joint.values())
+        off_diag = sum(n for (g, p), n in joint.items() if g != p)
+        return {
+            "confident_joint": joint,
+            "n_confident": n_confident,
+            "n_rows": n_rows,
+            "noise_rate": off_diag / n_confident if n_confident else 0.0,
+            "thresholds": thresholds,
+        }, None
+
+    def add_condition_noise_rate_less_than(self, max_noise: float = 0.1):
+        def condition(result):
+            rate = result["noise_rate"]
+            if rate >= max_noise:
+                return ConditionResult(
+                    ConditionCategory.FAIL,
+                    f"Estimated label-noise rate {format_number(rate)} is above "
+                    f"threshold {max_noise}")
+            return ConditionResult(
+                ConditionCategory.PASS,
+                f"Estimated label-noise rate {format_number(rate)} is below "
+                f"{max_noise}")
+
+        return self.add_condition(
+            f"Estimated label-noise rate is less than {max_noise}", condition)
+
+    def reduce_output(self, check_result) -> dict:
+        v = check_result.value
+        return {"Label noise rate": v["noise_rate"],
+                "Confident rows": v["n_confident"]}
+
+    def greater_is_better(self) -> bool:
+        return False

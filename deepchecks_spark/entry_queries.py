@@ -5442,6 +5442,147 @@ def o_linkgraph_documents():
 
 
 # ---------------------------------------------------------------------------
+# calibration-bin ECE + confident-joint label noise (checks/performance.py)
+# ---------------------------------------------------------------------------
+
+# exact-grid probability fixture with PLANTED 20% misprediction: the
+# positive-class numerator lives in [513, 1023] when the model is
+# "right" (XOR of true label and the every-5th flip) and [0, 510]
+# otherwise — never 512, so argmax ties are impossible and every
+# comparison sits on the 2^-10 grid, exact in both engines.
+_ECE_NUM_SQL = (
+    "CASE WHEN ((label % 2 = 1) AND vec_id % 5 <> 0)"
+    "       OR ((label % 2 = 0) AND vec_id % 5 = 0)"
+    "     THEN 513 + (vec_id * 13) % 511"
+    "     ELSE (vec_id * 13) % 511 END"
+)
+
+
+def q_ece_embeddings(spark, sf_dir):
+    """ExpectedCalibrationError: binned reliability from probability
+    columns, ONE n_bins-bounded aggregation. Confidence hits 1.0 for
+    some rows (numerator 0 → p0 = 1.0), so the oracle also locks the
+    top-bin CLAMP (⌊1.0·8⌋ = 8 → bin 7). The scalar ECE is re-derived
+    in SQL as Σ n·|acc − conf| / Σ n and attached to every row."""
+    from deepchecks_spark.checks.performance import ExpectedCalibrationError
+
+    df = _t(spark, sf_dir, "embeddings").selectExpr(
+        "CAST(label % 2 AS INT) AS y",
+        f"({_ECE_NUM_SQL}) / 1024.0 AS p1",
+        f"1.0 - ({_ECE_NUM_SQL}) / 1024.0 AS p0",
+    )
+    ds = Dataset(df, label="y", infer_categorical=False)
+    value, _ = ExpectedCalibrationError(
+        {0: "p0", 1: "p1"}, n_bins=8).compute(_ctx(ds), "train")
+    rows = [(b["bin"], b["n_samples"], float(b["avg_confidence"]),
+             float(b["accuracy"]), float(value["ece"])) for b in value["bins"]]
+    out = spark.createDataFrame(
+        rows, "bin int, n bigint, avg_confidence double, accuracy double, "
+              "ece double")
+    # SQL-side HALF_UP rounding (Python round() is half-even — a bin
+    # accuracy like 105/128 = 0.8203125 would disagree with the oracle)
+    return out.select(
+        "bin", "n",
+        F.round("avg_confidence", 6).alias("avg_confidence"),
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("ece", 6).alias("ece"))
+
+
+def o_ece_embeddings():
+    return f"""
+    WITH d AS (SELECT label % 2 AS y, ({_ECE_NUM_SQL}) AS num
+               FROM embeddings WHERE label IS NOT NULL),
+    e AS (SELECT y, num / 1024.0 AS p1, 1.0 - num / 1024.0 AS p0 FROM d),
+    f AS (SELECT y,
+                 CASE WHEN p1 > p0 THEN p1 ELSE p0 END AS conf,
+                 CASE WHEN p1 > p0 THEN 1 ELSE 0 END AS pred
+          FROM e),
+    g AS (SELECT CAST(least(floor(conf * 8), 7) AS INT) AS bin, conf,
+                 CASE WHEN pred = y THEN 1.0 ELSE 0.0 END AS ok
+          FROM f),
+    b AS (SELECT bin, count(*)::BIGINT AS n, avg(conf) AS c, avg(ok) AS a
+          FROM g GROUP BY bin)
+    SELECT bin, n, round(c, 6) AS avg_confidence, round(a, 6) AS accuracy,
+           round((SELECT sum(n * abs(a - c)) FROM b)
+                 / (SELECT sum(n) FROM b)::DOUBLE, 6) AS ece
+    FROM b ORDER BY bin
+    """
+
+
+# confident-joint fixture: probabilities concentrate on the TRUE class
+# t = label%3 (even numerator 600-898), a second class (t+1)%3 carries
+# an ODD numerator 401-697 — sometimes above the 500/1024 threshold and
+# sometimes the argmax, never tying the even true-class numerator — and
+# the third class stays below threshold; 1 in 7 GIVEN labels is flipped,
+# so the off-diagonal mass of the joint recovers the planted noise.
+_LN_CASE = (
+    "CASE WHEN label % 3 = {j} THEN 600 + 2 * ((vec_id * 11) % 150) "
+    "WHEN (label % 3 + 1) % 3 = {j} THEN 401 + 2 * ((vec_id * 17) % 149) "
+    "ELSE (vec_id * 23) % 200 END / 1024.0"
+)
+_LN_GIVEN_SQL = ("CAST(CASE WHEN vec_id % 7 = 0 THEN (label % 3 + 1) % 3 "
+                 "ELSE label % 3 END AS INT)")
+
+
+def q_label_noise_embeddings(spark, sf_dir):
+    """LabelNoiseEstimate (confident joint, Northcutt et al. 2021) with
+    explicit grid thresholds: the oracle re-derives the confident
+    argmax with a DIFFERENT strategy (−1 sentinel masking vs the
+    engine's null-skipping greatest) and recomputes the off-diagonal
+    noise rate from its own joint."""
+    from deepchecks_spark.checks.performance import LabelNoiseEstimate
+
+    df = _t(spark, sf_dir, "embeddings").selectExpr(
+        _LN_GIVEN_SQL + " AS y",
+        _LN_CASE.format(j=0) + " AS p0",
+        _LN_CASE.format(j=1) + " AS p1",
+        _LN_CASE.format(j=2) + " AS p2",
+    )
+    ds = Dataset(df, label="y", infer_categorical=False)
+    th = 500 / 1024.0
+    value, _ = LabelNoiseEstimate(
+        {0: "p0", 1: "p1", 2: "p2"},
+        thresholds={0: th, 1: th, 2: th}).compute(_ctx(ds), "train")
+    n_conf = value["n_confident"]
+    rows = [(int(g), int(p), int(n), n / n_conf, float(value["noise_rate"]))
+            for (g, p), n in sorted(value["confident_joint"].items())]
+    out = spark.createDataFrame(
+        rows, "given_label int, predicted_label int, n bigint, frac double, "
+              "noise_rate double")
+    return out.select(
+        "given_label", "predicted_label", "n",
+        F.round("frac", 6).alias("frac"),
+        F.round("noise_rate", 6).alias("noise_rate"))
+
+
+def o_label_noise_embeddings():
+    p = {j: _LN_CASE.format(j=j) for j in (0, 1, 2)}
+    return f"""
+    WITH d AS (SELECT {_LN_GIVEN_SQL} AS g,
+                      {p[0]} AS p0, {p[1]} AS p1, {p[2]} AS p2
+               FROM embeddings WHERE label IS NOT NULL),
+    m AS (SELECT g,
+                 CASE WHEN p0 >= 500 / 1024.0 THEN p0 ELSE -1.0 END AS m0,
+                 CASE WHEN p1 >= 500 / 1024.0 THEN p1 ELSE -1.0 END AS m1,
+                 CASE WHEN p2 >= 500 / 1024.0 THEN p2 ELSE -1.0 END AS m2
+          FROM d),
+    x AS (SELECT g, m0, m1, m2, greatest(m0, m1, m2) AS conf FROM m),
+    c AS (SELECT g, CASE WHEN m0 = conf THEN 0
+                         WHEN m1 = conf THEN 1 ELSE 2 END AS pred
+          FROM x WHERE conf >= 0),
+    j AS (SELECT g AS given_label, pred AS predicted_label,
+                 count(*)::BIGINT AS n
+          FROM c GROUP BY g, pred)
+    SELECT given_label, predicted_label, n,
+           round(n / (SELECT sum(n) FROM j)::DOUBLE, 6) AS frac,
+           round((SELECT sum(CASE WHEN given_label <> predicted_label
+                                  THEN n ELSE 0 END) FROM j)
+                 / (SELECT sum(n) FROM j)::DOUBLE, 6) AS noise_rate
+    FROM j ORDER BY given_label, predicted_label
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5456,6 +5597,8 @@ QUERIES = {
     # caps at the first 50 entries of this dict (VERDICT r4 next-1).
     "pagerank_documents": q_pagerank_documents,
     "linkgraph_documents": q_linkgraph_documents,
+    "ece_embeddings": q_ece_embeddings,
+    "label_noise_embeddings": q_label_noise_embeddings,
     "embedding_drift_embeddings": q_embedding_drift_embeddings,
     "embedding_drift_ts_embeddings": q_embedding_drift_ts_embeddings,
     "unigram_js_documents": q_unigram_js_documents,
@@ -5606,6 +5749,8 @@ QUERIES = {
 ORACLES = {
     "pagerank_documents": o_pagerank_documents(),
     "linkgraph_documents": o_linkgraph_documents(),
+    "ece_embeddings": o_ece_embeddings(),
+    "label_noise_embeddings": o_label_noise_embeddings(),
     "embedding_drift_embeddings": o_embedding_drift_embeddings(),
     "embedding_drift_ts_embeddings": o_embedding_drift_ts_embeddings(),
     "unigram_js_documents": o_unigram_js_documents(),

@@ -790,3 +790,133 @@ def test_simple_model_comparison_tree_imputes_nan_like_fit(spark):
     # mean(flag) = 0.5 → NaN and NULL both take the <= 0.5 branch
     assert got["nan"] == "a"
     assert got[None] == "a"
+
+
+# ---------------------------------------------------------------------------
+# ExpectedCalibrationError / LabelNoiseEstimate (engine extensions)
+# ---------------------------------------------------------------------------
+
+def _numpy_ece(y, p1, n_bins):
+    import numpy as _np
+    p1 = _np.asarray(p1, dtype=float)
+    y = _np.asarray(y)
+    conf = _np.maximum(p1, 1.0 - p1)
+    pred = (p1 > 1.0 - p1).astype(int)  # ties -> class 0 (sorted tie-break)
+    correct = (pred == y).astype(float)
+    bins = _np.minimum((conf * n_bins).astype(int), n_bins - 1)
+    ece = 0.0
+    out = {}
+    for b in sorted(set(bins)):
+        m = bins == b
+        out[b] = (m.sum(), conf[m].mean(), correct[m].mean())
+        ece += m.sum() / len(y) * abs(correct[m].mean() - conf[m].mean())
+    return ece, out
+
+
+def test_expected_calibration_error_matches_numpy(spark):
+    from deepchecks_spark.checks.performance import ExpectedCalibrationError
+
+    rng = np.random.default_rng(11)
+    y = rng.integers(0, 2, 400)
+    # overconfident model: push probabilities toward the extremes
+    noise = rng.random(400)
+    p1 = np.clip(y * 0.75 + noise * 0.3, 0.01, 0.99)
+    rows = [(int(a), float(b), float(1.0 - b)) for a, b in zip(y, p1)]
+    ds = Dataset(spark.createDataFrame(rows, "lbl int, p1 double, p0 double"),
+                 label="lbl", infer_categorical=False)
+    check = ExpectedCalibrationError({0: "p0", 1: "p1"}, n_bins=8)
+    value = check.run(ds).value
+    want_ece, want_bins = _numpy_ece(y, p1, 8)
+    assert value["ece"] == pytest.approx(want_ece, abs=1e-12)
+    got_bins = {b["bin"]: (b["n_samples"], b["avg_confidence"], b["accuracy"])
+                for b in value["bins"]}
+    assert set(got_bins) == set(want_bins)
+    for b in want_bins:
+        assert got_bins[b][0] == want_bins[b][0]
+        assert got_bins[b][1] == pytest.approx(want_bins[b][1], abs=1e-9)
+        assert got_bins[b][2] == pytest.approx(want_bins[b][2], abs=1e-12)
+
+
+def test_ece_condition_and_tie_break(spark):
+    from deepchecks_spark.checks.performance import ExpectedCalibrationError
+
+    # p1 = p0 = 0.5 exactly: argmax tie -> class 0 (first in sorted order)
+    rows = [(0, 0.5, 0.5)] * 10 + [(1, 0.5, 0.5)] * 10
+    ds = Dataset(spark.createDataFrame(rows, "lbl int, p0 double, p1 double"),
+                 label="lbl", infer_categorical=False)
+    check = ExpectedCalibrationError({0: "p0", 1: "p1"}, n_bins=4)
+    check.add_condition_ece_less_than(0.05)
+    result = check.run(ds)
+    [b] = result.value["bins"]
+    assert b["bin"] == 2 and b["n_samples"] == 20
+    assert b["accuracy"] == pytest.approx(0.5)   # ties all predict class 0
+    assert result.value["ece"] == pytest.approx(0.0)  # conf 0.5, acc 0.5
+    assert result.conditions_results[0].category == ConditionCategory.PASS
+
+
+def _numpy_confident_joint(y, probs, classes):
+    import numpy as _np
+    y = _np.asarray(y)
+    P = _np.asarray(probs, dtype=float)  # (n, k) in sorted-class order
+    t = _np.array([P[y == c, j].mean() for j, c in enumerate(classes)])
+    joint = {}
+    for i in range(len(y)):
+        above = [j for j in range(len(classes)) if P[i, j] >= t[j]]
+        if not above:
+            continue
+        pred = classes[max(above, key=lambda j: (P[i, j], -j))]
+        joint[(y[i], pred)] = joint.get((y[i], pred), 0) + 1
+    return t, joint
+
+
+def test_label_noise_estimate_matches_numpy(spark):
+    from deepchecks_spark.checks.performance import LabelNoiseEstimate
+
+    rng = np.random.default_rng(23)
+    n, k = 600, 3
+    true = rng.integers(0, k, n)
+    # 10% of given labels flipped
+    given = np.where(rng.random(n) < 0.1, (true + 1) % k, true)
+    # probabilities track the TRUE label (that's what makes noise visible)
+    P = rng.random((n, k)) * 0.3
+    P[np.arange(n), true] += 0.6
+    P = P / P.sum(axis=1, keepdims=True)
+    rows = [(int(g), float(p[0]), float(p[1]), float(p[2]))
+            for g, p in zip(given, P)]
+    ds = Dataset(spark.createDataFrame(rows, "lbl int, p0 double, p1 double, p2 double"),
+                 label="lbl", infer_categorical=False)
+    check = LabelNoiseEstimate({0: "p0", 1: "p1", 2: "p2"})
+    value = check.run(ds).value
+    t, want_joint = _numpy_confident_joint(given, P, [0, 1, 2])
+    for j, c in enumerate([0, 1, 2]):
+        assert value["thresholds"][c] == pytest.approx(t[j], abs=1e-9)
+    got = {(int(g), int(p)): v for (g, p), v in value["confident_joint"].items()}
+    assert got == {(int(g), int(p)): v for (g, p), v in want_joint.items()}
+    off = sum(v for (g, p), v in want_joint.items() if g != p)
+    tot = sum(want_joint.values())
+    assert value["noise_rate"] == pytest.approx(off / tot)
+    assert value["n_confident"] == tot
+    # planted flips are ~10%: estimate should be in that neighborhood
+    assert 0.04 < value["noise_rate"] < 0.2
+
+
+def test_label_noise_explicit_thresholds_and_condition(spark):
+    from deepchecks_spark.checks.performance import LabelNoiseEstimate
+
+    # every row confidently predicts its true class; 1 in 4 given labels
+    # flipped -> noise rate exactly 0.25
+    rows = [(1 if i % 8 == 0 else 0, 0.9, 0.1) if i % 2 == 0
+            else (0 if i % 8 == 1 else 1, 0.1, 0.9)
+            for i in range(80)]
+    ds = Dataset(spark.createDataFrame(rows, "lbl int, p0 double, p1 double"),
+                 label="lbl", infer_categorical=False)
+    check = LabelNoiseEstimate({0: "p0", 1: "p1"},
+                               thresholds={0: 0.5, 1: 0.5})
+    check.add_condition_noise_rate_less_than(0.1)
+    result = check.run(ds)
+    assert result.value["n_confident"] == 80
+    assert result.value["noise_rate"] == pytest.approx(0.25)
+    assert result.conditions_results[0].category == ConditionCategory.FAIL
+
+    with pytest.raises(ValueError):
+        LabelNoiseEstimate({0: "p0", 1: "p1"}, thresholds={0: 0.5})
