@@ -727,3 +727,38 @@ def test_link_graph_summary_single_row_result(spark):
         [(i % 7, (i * 3) % 5) for i in range(40)], "src long, dst long")
     out = link_graph_summary(edges)
     assert out.count() == 1
+
+
+def test_ece_bins_single_exchange_mapside_combine(spark):
+    # ExpectedCalibrationError: ONE n_bins-bounded groupBy — map-side
+    # partial agg before a single hash Exchange, no Expand, no Python
+    from deepchecks_spark.checks.performance import ece_bin_frame
+
+    df = spark.createDataFrame(
+        [(i % 2, (i % 10) / 10.0, 1.0 - (i % 10) / 10.0) for i in range(100)],
+        "lbl int, p1 double, p0 double")
+    out = ece_bin_frame(df, "lbl", {0: "p0", 1: "p1"}, n_bins=8)
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial_avg" in plan
+    assert "Expand" not in plan
+    assert "Python" not in plan
+
+
+def test_confident_joint_single_exchange_mapside_combine(spark):
+    # LabelNoiseEstimate pass 2: thresholds are plan literals, so the
+    # confident joint is one map-side-combinable groupBy(given, pred)
+    from deepchecks_spark.checks.performance import confident_joint_frame
+
+    df = spark.createDataFrame(
+        [(i % 3, (i % 10) / 10.0, ((i + 3) % 10) / 10.0, ((i + 7) % 10) / 10.0)
+         for i in range(100)],
+        "lbl int, p0 double, p1 double, p2 double")
+    out = confident_joint_frame(
+        df, "lbl", {0: "p0", 1: "p1", 2: "p2"},
+        {0: 0.5, 1: 0.5, 2: 0.5})
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+    assert "Expand" not in plan
+    assert "Python" not in plan
