@@ -5583,6 +5583,96 @@ def o_label_noise_embeddings():
 
 
 # ---------------------------------------------------------------------------
+# html → outlink extraction + host-level edge list (pipeline/webgraph.py)
+# ---------------------------------------------------------------------------
+
+# page URL + html body synthesized arithmetically from doc_id; the html
+# exercises every resolution branch (root-relative, directory-relative,
+# absolute-with-fragment, dropped mailto, protocol-relative on every
+# 10th doc) and the oracle re-derives the RESOLVED urls in closed form —
+# never running the href regex, so a slip in extraction, base-directory
+# arithmetic, or fragment stripping breaks the value hash.
+_PAGE_URL_SQL = (
+    "'https://site' || CAST(doc_id % 7 AS STRING) || '.example/d' || "
+    "CAST(doc_id % 3 AS STRING) || '/p' || CAST(doc_id AS STRING) || '.html'"
+)
+_PAGE_HTML_SQL = (
+    "'<p>x</p><a href=\"/l/' || CAST((doc_id * 13) % 50 AS STRING) || "
+    "'\">a</a><a href=\"rel' || CAST(doc_id % 5 AS STRING) || '\">b</a>"
+    "<a href=\"https://ext' || CAST(doc_id % 4 AS STRING) || '.example/p' || "
+    "CAST(doc_id AS STRING) || '#f\">c</a><a href=\"mailto:x@y\">d</a>' || "
+    "CASE WHEN doc_id % 10 = 0 THEN '<a href=\"//cdn.example/z\">e</a>' "
+    "ELSE '' END"
+)
+
+
+def q_extract_links_documents(spark, sf_dir):
+    """extract_links: href anchors parsed out of html and resolved
+    against the page URL (RFC 3986 common cases), one row per outlink.
+    Zero-shuffle codegen projection — plan-pinned in test_plans."""
+    from deepchecks_spark.pipeline.webgraph import extract_links
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _PAGE_URL_SQL + " AS url", _PAGE_HTML_SQL + " AS html")
+    out = extract_links(pages, "html", "url", keep_cols=["doc_id"])
+    return out.orderBy("doc_id", "link_url")
+
+
+def o_extract_links_documents():
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      'https://site' || CAST(doc_id % 7 AS STRING) ||
+                      '.example' AS origin,
+                      'https://site' || CAST(doc_id % 7 AS STRING) ||
+                      '.example/d' || CAST(doc_id % 3 AS STRING) || '/' AS dir
+               FROM documents),
+    links AS (
+        SELECT doc_id, origin || '/l/' ||
+               CAST((doc_id * 13) % 50 AS STRING) AS link_url FROM d
+        UNION ALL
+        SELECT doc_id, dir || 'rel' || CAST(doc_id % 5 AS STRING) FROM d
+        UNION ALL
+        SELECT doc_id, 'https://ext' || CAST(doc_id % 4 AS STRING) ||
+               '.example/p' || CAST(doc_id AS STRING) FROM d
+        UNION ALL
+        SELECT doc_id, 'https://cdn.example/z' FROM d WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id, link_url FROM links ORDER BY doc_id, link_url
+    """
+
+
+def q_host_edges_documents(spark, sf_dir):
+    """host_edges over extract_links: the distinct host→host reduction
+    (intra-host links dropped, hosts lower-cased) that host-level
+    PageRank consumes. The oracle never touches html — it enumerates
+    the expected (site_k, target) pairs from doc_id arithmetic."""
+    from deepchecks_spark.pipeline.webgraph import extract_links, host_edges
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _PAGE_URL_SQL + " AS url", _PAGE_HTML_SQL + " AS html")
+    links = extract_links(pages, "html", "url", keep_cols=["url"])
+    return host_edges(links, "url", "link_url").orderBy("src", "dst")
+
+
+def o_host_edges_documents():
+    # /l/ and rel links stay on the page's own host (dropped); the
+    # absolute ext link and the every-10th cdn link cross hosts
+    return """
+    WITH e AS (
+        SELECT DISTINCT 'site' || CAST(doc_id % 7 AS STRING) || '.example'
+                   AS src,
+               'ext' || CAST(doc_id % 4 AS STRING) || '.example' AS dst
+        FROM documents
+        UNION
+        SELECT DISTINCT 'site' || CAST(doc_id % 7 AS STRING) || '.example',
+               'cdn.example'
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT src, dst FROM e ORDER BY src, dst
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5595,6 +5685,8 @@ def _ctx(ds):
 QUERIES = {
     # never-driver-verified queries FIRST: the driver's correctness run
     # caps at the first 50 entries of this dict (VERDICT r4 next-1).
+    "extract_links_documents": q_extract_links_documents,
+    "host_edges_documents": q_host_edges_documents,
     "pagerank_documents": q_pagerank_documents,
     "linkgraph_documents": q_linkgraph_documents,
     "ece_embeddings": q_ece_embeddings,
@@ -5747,6 +5839,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "extract_links_documents": o_extract_links_documents(),
+    "host_edges_documents": o_host_edges_documents(),
     "pagerank_documents": o_pagerank_documents(),
     "linkgraph_documents": o_linkgraph_documents(),
     "ece_embeddings": o_ece_embeddings(),

@@ -762,3 +762,31 @@ def test_confident_joint_single_exchange_mapside_combine(spark):
     assert "partial_count" in plan
     assert "Expand" not in plan
     assert "Python" not in plan
+
+
+def test_extract_links_is_shuffle_free_projection(spark):
+    # html -> outlinks: one Generate (the explode), zero Exchange, no
+    # Python — the page payload is pruned right after the extraction
+    from deepchecks_spark.pipeline.webgraph import extract_links
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example/x/y", '<a href="/p">x</a><a href="q">y</a>')],
+        "doc_id int, url string, html string")
+    plan = _plan(extract_links(df, "html", "url", keep_cols=["doc_id"]))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert plan.count("Generate") == 1
+
+
+def test_host_edges_single_mapside_combined_distinct(spark):
+    # the only shuffle is the distinct over (src, dst) host pairs, with
+    # map-side combine collapsing per-page fan-in before anything moves
+    from deepchecks_spark.pipeline.webgraph import extract_links, host_edges
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example/x", '<a href="https://b.example/p">x</a>')],
+        "doc_id int, url string, html string")
+    links = extract_links(df, "html", "url", keep_cols=["url"])
+    plan = _plan(host_edges(links, "url", "link_url"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final distinct

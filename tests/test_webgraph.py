@@ -82,3 +82,70 @@ def test_link_graph_summary_hand_computed(spark):
     assert row["avg_out_degree"] == pytest.approx(5 / 4)
     assert row["max_out_degree"] == 2  # node 2 and 3 both have 2
     assert row["max_in_degree"] == 2   # node 3: (2,3) + self-loop (3,3)
+
+
+# ---------------------------------------------------------------------------
+# extract_links / host_edges — html → outlink edge list
+# ---------------------------------------------------------------------------
+
+def test_extract_links_resolution_cases(spark):
+    from deepchecks_spark.pipeline.webgraph import extract_links
+
+    rows = [
+        (1, "https://a.example/dir/page.html",
+         '<a href="/abs">x</a><a href="rel/p">y</a><a href="//b.example/q">z'
+         '</a><a href="https://c.example/r#frag">w</a><a href="mailto:x@y">m'
+         '</a><a href="#top">t</a><a href="">e</a>'
+         '<a href="JavaScript:void(0)">j</a>'),
+        # bare-origin base: directory is origin + '/'
+        (2, "https://a.example", '<a href="p2">only</a>'),
+        # query/fragment on the base never leak into the directory
+        (3, "http://h.example/a/b.html?q=1#f", '<a href="c">rel</a>'),
+        # unparseable base emits no edges
+        (4, "not a url", '<a href="/nope">dropped</a>'),
+        (5, "https://a.example/x", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string, html string")
+    got = sorted(
+        (r["doc_id"], r["link_url"])
+        for r in extract_links(df, "html", "url", keep_cols=["doc_id"]).collect())
+    assert got == [
+        (1, "https://a.example/abs"),          # root-relative -> origin
+        (1, "https://a.example/dir/rel/p"),    # relative -> base directory
+        (1, "https://b.example/q"),            # protocol-relative -> scheme
+        (1, "https://c.example/r"),            # absolute kept, fragment stripped
+        (2, "https://a.example/p2"),
+        (3, "http://h.example/a/c"),
+    ]
+
+
+def test_extract_links_binary_html_and_host_edges(spark):
+    from deepchecks_spark.pipeline.webgraph import extract_links, host_edges
+
+    # html arrives as BINARY in the input_hint schema; the cast must hold
+    rows = [("https://s1.example/p", bytearray(
+        b'<a href="https://S2.example/a">u</a><a href="/self">s</a>'))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    links = extract_links(df, "html", "url", keep_cols=["url"])
+    assert links.count() == 2
+    edges = sorted(map(tuple, host_edges(links, "url", "link_url").collect()))
+    # intra-host /self dropped, host lower-cased, distinct
+    assert edges == [("s1.example", "s2.example")]
+
+
+def test_extract_links_feeds_pagerank_end_to_end(spark):
+    from deepchecks_spark.pipeline.webgraph import (
+        extract_links, host_edges, pagerank)
+
+    rows = [
+        ("https://a.example/1", '<a href="https://b.example/x">1</a>'),
+        ("https://a.example/2", '<a href="https://b.example/y">2</a>'),
+        ("https://b.example/1", '<a href="https://a.example/z">3</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    edges = host_edges(
+        extract_links(df, "html", "url", keep_cols=["url"]), "url", "link_url")
+    ranks = {r["id"]: r["rank"] for r in pagerank(edges, n_iterations=20).collect()}
+    # symmetric 2-cycle a<->b: uniform 1/2 each
+    assert ranks["a.example"] == pytest.approx(0.5, abs=1e-9)
+    assert ranks["b.example"] == pytest.approx(0.5, abs=1e-9)
