@@ -5672,6 +5672,52 @@ def o_host_edges_documents():
     """
 
 
+# page-metadata fixture: every field's presence keyed to a different
+# doc_id modulus so absence/NULL paths are exercised at every SF; the
+# oracle re-derives the EXPECTED metadata in closed form from doc_id —
+# it never parses html, so a regex slip breaks the hash
+_META_HTML_SQL = (
+    "'<html><head><title> Doc ' || CAST(doc_id AS STRING) || ' </title>' || "
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'<meta name=\"description\" content=\"d' || CAST(doc_id % 9 AS STRING) || '\">' "
+    "WHEN doc_id % 4 = 1 THEN "
+    "'<meta content=\"r' || CAST(doc_id % 9 AS STRING) || '\" name=\"description\">' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN '<meta name=\"robots\" content=\"NOINDEX, nofollow\">' ELSE '' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN '<link rel=\"canonical\" href=\"https://c.example/' || CAST(doc_id AS STRING) || '\">' ELSE '' END || "
+    "'</head><body>' || repeat('<a href=\"/x\">a</a>', CAST(doc_id % 3 AS INT)) || "
+    "'</body></html>'"
+)
+
+
+def q_page_metadata_documents(spark, sf_dir):
+    """extract_page_metadata: title / meta-description (both attribute
+    orders) / robots-noindex / canonical / anchor count from html —
+    zero-shuffle codegen projection (plan-pinned)."""
+    from deepchecks_spark.pipeline.webclean import extract_page_metadata
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _META_HTML_SQL + " AS html")
+    out = extract_page_metadata(pages, "html", keep_cols=["doc_id"])
+    return out.orderBy("doc_id")
+
+
+def o_page_metadata_documents():
+    return """
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS STRING) AS title,
+           CASE WHEN doc_id % 4 = 0 THEN 'd' || CAST(doc_id % 9 AS STRING)
+                WHEN doc_id % 4 = 1 THEN 'r' || CAST(doc_id % 9 AS STRING)
+                ELSE NULL END AS meta_description,
+           doc_id % 5 = 0 AS robots_noindex,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'https://c.example/' || CAST(doc_id AS STRING)
+                ELSE NULL END AS canonical_url,
+           CAST(doc_id % 3 AS INT) AS n_anchors
+    FROM documents ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5685,6 +5731,7 @@ def _ctx(ds):
 QUERIES = {
     # never-driver-verified queries FIRST: the driver's correctness run
     # caps at the first 50 entries of this dict (VERDICT r4 next-1).
+    "page_metadata_documents": q_page_metadata_documents,
     "extract_links_documents": q_extract_links_documents,
     "host_edges_documents": q_host_edges_documents,
     "pagerank_documents": q_pagerank_documents,
@@ -5839,6 +5886,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "page_metadata_documents": o_page_metadata_documents(),
     "extract_links_documents": o_extract_links_documents(),
     "host_edges_documents": o_host_edges_documents(),
     "pagerank_documents": o_pagerank_documents(),

@@ -860,3 +860,56 @@ def normalize_text_nfc(df: DataFrame, text_col: str,
         F.when(F.col(text_col).isNull(), F.lit(None).cast("boolean"))
         .otherwise(F.col(out_col) != F.col(text_col)),
     )
+
+
+def extract_page_metadata(df: DataFrame, html_col: str,
+                          keep_cols: list | None = None) -> DataFrame:
+    """Structured page metadata from raw HTML: ``title``,
+    ``meta_description``, ``robots_noindex`` (the page asked crawlers
+    not to index it — a standard pre-filter before a page enters a
+    training corpus), ``canonical_url`` (the dedup hint SEO pages
+    publish) and ``n_anchors``. The third piece of the html ingest
+    surface next to text extraction (``corpus/extractor.py``) and
+    outlink extraction (``pipeline/webgraph.py::extract_links``).
+
+    Parsing contract (documented, deliberately regex-simple so the
+    behaviour is engine-portable): values are taken from the FIRST
+    matching tag; both attribute orders (``name= content=`` and
+    ``content= name=``) are recognized for meta tags, matching is
+    case-insensitive, attribute values must be double-quoted, and
+    entities are NOT unescaped (the raw attribute/element bytes are
+    returned). Absent fields are NULL, not ''.
+
+    Spark shape: pure codegen'd ``regexp_extract`` / ``rlike``
+    projection — zero shuffle, zero Python; at 100 TB the html column
+    is read once and only the (small) metadata columns survive.
+    """
+    h = F.col(f"`{html_col}`").cast("string")
+
+    def _first(pattern: str):
+        return F.nullif(F.regexp_extract(h, pattern, 1), F.lit(""))
+
+    title = _first(r"(?is)<title[^>]*>([^<]*)</title>")
+    # <meta name="description" content="..."> in either attribute order
+    desc = F.coalesce(
+        _first(r'(?is)<meta\s[^>]*name="description"[^>]*content="([^"]*)"'),
+        _first(r'(?is)<meta\s[^>]*content="([^"]*)"[^>]*name="description"'),
+    )
+    noindex = (
+        h.rlike(r'(?is)<meta\s[^>]*name="robots"[^>]*content="[^"]*noindex')
+        | h.rlike(r'(?is)<meta\s[^>]*content="[^"]*noindex[^"]*"[^>]*name="robots"')
+    )
+    canonical = F.coalesce(
+        _first(r'(?is)<link\s[^>]*rel="canonical"[^>]*href="([^"]*)"'),
+        _first(r'(?is)<link\s[^>]*href="([^"]*)"[^>]*rel="canonical"'),
+    )
+    n_anchors = F.size(F.regexp_extract_all(h, F.lit(r"(?i)<a[\s>]"), F.lit(0)))
+    keep = [F.col(f"`{c}`") for c in (keep_cols or df.columns)]
+    return df.select(
+        *keep,
+        F.trim(title).alias("title"),
+        desc.alias("meta_description"),
+        F.coalesce(noindex, F.lit(False)).alias("robots_noindex"),
+        canonical.alias("canonical_url"),
+        F.coalesce(n_anchors, F.lit(0)).cast("int").alias("n_anchors"),
+    )

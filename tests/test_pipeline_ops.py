@@ -2146,3 +2146,40 @@ def test_normalize_text_nfc_hand_computed(spark):
     assert rows[1]["nfc_text"] != decomposed and bool(rows[1]["changed"])
     assert rows[2]["nfc_text"] == "plain ascii" and not rows[2]["changed"]
     assert rows[3]["nfc_text"] is None and rows[3]["changed"] is None
+
+
+def test_extract_page_metadata_hand_computed(spark):
+    from deepchecks_spark.pipeline.webclean import extract_page_metadata
+
+    rows = [
+        # uppercase tags, whitespace-padded title, both meta forms
+        (1, '<html><head><TITLE> Hi &amp; bye </title>'
+            '<meta name="description" content="a desc">'
+            '<meta name="robots" content="NOINDEX, nofollow">'
+            '<link rel="canonical" href="https://x.example/c"></head>'
+            '<body><a href="/1">x</a><A HREF="/2">y</a></body></html>'),
+        # reversed attribute order for meta/link
+        (2, '<meta content="rev desc" name="description">'
+            '<meta content="noindex" name="robots">'
+            '<link href="https://y.example/c" rel="canonical">'),
+        # first-match-wins on duplicate tags
+        (3, '<title>first</title><title>second</title>'),
+        (4, '<p>no metadata at all</p>'),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, html string")
+    got = {r["doc_id"]: r for r in
+           extract_page_metadata(df, "html", keep_cols=["doc_id"]).collect()}
+    # entities stay raw (documented); title trimmed
+    assert got[1]["title"] == "Hi &amp; bye"
+    assert got[1]["meta_description"] == "a desc"
+    assert got[1]["robots_noindex"] is True   # case-insensitive, in a list
+    assert got[1]["canonical_url"] == "https://x.example/c"
+    assert got[1]["n_anchors"] == 2           # <a> and <A> both counted
+    assert got[2]["meta_description"] == "rev desc"
+    assert got[2]["robots_noindex"] is True
+    assert got[2]["canonical_url"] == "https://y.example/c"
+    assert got[3]["title"] == "first"
+    assert got[4]["title"] is None and got[4]["meta_description"] is None
+    assert got[4]["robots_noindex"] is False and got[4]["n_anchors"] == 0
+    assert got[5]["title"] is None and got[5]["robots_noindex"] is False

@@ -790,3 +790,13 @@ def test_host_edges_single_mapside_combined_distinct(spark):
     plan = _plan(host_edges(links, "url", "link_url"))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("HashAggregate") >= 2  # partial + final distinct
+
+
+def test_extract_page_metadata_is_shuffle_free_projection(spark):
+    from deepchecks_spark.pipeline.webclean import extract_page_metadata
+
+    df = spark.createDataFrame(
+        [(1, "<title>t</title>")], "doc_id int, html string")
+    plan = _plan(extract_page_metadata(df, "html", keep_cols=["doc_id"]))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
