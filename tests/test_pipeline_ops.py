@@ -2183,3 +2183,27 @@ def test_extract_page_metadata_hand_computed(spark):
     assert got[4]["title"] is None and got[4]["meta_description"] is None
     assert got[4]["robots_noindex"] is False and got[4]["n_anchors"] == 0
     assert got[5]["title"] is None and got[5]["robots_noindex"] is False
+
+
+def test_connected_components_union_find_matches_iterative(spark):
+    from deepchecks_spark.pipeline.dedup import connected_components
+
+    # pseudo-random pair soup: chains, bridges and singleton pairs
+    pairs = [(i % 37, (i * 17 + 5) % 41) for i in range(120)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    fast = {(r["id"], r["component"])
+            for r in connected_components(df).collect()}
+    slow = {(r["id"], r["component"])
+            for r in connected_components(df, small_graph_edges=0).collect()}
+    assert fast == slow and len(fast) > 0
+
+    # string ids take the same fast path (the probe is type-agnostic)
+    sdf = df.selectExpr("'d' || CAST(id_a AS STRING) AS id_a",
+                        "'d' || CAST(id_b AS STRING) AS id_b")
+    got = {(r["id"], r["component"])
+           for r in connected_components(sdf).collect()}
+    # lexicographic min can differ from numeric min: expected comes from
+    # the iterative path on the SAME string frame, not from `slow`
+    want = {(r["id"], r["component"])
+            for r in connected_components(sdf, small_graph_edges=0).collect()}
+    assert got == want
