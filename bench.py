@@ -145,6 +145,22 @@ def bench_similarity(spark):
     return emb.count()
 
 
+def bench_pq(spark):
+    # NEW stage (r5 closing): the PQ/ADC compression path — codebook
+    # training (bounded sample) + map-only encode + lookup-table full
+    # scan, measured end-to-end. Kept OUT of similarity_embeddings so
+    # that stage's cross-round timings stay like-for-like.
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.pipeline.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 50)
+    pq_topk(queries, emb, dim=64, k=10, m=8, ksub=16,
+            id_col="vec_id").count()
+    return emb.count()
+
+
 def _ensure_corpus(spark, rows: int) -> str:
     """Stage the north-rule webtext corpus once (datagen is NOT part of
     the timed run; rows are a pure function of (seed, index))."""
@@ -302,6 +318,7 @@ BENCHES = {
     "traintest_joins_orders": bench_traintest_joins,
     "dedup_documents": bench_dedup,
     "similarity_embeddings": bench_similarity,
+    "pq_embeddings": bench_pq,
     "textstats_documents": bench_textstats,
     "relational_events": bench_relational,
     "corpusdrift_events": bench_corpus_drift,

@@ -1215,6 +1215,65 @@ def o_ivf_topk_embeddings():
     """
 
 
+def q_pq_topk_embeddings(spark, sf_dir):
+    """Cross-engine-deterministic PQ/ADC top-k: embeddings quantized to
+    integers (floor(x·1000)) and INTEGER codebooks from a closed-form
+    LCG — squared L2 distances and the m-term ADC sums are IEEE-exact in
+    doubles, so DuckDB reproduces the exact code assignment, per-query
+    lookup tables and approximate-distance ranking. The compressed
+    product-quantization index itself is under the value-hash."""
+    from deepchecks_spark.pipeline.similarity import (
+        deterministic_int_codebooks,
+        pq_topk,
+    )
+
+    books = deterministic_int_codebooks(m=4, ksub=8, dsub=16)
+    df = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS DOUBLE)) AS embedding",
+    )
+    queries = df.filter(F.col("vec_id") < 10)
+    return pq_topk(queries, df, dim=64, k=5, m=4, ksub=8, id_col="vec_id",
+                   codebooks=books).select("query_id", "neighbor_id", "rank")
+
+
+def o_pq_topk_embeddings():
+    from deepchecks_spark.pipeline.similarity import deterministic_int_codebooks
+
+    books = deterministic_int_codebooks(m=4, ksub=8, dsub=16)
+    cw_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {c} AS c, CAST({list(w)} AS DOUBLE[]) AS w"
+        for j, book in enumerate(books) for c, w in enumerate(book)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS DOUBLE)) e
+               FROM embeddings),
+         cw AS ({cw_rows}),
+         dists AS (SELECT v.vec_id, cw.j, cw.c,
+                          e[(cw.j * 16 + 1):(cw.j * 16 + 16)] AS s,
+                          list_dot_product(s, s) - 2 * list_dot_product(s, w)
+                            + list_dot_product(w, w) AS d
+                   FROM v CROSS JOIN cw),
+         codes AS (SELECT vec_id, j, c FROM
+                     (SELECT vec_id, j, c,
+                             row_number() OVER (PARTITION BY vec_id, j
+                                                ORDER BY d ASC, c ASC) r
+                      FROM dists) WHERE r = 1),
+         qd AS (SELECT vec_id AS qid, j, c, d FROM dists WHERE vec_id < 10),
+         adist AS (SELECT qd.qid, codes.vec_id AS nid, SUM(qd.d) AS a
+                   FROM codes JOIN qd ON codes.j = qd.j AND codes.c = qd.c
+                   WHERE codes.vec_id != qd.qid
+                   GROUP BY 1, 2),
+         ranked AS (SELECT qid, nid,
+                           row_number() OVER (PARTITION BY qid ORDER BY a ASC, nid ASC) r
+                    FROM adist)
+    SELECT qid::BIGINT AS query_id, nid::BIGINT AS neighbor_id, r::BIGINT AS rank
+    FROM ranked WHERE r <= 5
+    """
+
+
+
 def q_language_id_documents(spark, sf_dir):
     from deepchecks_spark.pipeline.textstats import language_id
 
@@ -5739,7 +5798,7 @@ QUERIES = {
     "ece_embeddings": q_ece_embeddings,
     "label_noise_embeddings": q_label_noise_embeddings,
     "embedding_drift_embeddings": q_embedding_drift_embeddings,
-    "embedding_drift_ts_embeddings": q_embedding_drift_ts_embeddings,
+    "pq_topk_embeddings": q_pq_topk_embeddings,
     "unigram_js_documents": q_unigram_js_documents,
     "temporal_drift_events": q_temporal_drift_events,
     "contamination_report_documents": q_contamination_report_documents,
@@ -5806,6 +5865,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "heavy_hitters_events": q_heavy_hitters_events,
     "skew_profile_orders": q_skew_profile_orders,
+    "embedding_drift_ts_embeddings": q_embedding_drift_ts_embeddings,
     # entries below rotate just outside the driver's 50-query window —
     # all remain locked by the identical local oracle gate
     # (test_entry_contract.py); each rotated row has a family sibling
@@ -5992,6 +6052,7 @@ ORACLES = {
     "simple_model_comparison_strategies_embeddings":
         o_simple_model_comparison_strategies_embeddings(),
     "ivf_topk_embeddings": o_ivf_topk_embeddings(),
+    "pq_topk_embeddings": o_pq_topk_embeddings(),
     "performance_bias_orders": o_performance_bias_orders(),
     "multi_model_embeddings": o_multi_model_embeddings(),
     "streaming_newcat_events": o_streaming_newcat_events(),

@@ -1,12 +1,15 @@
 """Similarity search over an embedding column (array<float>).
 
-Brute-force cosine top-k is the exact baseline; two scale paths avoid
-the n² cross join: random-hyperplane LSH (each query scores only its
-bucket, OR-amplified across tables) and an IVF inverted-file index
-(k-means coarse quantizer, each query exactly scores its nprobe nearest
-cells — the FAISS IVFFlat shape). Dot products run JVM-side via
-zip_with/aggregate (no Python). The top-k is two-stage (per-partition
-pre-top-k, then global) so the shuffle carries at most
+Brute-force cosine top-k is the exact baseline; three scale paths: a
+random-hyperplane LSH (each query scores only its bucket, OR-amplified
+across tables) and an IVF inverted-file index (k-means coarse
+quantizer, each query exactly scores its nprobe nearest cells — the
+FAISS IVFFlat shape) prune the candidate set, and product quantization
+(PQ/ADC, the FAISS PQ shape) compresses the corpus to m codes/vector so
+a full scan stays RAM-resident at 10^12 rows. Dot products run JVM-side
+via zip_with/aggregate (no Python). Top-k rank windows rely on Spark's
+WindowGroupLimit pushdown, which pre-trims each partition to k rows
+map-side, so the single shuffle carries at most
 n_queries × k × n_partitions rows, never the full cross join.
 """
 
@@ -49,15 +52,14 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
         .withColumn("cosine", _dot("qe", "ce") / (F.col("qn") * F.col("cn")))
         .select("query_id", "neighbor_id", "cosine")
     )
-    # stage 1: top-k inside each partition (map-side, no shuffle)
-    w_local = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    local = scored.withColumn("r", F.row_number().over(w_local)).filter(F.col("r") <= k).drop("r")
-    # stage 2: global top-k over the k·partitions survivors
-    w_global = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # single rank window: Spark's WindowGroupLimit (rank-limit pushdown)
+    # pre-trims each partition to top-k map-side BEFORE the Exchange, so
+    # the one shuffle carries ≤ n_queries·k·n_partitions rows — the
+    # manual two-stage local/global pattern would add a second Exchange
+    # for the same bound
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        local.withColumn("rank", F.row_number().over(w_global))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -577,3 +579,226 @@ def embedding_integrity_stats(df: DataFrame, vec_col: str = "embedding") -> Data
         F.min(F.when(clean, F.col("__norm"))).alias("min_norm"),
         F.max(F.when(clean, F.col("__norm"))).alias("max_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN (Jégou et al. 2011,
+# the FAISS PQ/ADC shape). The corpus is stored as m small codes
+# (m bytes/vector at ksub ≤ 256) instead of dim floats — a 10^12-row
+# corpus's index fits in RAM where raw vectors cannot — and queries
+# score EVERY row through a per-query lookup table (asymmetric distance
+# computation), so unlike LSH/IVF the result has no candidate-miss
+# recall loss, only quantization error.
+
+_PQ_EXPR_MAX_LITERALS = 16_384
+
+
+def deterministic_int_codebooks(m: int, ksub: int, dsub: int) -> list:
+    """INTEGER-valued PQ codebooks from the same pure-integer LCG family
+    as deterministic_int_centroids — squared L2 distances of
+    integer-valued doubles are IEEE-exact, so an external SQL engine
+    (the DuckDB correctness oracle) reproduces the exact code
+    assignment, lookup table and ADC ranking, putting the compressed
+    index itself under the value-hash. Returns [m][ksub][dsub] ints in
+    [-1024, 1024]."""
+    return [
+        [
+            [((1103515245 * (j * 4093 + c * 2003 + d * 257) + 12345) % 2049)
+             - 1024 for d in range(dsub)]
+            for c in range(ksub)
+        ]
+        for j in range(m)
+    ]
+
+
+def train_pq_codebooks(df: DataFrame, dim: int, m: int, ksub: int,
+                       sample_size: int = 10_000, n_iters: int = 10,
+                       seed: int = 42, id_col: str = "id",
+                       vec_col: str = "embedding") -> np.ndarray:
+    """Train PQ codebooks: per-subspace L2 Lloyd k-means over the same
+    bounded deterministic sample convention as train_ivf_centroids
+    (lowest ``sample_size`` ids; FAISS likewise trains PQ on a corpus
+    sample). Seeded k-means++ init per subspace; empty codewords
+    re-seed from the farthest point. Returns (m, ksub, dim//m)."""
+    if dim % m:
+        raise ValueError(f"train_pq_codebooks: dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    rows = (
+        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .orderBy("id").limit(sample_size).collect()
+    )
+    mat = np.asarray([r["v"] for r in rows], dtype=float)
+    if len(mat) < ksub:
+        raise ValueError(
+            f"train_pq_codebooks: sample has {len(mat)} vectors < ksub={ksub}")
+    books = np.empty((m, ksub, dsub))
+    rng = np.random.default_rng(seed)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        centers = [sub[rng.integers(len(sub))]]
+        for _ in range(1, ksub):
+            d2 = np.min(
+                np.stack([((sub - c) ** 2).sum(axis=1) for c in centers]),
+                axis=0)
+            probs = (d2 / d2.sum() if d2.sum() > 0
+                     else np.full(len(sub), 1 / len(sub)))
+            centers.append(sub[rng.choice(len(sub), p=probs)])
+        book = np.stack(centers)
+        for _ in range(n_iters):
+            d = ((sub[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    book[c] = members.mean(axis=0)
+                else:
+                    far = np.argmax(np.min(d, axis=1))
+                    book[c] = sub[far]
+        books[j] = book
+    return books
+
+
+def _pq_books_lit(books: np.ndarray):
+    """The (m, ksub, dsub) codebooks as ONE nested array literal — the
+    encode/LUT expressions iterate it with higher-order functions, so
+    the Catalyst plan holds one literal tree instead of m × ksub
+    separate aggregate nodes (plan analysis/codegen stays O(1) in the
+    codebook shape; only the literal payload grows)."""
+    return F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in w]) for w in book])
+        for book in books
+    ])
+
+
+def _pq_sub_sqdist(vec_name: str, j, w, dsub: int):
+    """Squared L2 from subvector j (j may be a Column — transform index)
+    to codeword array-column w, as a zip_with/aggregate fold."""
+    sub = F.slice(_as_double(vec_name), j * F.lit(dsub) + F.lit(1), F.lit(dsub))
+    return F.aggregate(
+        F.zip_with(sub, w, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode_col(vec_name: str, books: np.ndarray):
+    """PQ codes (array<int>, length m) for a corpus vector — per
+    subspace, the argmin-squared-L2 codeword (ties → lowest code, via
+    struct-min ordering). Small codebooks (m × ksub × dsub ≤ ~16k
+    literals) compile to one whole-stage-codegen'd expression — a
+    map-only pass, no shuffle, cross-engine deterministic with integer
+    codebooks. Larger codebooks switch to an Arrow-batched pandas UDF
+    doing one numpy distance matrix per (batch, subspace) — same
+    argmin/tie-break semantics (np.argmin takes the first minimum).
+    Null vectors encode to null (dropped by pq_topk's join)."""
+    m, ksub, dsub = books.shape
+    if books.size <= _PQ_EXPR_MAX_LITERALS:
+        # min by (d asc, code asc) == struct-max of (-d, -code): the max
+        # takes the smallest distance, ties resolve to the lowest code
+        codes = F.transform(
+            _pq_books_lit(books),
+            lambda book, j: (-F.array_max(F.transform(
+                book,
+                lambda w, c: F.struct(
+                    (-_pq_sub_sqdist(vec_name, j, w, dsub)).alias("negd"),
+                    (-c).alias("negc"))))["negc"]).cast("int"))
+        return F.when(_as_double(vec_name).isNotNull(), codes)
+
+    from pyspark.sql.functions import pandas_udf
+
+    dim = m * dsub
+    bks = np.ascontiguousarray(books)
+
+    @pandas_udf("array<int>")
+    def encode(batch: pd.Series) -> pd.Series:
+        mask = batch.map(lambda x: x is not None and len(x) == dim)
+        out = pd.Series([None] * len(batch), index=batch.index, dtype="object")
+        if mask.any():
+            mat = np.asarray([np.asarray(x, dtype=float) for x in batch[mask]])
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                sub = mat[:, j * dsub:(j + 1) * dsub]
+                d = ((sub[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d, axis=1)
+            # index-aligned assignment: a bare list of arrays trips
+            # pandas' masked length check
+            out[mask] = pd.Series([c.tolist() for c in codes],
+                                  index=out.index[mask])
+        return out
+
+    return encode(_as_double(vec_name))
+
+
+def pq_lut_col(vec_name: str, books: np.ndarray):
+    """Per-query ADC lookup table (array<array<double>>, shape
+    m × ksub): entry [j][c] is the squared L2 distance from the query's
+    j-th subvector to codeword c. Pure JVM expression; approximate
+    distance to a corpus row is then Σ_j LUT[j][code_j] — m array
+    lookups per row, never a dim-length dot product."""
+    m, ksub, dsub = books.shape
+    return F.transform(
+        _pq_books_lit(books),
+        lambda book, j: F.transform(
+            book, lambda w: _pq_sub_sqdist(vec_name, j, w, dsub)))
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
+            m: int = 8, ksub: int = 16, sample_size: int = 10_000,
+            seed: int = 42, id_col: str = "id", vec_col: str = "embedding",
+            codebooks=None) -> DataFrame:
+    """PQ/ADC approximate L2 top-k (Jégou et al. 2011): the corpus is
+    compressed to m sub-quantizer codes per vector; each query builds an
+    m × ksub lookup table once and every corpus row is scored with m
+    table lookups (asymmetric distance — the query side stays exact).
+
+    Scale shape: corpus encoding is a map-only JVM pass (no shuffle, and
+    at 10^12 rows the code table is what you PERSIST — m bytes/vector vs
+    4·dim, a 32× footprint cut at the default m=8, dim=64); the scored
+    join broadcasts the (small) query set with its lookup tables, so the
+    corpus is scanned once and never re-partitioned; the top-k is the
+    same two-stage (per-partition pre-top-k, then global) shape as
+    brute_force_topk, so the shuffle carries ≤ n_queries·k·n_partitions
+    rows. Unlike LSH/IVF there is no candidate pruning — every row is
+    scored through the compressed representation — so recall loss comes
+    only from quantization error; compose with the IVF cell filter for
+    the FAISS IVFADC shape when scan cost matters more than recall.
+
+    ``codebooks``: optional explicit (m, ksub, dim/m) values — pass
+    deterministic_int_codebooks(...) for a cross-engine-reproducible
+    index (the correctness-oracle path); default trains with
+    train_pq_codebooks. Returns (query_id, neighbor_id, adist, rank);
+    deterministic tie-break (adist asc, neighbor_id asc)."""
+    if dim % m:
+        raise ValueError(f"pq_topk: dim={dim} not divisible by m={m}")
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=float)
+    else:
+        books = train_pq_codebooks(corpus, dim, m, ksub,
+                                   sample_size=sample_size, seed=seed,
+                                   id_col=id_col, vec_col=vec_col)
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      pq_encode_col(vec_col, books).alias("codes"))
+        .filter(F.col("codes").isNotNull())
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       pq_lut_col(vec_col, books).alias("luts"))
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adist",
+            F.aggregate(
+                F.zip_with(F.col("codes"), F.col("luts"),
+                           lambda code, lut: F.element_at(lut, code + F.lit(1))),
+                F.lit(0.0), lambda acc, x: acc + x))
+        .select("query_id", "neighbor_id", "adist")
+    )
+    # single rank window: Spark's WindowGroupLimit (rank-limit pushdown)
+    # pre-trims each partition to top-k map-side BEFORE the Exchange, so
+    # the one shuffle carries ≤ n_queries·k·n_partitions rows — the
+    # two-stage manual pattern would just add a second Exchange
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

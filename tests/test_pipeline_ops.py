@@ -2207,3 +2207,95 @@ def test_connected_components_union_find_matches_iterative(spark):
     want = {(r["id"], r["component"])
             for r in connected_components(sdf, small_graph_edges=0).collect()}
     assert got == want
+
+
+def test_pq_topk_exact_when_codebook_contains_corpus(spark):
+    """PQ with m=1 and a codebook holding every distinct corpus vector
+    has zero quantization error, so the ADC ranking must equal the
+    exact L2 top-k (ties -> neighbor_id asc)."""
+    from deepchecks_spark.pipeline.similarity import pq_topk
+
+    rng = np.random.default_rng(11)
+    protos = rng.integers(-50, 50, size=(12, 8)).astype(float)
+    vecs = protos[[i % 12 for i in range(60)]]
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    queries = df.filter(F.col("id") < 5)
+    got = set(map(tuple, pq_topk(queries, df, dim=8, k=4, m=1, ksub=12,
+                                 codebooks=protos[None].transpose(1, 0, 2)
+                                 .reshape(1, 12, 8))
+                  .select("query_id", "neighbor_id", "rank").collect()))
+    want = set()
+    for qid in range(5):
+        d = ((vecs - vecs[qid]) ** 2).sum(axis=1)
+        order = sorted((float(d[n]), n) for n in range(60) if n != qid)
+        want |= {(qid, n, r + 1) for r, (_, n) in enumerate(order[:4])}
+    assert got == want
+
+
+def test_pq_encode_arrow_path_matches_expression(spark):
+    """The pandas-UDF encoder (large-codebook path) and the codegen'd
+    argmin expression must agree code-for-code, including ties and
+    null vectors."""
+    from deepchecks_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(5)
+    books = rng.standard_normal((2, 4, 3))
+    books[0, 2] = books[0, 1]  # duplicate codeword -> tie -> lowest code
+    vecs = rng.standard_normal((50, 6))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    expr = {r["id"]: r["c"] for r in df.select(
+        "id", sim.pq_encode_col("embedding", books).alias("c")).collect()}
+    old = sim._PQ_EXPR_MAX_LITERALS
+    sim._PQ_EXPR_MAX_LITERALS = 0
+    try:
+        arrow = {r["id"]: (None if r["c"] is None else list(r["c"]))
+                 for r in df.select(
+                     "id", sim.pq_encode_col("embedding", books).alias("c"))
+                 .collect()}
+    finally:
+        sim._PQ_EXPR_MAX_LITERALS = old
+    assert {k: (None if v is None else list(v)) for k, v in expr.items()} == arrow
+    assert arrow[99] is None
+    # the tied codeword pair never emits code 2 (first-minimum tie-break)
+    assert all(v[0] != 2 for v in arrow.values() if v is not None)
+
+
+def test_pq_topk_trained_recall_on_clustered_data(spark):
+    """Trained codebooks on well-separated clusters: quantization error
+    is small vs cluster separation, so ADC recovers the exact L2 top-3
+    in full."""
+    from deepchecks_spark.pipeline.similarity import pq_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = df.selectExpr(
+        "vec_id",
+        "transform(sequence(0, 15), d -> CAST((CASE WHEN d = CAST(vec_id % 10 AS INT) "
+        "THEN 40 ELSE 2 END) + ((vec_id * 7 + d * 13) % 5) - 2 AS DOUBLE)) AS embedding",
+    )
+    rows = {r["vec_id"]: np.asarray(r["embedding"])
+            for r in df.collect()}
+    queries = df.filter(F.col("vec_id") < 10)
+    got = set(map(tuple, pq_topk(queries, df, dim=16, k=3, m=4, ksub=10,
+                                 id_col="vec_id", sample_size=1000)
+                  .select("query_id", "neighbor_id").collect()))
+    want = set()
+    for qid in range(10):
+        order = sorted((float(((v - rows[qid]) ** 2).sum()), n)
+                       for n, v in rows.items() if n != qid)
+        want |= {(qid, n) for _, n in order[:3]}
+    assert got == want
+
+
+def test_train_pq_codebooks_deterministic(spark):
+    from deepchecks_spark.pipeline.similarity import train_pq_codebooks
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = train_pq_codebooks(df, dim=64, m=4, ksub=8, id_col="vec_id",
+                           vec_col="embedding", sample_size=500)
+    b = train_pq_codebooks(df, dim=64, m=4, ksub=8, id_col="vec_id",
+                           vec_col="embedding", sample_size=500)
+    assert a.shape == (4, 8, 16)
+    assert np.array_equal(a, b)

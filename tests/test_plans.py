@@ -800,3 +800,23 @@ def test_extract_page_metadata_is_shuffle_free_projection(spark):
     plan = _plan(extract_page_metadata(df, "html", keep_cols=["doc_id"]))
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_pq_topk_mapside_encode_broadcast_queries_single_shuffle(spark):
+    """PQ/ADC: corpus code assignment is a map-only codegen'd expression
+    (no Exchange before the scored join), the query set with its lookup
+    tables is the broadcast side, and the only hash shuffle is the
+    global top-k window — pre-trimmed map-side by the two-stage local
+    top-k (spark_partition_id window needs no Exchange)."""
+    from deepchecks_spark.pipeline.similarity import (
+        deterministic_int_codebooks,
+        pq_topk,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = deterministic_int_codebooks(m=4, ksub=4, dsub=16)
+    out = pq_topk(df.filter(F.col("vec_id") < 5), df, dim=64, k=3,
+                  m=4, ksub=4, id_col="vec_id", codebooks=books)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
