@@ -152,12 +152,15 @@ def bench_pq(spark):
     # that stage's cross-round timings stay like-for-like.
     from pyspark.sql import functions as F
 
-    from deepchecks_spark.pipeline.similarity import pq_topk
+    from deepchecks_spark.pipeline.similarity import ivfadc_topk, pq_topk
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 50)
     pq_topk(queries, emb, dim=64, k=10, m=8, ksub=16,
             id_col="vec_id").count()
+    # the composed two-level index (IVF pruning + PQ scoring)
+    ivfadc_topk(queries, emb, dim=64, k=10, nlist=16, nprobe=2,
+                m=8, ksub=16, id_col="vec_id").count()
     return emb.count()
 
 

@@ -1274,6 +1274,94 @@ def o_pq_topk_embeddings():
 
 
 
+def q_ivfadc_topk_embeddings(spark, sf_dir):
+    """Cross-engine-deterministic IVFADC top-k: integer LCG coarse
+    centroids prune the scan to each query's nprobe nearest cells, and
+    integer LCG PQ codebooks score the survivors through ADC lookup
+    tables — every dot product, squared distance and m-term ADC sum is
+    IEEE-exact in doubles, so DuckDB reproduces the exact cell
+    assignment, probe order, code assignment and ranking. The composed
+    two-level approximate index is under the value-hash."""
+    from deepchecks_spark.pipeline.similarity import (
+        deterministic_int_centroids,
+        deterministic_int_codebooks,
+        ivfadc_topk,
+    )
+
+    cents = deterministic_int_centroids(nlist=8, dim=64)
+    books = deterministic_int_codebooks(m=4, ksub=8, dsub=16)
+    df = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS DOUBLE)) AS embedding",
+    )
+    queries = df.filter(F.col("vec_id") < 10)
+    return ivfadc_topk(queries, df, dim=64, k=5, nlist=8, nprobe=3,
+                       m=4, ksub=8, id_col="vec_id", centroids=cents,
+                       codebooks=books).select("query_id", "neighbor_id", "rank")
+
+
+def o_ivfadc_topk_embeddings():
+    from deepchecks_spark.pipeline.similarity import (
+        deterministic_int_centroids,
+        deterministic_int_codebooks,
+    )
+
+    cents = deterministic_int_centroids(nlist=8, dim=64)
+    books = deterministic_int_codebooks(m=4, ksub=8, dsub=16)
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {c} AS cell, CAST({list(vals)} AS DOUBLE[]) AS ce"
+        for c, vals in enumerate(cents)
+    )
+    cw_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {c} AS c, CAST({list(w)} AS DOUBLE[]) AS w"
+        for j, book in enumerate(books) for c, w in enumerate(book)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS DOUBLE)) e
+               FROM embeddings),
+         cent AS ({cent_rows}),
+         cscores AS (SELECT v.vec_id, cent.cell, list_dot_product(v.e, cent.ce) s
+                     FROM v CROSS JOIN cent),
+         assign AS (SELECT vec_id, cell FROM
+                      (SELECT vec_id, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY s DESC, cell ASC) r
+                       FROM cscores) WHERE r = 1),
+         probes AS (SELECT vec_id, cell FROM
+                      (SELECT vec_id, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY s DESC, cell ASC) r
+                       FROM cscores WHERE vec_id < 10) WHERE r <= 3),
+         cw AS ({cw_rows}),
+         dists AS (SELECT v.vec_id, cw.j, cw.c,
+                          e[(cw.j * 16 + 1):(cw.j * 16 + 16)] AS s,
+                          list_dot_product(s, s) - 2 * list_dot_product(s, w)
+                            + list_dot_product(w, w) AS d
+                   FROM v CROSS JOIN cw),
+         codes AS (SELECT vec_id, j, c FROM
+                     (SELECT vec_id, j, c,
+                             row_number() OVER (PARTITION BY vec_id, j
+                                                ORDER BY d ASC, c ASC) r
+                      FROM dists) WHERE r = 1),
+         cand AS (SELECT p.vec_id AS qid, a.vec_id AS nid
+                  FROM probes p JOIN assign a ON p.cell = a.cell
+                  WHERE p.vec_id != a.vec_id),
+         qd AS (SELECT vec_id AS qid, j, c, d FROM dists WHERE vec_id < 10),
+         adist AS (SELECT cand.qid, cand.nid, SUM(qd.d) AS a
+                   FROM cand
+                   JOIN codes ON codes.vec_id = cand.nid
+                   JOIN qd ON qd.qid = cand.qid AND qd.j = codes.j AND qd.c = codes.c
+                   GROUP BY 1, 2),
+         ranked AS (SELECT qid, nid,
+                           row_number() OVER (PARTITION BY qid ORDER BY a ASC, nid ASC) r
+                    FROM adist)
+    SELECT qid::BIGINT AS query_id, nid::BIGINT AS neighbor_id, r::BIGINT AS rank
+    FROM ranked WHERE r <= 5
+    """
+
+
+
 def q_language_id_documents(spark, sf_dir):
     from deepchecks_spark.pipeline.textstats import language_id
 
@@ -5794,7 +5882,7 @@ QUERIES = {
     "extract_links_documents": q_extract_links_documents,
     "host_edges_documents": q_host_edges_documents,
     "pagerank_documents": q_pagerank_documents,
-    "linkgraph_documents": q_linkgraph_documents,
+    "ivfadc_topk_embeddings": q_ivfadc_topk_embeddings,
     "ece_embeddings": q_ece_embeddings,
     "label_noise_embeddings": q_label_noise_embeddings,
     "embedding_drift_embeddings": q_embedding_drift_embeddings,
@@ -5865,6 +5953,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "heavy_hitters_events": q_heavy_hitters_events,
     "skew_profile_orders": q_skew_profile_orders,
+    "linkgraph_documents": q_linkgraph_documents,
     "embedding_drift_ts_embeddings": q_embedding_drift_ts_embeddings,
     # entries below rotate just outside the driver's 50-query window —
     # all remain locked by the identical local oracle gate
@@ -6053,6 +6142,7 @@ ORACLES = {
         o_simple_model_comparison_strategies_embeddings(),
     "ivf_topk_embeddings": o_ivf_topk_embeddings(),
     "pq_topk_embeddings": o_pq_topk_embeddings(),
+    "ivfadc_topk_embeddings": o_ivfadc_topk_embeddings(),
     "performance_bias_orders": o_performance_bias_orders(),
     "multi_model_embeddings": o_multi_model_embeddings(),
     "streaming_newcat_events": o_streaming_newcat_events(),

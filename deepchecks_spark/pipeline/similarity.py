@@ -802,3 +802,72 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
         F.asc("adist"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivfadc_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
+                nlist: int = 64, nprobe: int = 4, m: int = 8, ksub: int = 16,
+                sample_size: int = 10_000, seed: int = 42,
+                id_col: str = "id", vec_col: str = "embedding",
+                centroids=None, codebooks=None) -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFADC shape, non-residual variant —
+    FAISS ``by_residual=False``): the coarse quantizer prunes the scan
+    to each query's ``nprobe`` nearest cells, and within those cells
+    rows are scored through the PQ codes with the query's ADC lookup
+    table — the index that makes 10^12-row ANN tractable on BOTH axes
+    at once (scan cost via IVF, memory via PQ: cell id + m codes per
+    vector, no raw floats at query time).
+
+    Scale shape: ONE map-only corpus pass computes (cell, codes) — no
+    shuffle, and that pair is what a production index PERSISTS; the
+    probe is a broadcast equi-join on cell (AQE-skew-splittable), so
+    each corpus row is scored only against the queries probing its
+    cell, with m array lookups per (row, query); the top-k is a single
+    WindowGroupLimit-pushdown rank shuffle. With nprobe = nlist the
+    candidate set is the full corpus and the result equals pq_topk
+    exactly (pruning off, compression on).
+
+    ``centroids`` / ``codebooks``: optional explicit values — pass the
+    deterministic_int_* builders for a cross-engine-reproducible index
+    (the correctness-oracle path); defaults train both on the same
+    bounded sample convention. Returns (query_id, neighbor_id, adist,
+    rank); deterministic tie-break (adist asc, neighbor_id asc)."""
+    if dim % m:
+        raise ValueError(f"ivfadc_topk: dim={dim} not divisible by m={m}")
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=float)
+    else:
+        cents = train_ivf_centroids(corpus, nlist, sample_size=sample_size,
+                                    seed=seed, id_col=id_col, vec_col=vec_col)
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=float)
+    else:
+        books = train_pq_codebooks(corpus, dim, m, ksub,
+                                   sample_size=sample_size, seed=seed,
+                                   id_col=id_col, vec_col=vec_col)
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      ivf_assign_col(vec_col, cents).alias("cell"),
+                      pq_encode_col(vec_col, books).alias("codes"))
+        .filter(F.col("codes").isNotNull())
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       pq_lut_col(vec_col, books).alias("luts"),
+                       F.explode(ivf_probe_cells_col(vec_col, cents, nprobe))
+                       .alias("cell"))
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adist",
+            F.aggregate(
+                F.zip_with(F.col("codes"), F.col("luts"),
+                           lambda code, lut: F.element_at(lut, code + F.lit(1))),
+                F.lit(0.0), lambda acc, x: acc + x))
+        .select("query_id", "neighbor_id", "adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

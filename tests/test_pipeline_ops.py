@@ -2299,3 +2299,55 @@ def test_train_pq_codebooks_deterministic(spark):
                            vec_col="embedding", sample_size=500)
     assert a.shape == (4, 8, 16)
     assert np.array_equal(a, b)
+
+
+def test_ivfadc_full_probe_matches_pq(spark):
+    """With nprobe = nlist the IVF pruning is off, so IVFADC must equal
+    pq_topk exactly (same codebooks -> same ADC ranking)."""
+    from deepchecks_spark.pipeline.similarity import (
+        deterministic_int_centroids,
+        deterministic_int_codebooks,
+        ivfadc_topk,
+        pq_topk,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = df.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS DOUBLE)) AS embedding")
+    queries = df.filter(F.col("vec_id") < 5)
+    books = deterministic_int_codebooks(m=4, ksub=8, dsub=16)
+    cents = deterministic_int_centroids(nlist=4, dim=64)
+    want = set(map(tuple, pq_topk(queries, df, dim=64, k=3, m=4, ksub=8,
+                                  id_col="vec_id", codebooks=books)
+                   .select("query_id", "neighbor_id", "rank").collect()))
+    got = set(map(tuple, ivfadc_topk(queries, df, dim=64, k=3, nlist=4,
+                                     nprobe=4, m=4, ksub=8, id_col="vec_id",
+                                     centroids=cents, codebooks=books)
+                  .select("query_id", "neighbor_id", "rank").collect()))
+    assert got == want and len(got) == 15
+
+
+def test_ivfadc_trained_recall_on_clustered_data(spark):
+    """Trained quantizer + codebooks on well-separated clusters: a small
+    nprobe plus compressed scoring still recovers the exact L2 top-3."""
+    from deepchecks_spark.pipeline.similarity import ivfadc_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = df.selectExpr(
+        "vec_id",
+        "transform(sequence(0, 15), d -> CAST((CASE WHEN d = CAST(vec_id % 10 AS INT) "
+        "THEN 40 ELSE 2 END) + ((vec_id * 7 + d * 13) % 5) - 2 AS DOUBLE)) AS embedding",
+    )
+    rows = {r["vec_id"]: np.asarray(r["embedding"]) for r in df.collect()}
+    queries = df.filter(F.col("vec_id") < 10)
+    got = set(map(tuple, ivfadc_topk(queries, df, dim=16, k=3, nlist=10,
+                                     nprobe=2, m=4, ksub=10, id_col="vec_id",
+                                     sample_size=1000)
+                  .select("query_id", "neighbor_id").collect()))
+    want = set()
+    for qid in range(10):
+        order = sorted((float(((v - rows[qid]) ** 2).sum()), n)
+                       for n, v in rows.items() if n != qid)
+        want |= {(qid, n) for _, n in order[:3]}
+    assert got == want

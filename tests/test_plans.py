@@ -820,3 +820,25 @@ def test_pq_topk_mapside_encode_broadcast_queries_single_shuffle(spark):
     plan = _plan(out)
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivfadc_mapside_index_broadcast_probe_single_shuffle(spark):
+    """IVFADC: (cell, codes) come from ONE map-only corpus pass (no
+    Exchange before the probe join), the exploded query set with its
+    lookup tables is the broadcast build side, and the only hash
+    shuffle is the WindowGroupLimit-pushdown rank window."""
+    from deepchecks_spark.pipeline.similarity import (
+        deterministic_int_centroids,
+        deterministic_int_codebooks,
+        ivfadc_topk,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ivfadc_topk(df.filter(F.col("vec_id") < 5), df, dim=64, k=3,
+                      nlist=4, nprobe=2, m=4, ksub=4, id_col="vec_id",
+                      centroids=deterministic_int_centroids(nlist=4, dim=64),
+                      codebooks=deterministic_int_codebooks(m=4, ksub=4, dsub=16))
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
