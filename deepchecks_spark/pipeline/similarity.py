@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 
 def _as_double(col):
-    return F.col(col).cast("array<double>")
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
 
 
 def _dot(a, b):
@@ -622,13 +623,22 @@ def train_pq_codebooks(df: DataFrame, dim: int, m: int, ksub: int,
     re-seed from the farthest point. Returns (m, ksub, dim//m)."""
     if dim % m:
         raise ValueError(f"train_pq_codebooks: dim={dim} not divisible by m={m}")
-    dsub = dim // m
     rows = (
         df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
         .filter(F.col("v").isNotNull())
         .orderBy("id").limit(sample_size).collect()
     )
     mat = np.asarray([r["v"] for r in rows], dtype=float)
+    return _fit_pq_books(mat, m, ksub, n_iters=n_iters, seed=seed)
+
+
+def _fit_pq_books(mat: np.ndarray, m: int, ksub: int, n_iters: int = 10,
+                  seed: int = 42) -> np.ndarray:
+    """Per-subspace L2 Lloyd k-means on an in-memory training matrix —
+    the driver-side core of train_pq_codebooks, split out so the
+    residual path (ivfadc_topk by_residual=True) can fit codebooks on
+    (vector − centroid) residuals from the same bounded sample."""
+    dsub = mat.shape[1] // m
     if len(mat) < ksub:
         raise ValueError(
             f"train_pq_codebooks: sample has {len(mat)} vectors < ksub={ksub}")
@@ -780,9 +790,12 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
                       pq_encode_col(vec_col, books).alias("codes"))
         .filter(F.col("codes").isNotNull())
     )
+    # null query vectors would yield NULL adist (ranked FIRST under the
+    # ascending window) — drop them before the LUT build
     q = (
-        queries.select(F.col(id_col).alias("query_id"),
-                       pq_lut_col(vec_col, books).alias("luts"))
+        queries.filter(_as_double(vec_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"),
+                pq_lut_col(vec_col, books).alias("luts"))
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
@@ -808,14 +821,26 @@ def ivfadc_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
                 nlist: int = 64, nprobe: int = 4, m: int = 8, ksub: int = 16,
                 sample_size: int = 10_000, seed: int = 42,
                 id_col: str = "id", vec_col: str = "embedding",
-                centroids=None, codebooks=None) -> DataFrame:
-    """IVF + PQ composed (the FAISS IVFADC shape, non-residual variant —
-    FAISS ``by_residual=False``): the coarse quantizer prunes the scan
-    to each query's ``nprobe`` nearest cells, and within those cells
-    rows are scored through the PQ codes with the query's ADC lookup
-    table — the index that makes 10^12-row ANN tractable on BOTH axes
-    at once (scan cost via IVF, memory via PQ: cell id + m codes per
-    vector, no raw floats at query time).
+                centroids=None, codebooks=None,
+                by_residual: bool = False) -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFADC shape): the coarse quantizer
+    prunes the scan to each query's ``nprobe`` nearest cells, and within
+    those cells rows are scored through the PQ codes with the query's
+    ADC lookup table — the index that makes 10^12-row ANN tractable on
+    BOTH axes at once (scan cost via IVF, memory via PQ: cell id + m
+    codes per vector, no raw floats at query time).
+
+    ``by_residual=True`` (the FAISS default) PQ-encodes the RESIDUAL
+    (vector − its cell centroid) instead of the raw vector: residual
+    magnitudes are much smaller than vector magnitudes on clustered
+    data, so the same codebook budget spends its resolution where the
+    information is. The query side then builds one lookup table PER
+    PROBED CELL from (query − that centroid) — still a broadcast-side
+    expression (the query explode already carries the cell), and the
+    corpus side's residual is one zip_with against the centroid literal
+    looked up by its own cell id: the corpus pass stays map-only.
+    Codebooks (when not supplied) are fitted on residuals of the same
+    bounded sample, matching FAISS's training protocol.
 
     Scale shape: ONE map-only corpus pass computes (cell, codes) — no
     shuffle, and that pair is what a production index PERSISTS; the
@@ -840,22 +865,63 @@ def ivfadc_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
                                     seed=seed, id_col=id_col, vec_col=vec_col)
     if codebooks is not None:
         books = np.asarray(codebooks, dtype=float)
+    elif by_residual:
+        # fit the codebooks on residuals of the same bounded sample —
+        # spherical assignment (max dot), matching ivf_assign_col
+        rows = (
+            corpus.select(F.col(id_col).alias("id"),
+                          _as_double(vec_col).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .orderBy("id").limit(sample_size).collect()
+        )
+        mat = np.asarray([r["v"] for r in rows], dtype=float)
+        assign = np.argmax(mat @ cents.T, axis=1)
+        books = _fit_pq_books(mat - cents[assign], m, ksub, seed=seed)
     else:
         books = train_pq_codebooks(corpus, dim, m, ksub,
                                    sample_size=sample_size, seed=seed,
                                    id_col=id_col, vec_col=vec_col)
-    c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"),
-                      ivf_assign_col(vec_col, cents).alias("cell"),
-                      pq_encode_col(vec_col, books).alias("codes"))
-        .filter(F.col("codes").isNotNull())
-    )
-    q = (
-        queries.select(F.col(id_col).alias("query_id"),
-                       pq_lut_col(vec_col, books).alias("luts"),
-                       F.explode(ivf_probe_cells_col(vec_col, cents, nprobe))
-                       .alias("cell"))
-    )
+    if by_residual:
+        cents_lit = F.array(*[
+            F.array(*[F.lit(float(x)) for x in cc]) for cc in cents])
+
+        def _residual(vcol):
+            return F.zip_with(
+                _as_double(vcol),
+                F.element_at(cents_lit, F.col("cell") + F.lit(1)),
+                lambda x, y: x - y)
+
+        c = (
+            corpus.select(F.col(id_col).alias("neighbor_id"),
+                          _as_double(vec_col).alias("__v"),
+                          ivf_assign_col(vec_col, cents).alias("cell"))
+            .select("neighbor_id", "cell",
+                    pq_encode_col(_residual("__v"), books).alias("codes"))
+            .filter(F.col("codes").isNotNull())
+        )
+        q = (
+            queries.filter(_as_double(vec_col).isNotNull())
+            .select(F.col(id_col).alias("query_id"),
+                    _as_double(vec_col).alias("__v"),
+                    F.explode(ivf_probe_cells_col(vec_col, cents,
+                                                  nprobe)).alias("cell"))
+            .select("query_id", "cell",
+                    pq_lut_col(_residual("__v"), books).alias("luts"))
+        )
+    else:
+        c = (
+            corpus.select(F.col(id_col).alias("neighbor_id"),
+                          ivf_assign_col(vec_col, cents).alias("cell"),
+                          pq_encode_col(vec_col, books).alias("codes"))
+            .filter(F.col("codes").isNotNull())
+        )
+        q = (
+            queries.filter(_as_double(vec_col).isNotNull())
+            .select(F.col(id_col).alias("query_id"),
+                    pq_lut_col(vec_col, books).alias("luts"),
+                    F.explode(ivf_probe_cells_col(vec_col, cents,
+                                                  nprobe)).alias("cell"))
+        )
     scored = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

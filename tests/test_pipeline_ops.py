@@ -2351,3 +2351,74 @@ def test_ivfadc_trained_recall_on_clustered_data(spark):
                        for n, v in rows.items() if n != qid)
         want |= {(qid, n) for _, n in order[:3]}
     assert got == want
+
+
+def test_ivfadc_residual_with_zero_centroid_matches_pq(spark):
+    """With a single all-zero centroid the residual IS the raw vector,
+    so by_residual=True must reproduce pq_topk exactly (same explicit
+    codebooks, pruning off at nlist=1)."""
+    from deepchecks_spark.pipeline.similarity import (
+        deterministic_int_codebooks,
+        ivfadc_topk,
+        pq_topk,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = df.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS DOUBLE)) AS embedding")
+    queries = df.filter(F.col("vec_id") < 5)
+    books = deterministic_int_codebooks(m=4, ksub=8, dsub=16)
+    want = set(map(tuple, pq_topk(queries, df, dim=64, k=3, m=4, ksub=8,
+                                  id_col="vec_id", codebooks=books)
+                   .select("query_id", "neighbor_id", "rank").collect()))
+    got = set(map(tuple, ivfadc_topk(queries, df, dim=64, k=3, nlist=1,
+                                     nprobe=1, m=4, ksub=8, id_col="vec_id",
+                                     centroids=[[0] * 64], codebooks=books,
+                                     by_residual=True)
+                  .select("query_id", "neighbor_id", "rank").collect()))
+    assert got == want and len(got) == 15
+
+
+def test_ivfadc_residual_trained_recall_on_clustered_data(spark):
+    """Residual encoding (the FAISS default) on well-separated clusters:
+    codebooks fitted on (vector - centroid) residuals still recover the
+    exact L2 top-3 at a small nprobe."""
+    from deepchecks_spark.pipeline.similarity import ivfadc_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = df.selectExpr(
+        "vec_id",
+        "transform(sequence(0, 15), d -> CAST((CASE WHEN d = CAST(vec_id % 10 AS INT) "
+        "THEN 40 ELSE 2 END) + ((vec_id * 7 + d * 13) % 5) - 2 AS DOUBLE)) AS embedding",
+    )
+    rows = {r["vec_id"]: np.asarray(r["embedding"]) for r in df.collect()}
+    queries = df.filter(F.col("vec_id") < 10)
+    got = set(map(tuple, ivfadc_topk(queries, df, dim=16, k=3, nlist=10,
+                                     nprobe=2, m=4, ksub=10, id_col="vec_id",
+                                     sample_size=1000, by_residual=True)
+                  .select("query_id", "neighbor_id").collect()))
+    want = set()
+    for qid in range(10):
+        order = sorted((float(((v - rows[qid]) ** 2).sum()), n)
+                       for n, v in rows.items() if n != qid)
+        want |= {(qid, n) for _, n in order[:3]}
+    assert got == want
+
+
+def test_pq_topk_null_query_vectors_are_dropped(spark):
+    """A NULL query vector must be dropped, not ranked: its adist would
+    be NULL and the ascending rank window sorts NULLS FIRST."""
+    from deepchecks_spark.pipeline.similarity import (
+        deterministic_int_codebooks,
+        pq_topk,
+    )
+
+    rows = [(i, [float((i * 7 + d) % 11) for d in range(8)]) for i in range(20)]
+    rows.append((100, None))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    books = deterministic_int_codebooks(m=2, ksub=4, dsub=4)
+    out = pq_topk(df.filter(F.col("id").isin(0, 100)), df, dim=8, k=3,
+                  m=2, ksub=4, codebooks=books).collect()
+    assert {r["query_id"] for r in out} == {0}
+    assert all(r["adist"] is not None for r in out)
