@@ -3711,6 +3711,47 @@ def o_partitioned_bloom_dedup_documents():
     return o_incremental_dedup_documents()
 
 
+def q_incremental_minhash_documents(spark, sf_dir):
+    """Incremental NEAR-dup dedup of a new crawl against a persisted
+    corpus signature index (pipeline/dedup.py::
+    incremental_minhash_candidates, broadcast_batch scale path: the
+    corpus side is never shuffle-joined). Split on (doc_id div 10) % 2
+    so the planted-duplicate groups (doc_id ≡ 7 mod 10) land on BOTH
+    sides; every batch planted doc has identical text to some corpus
+    doc ⇒ identical signature ⇒ every band collides and est_jaccard is
+    exactly 1 ≥ 0.999 — recall is 1 by construction. Output restricted
+    to text-equal pairs, which DuckDB reproduces with a plain join."""
+    from deepchecks_spark.pipeline.dedup import (
+        incremental_minhash_candidates,
+        minhash_signatures,
+    )
+
+    docs = _planted_docs(spark, sf_dir)
+    half = (F.col("doc_id") / 10).cast("long") % 2
+    corpus = docs.filter(half == 0)
+    batch = docs.filter(half == 1)
+    sigs = minhash_signatures(corpus, "doc_id", "text")
+    cand = incremental_minhash_candidates(
+        batch, sigs, "doc_id", "text", threshold=0.999, broadcast_batch=True)
+    bt = batch.select(F.col("doc_id").alias("batch_id"), F.col("text").alias("__tb"))
+    ct = corpus.select(F.col("doc_id").alias("corpus_id"), F.col("text").alias("__tc"))
+    return (
+        cand.join(bt, "batch_id").join(ct, "corpus_id")
+        .filter(F.col("__tb") == F.col("__tc"))
+        .select("batch_id", "corpus_id")
+    )
+
+
+def o_incremental_minhash_documents():
+    return f"""
+    WITH d AS (SELECT doc_id, {_DUCK_PLANTED_DUP} AS text FROM documents),
+         c AS (SELECT doc_id, text FROM d WHERE (doc_id // 10) % 2 = 0),
+         b AS (SELECT doc_id, text FROM d WHERE (doc_id // 10) % 2 = 1)
+    SELECT b.doc_id::BIGINT AS batch_id, c.doc_id::BIGINT AS corpus_id
+    FROM b JOIN c ON b.text = c.text
+    """
+
+
 def q_group_split_documents(spark, sf_dir):
     """Leakage-safe group-granular train/test split: every document of
     a source lands on one side (GroupShuffleSplit semantics —
@@ -5932,6 +5973,7 @@ QUERIES = {
     # (streaming_performance_events rotated just below: its streaming
     # siblings dedup/newcat/psi cover the family inside the window)
     "streaming_performance_events": q_streaming_performance_events,
+    "incremental_minhash_documents": q_incremental_minhash_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
@@ -6147,6 +6189,7 @@ ORACLES = {
     "multi_model_embeddings": o_multi_model_embeddings(),
     "streaming_newcat_events": o_streaming_newcat_events(),
     "streaming_performance_events": o_streaming_performance_events(),
+    "incremental_minhash_documents": o_incremental_minhash_documents(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),
     # round-5: Gopher-style repetition signals + cross-corpus chunk dedup
     "domain_profile_documents": o_domain_profile_documents(),

@@ -185,20 +185,20 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return sig.select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
-def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
-                           num_hashes: int = 64, bands: int = 16,
-                           shingle_words: int = 3) -> DataFrame:
-    """Candidate near-duplicate pairs via banded LSH on MinHash signatures.
+def signature_band_entries(sig: DataFrame, id_col: str,
+                           num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """(id, band, bucket) banded-LSH entries from a (id, signature
+    array<long>) table — one map-only explode, no shuffle.
 
-    rows_per_band = num_hashes / bands; docs sharing any band bucket
-    become a candidate pair. The bucket join shuffles only
-    (band, bucket_hash, id) tuples; hot buckets (boilerplate pages) are
-    the skew risk — AQE skew-join splitting applies on the self-join.
-    Returns (id_a, id_b, n_shared_bands).
+    This is the representation a production near-dup index PERSISTS
+    (bucket-partitioned parquet): a 10^12-doc corpus is signed and
+    banded ONCE, and every subsequent crawl joins its own (tiny) band
+    entries against the stored table instead of re-reading corpus
+    text. ``bucket`` hashes the band's signature slice to 8 bytes, so
+    a persisted entry is (id, int, long) regardless of shingle width.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_words)
-    band_entries = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -214,6 +214,21 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
             )
         ).alias("bb"),
     ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 64, bands: int = 16,
+                           shingle_words: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH on MinHash signatures.
+
+    rows_per_band = num_hashes / bands; docs sharing any band bucket
+    become a candidate pair. The bucket join shuffles only
+    (band, bucket_hash, id) tuples; hot buckets (boilerplate pages) are
+    the skew risk — AQE skew-join splitting applies on the self-join.
+    Returns (id_a, id_b, n_shared_bands).
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_words)
+    band_entries = signature_band_entries(sig, id_col, num_hashes, bands)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     pairs = (
@@ -257,6 +272,87 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_minhash_candidates(batch: DataFrame, corpus_sigs: DataFrame,
+                                   id_col: str, text_col: str,
+                                   num_hashes: int = 64, bands: int = 16,
+                                   shingle_words: int = 3,
+                                   threshold: float = 0.7,
+                                   broadcast_batch: bool = False) -> DataFrame:
+    """NEAR-duplicate matches of a new crawl batch against an already-
+    signed corpus — the incremental twin of minhash_lsh_candidates,
+    taking the corpus as its persisted ``(id, signature)`` table (from
+    minhash_signatures; see signature_band_entries for why an index
+    stores signatures, not text).
+
+    Returns (batch_id, corpus_id, est_jaccard): banded-LSH collisions
+    verified by the SIGNATURE-AGREEMENT Jaccard estimate — the fraction
+    of equal minhash positions, an unbiased estimator of shingle
+    Jaccard (Broder 1997) with std ≤ 1/(2·sqrt(num_hashes)) — filtered
+    to ``est_jaccard >= threshold``. Verification never touches corpus
+    text: the only corpus bytes read are the 8·num_hashes-byte
+    signatures, which is what makes the per-dump cost O(batch), not
+    O(corpus).
+
+    Scale shape: the corpus side is banded map-only (explode, no
+    shuffle). With ``broadcast_batch=True`` (a daily dump vs a 10^12-doc
+    index) the batch band entries AND the candidate set broadcast, so
+    the corpus table is only ever SCANNED — zero corpus shuffle; with
+    the default, the bucket equi-join shuffles (band, bucket, id)
+    tuples, never signatures or text, and AQE picks the strategy.
+    """
+    bsig = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_words)
+    b_entries = (signature_band_entries(bsig, id_col, num_hashes, bands)
+                 .withColumnRenamed(id_col, "batch_id"))
+    c_entries = (signature_band_entries(corpus_sigs, id_col, num_hashes, bands)
+                 .withColumnRenamed(id_col, "corpus_id"))
+    if broadcast_batch:
+        b_entries = F.broadcast(b_entries)
+    cand = (
+        c_entries.join(b_entries, ["band", "bucket"])
+        .select("batch_id", "corpus_id").distinct()
+    )
+    bs = bsig.select(F.col(id_col).alias("batch_id"), F.col("signature").alias("__sa"))
+    cs = corpus_sigs.select(F.col(id_col).alias("corpus_id"),
+                            F.col("signature").alias("__sb"))
+    if broadcast_batch:
+        # candidates descend from the broadcast batch — broadcast them
+        # into the corpus-signature scan too, keeping it map-only
+        verified = cs.join(F.broadcast(cand), "corpus_id").join(F.broadcast(bs), "batch_id")
+    else:
+        verified = cand.join(cs, "corpus_id").join(bs, "batch_id")
+    est = (
+        F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y),
+                        lambda m: m))
+        / F.lit(float(num_hashes))
+    )
+    return (
+        verified.select("batch_id", "corpus_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def incremental_minhash_dedup(batch: DataFrame, corpus_sigs: DataFrame,
+                              id_col: str, text_col: str,
+                              num_hashes: int = 64, bands: int = 16,
+                              shingle_words: int = 3,
+                              threshold: float = 0.7,
+                              broadcast_batch: bool = False) -> DataFrame:
+    """Batch rows that are NOT near-duplicates of any already-indexed
+    corpus doc (left-anti on incremental_minhash_candidates' flagged
+    batch ids). Within-batch near-dups are intentionally left to the
+    existing composition (minhash_near_duplicates → connected_components
+    → deduplicate_by_pairs) so each stage stays separately testable;
+    appending the survivors' signatures to the index then makes the
+    next dump's run idempotent."""
+    flagged = (
+        incremental_minhash_candidates(
+            batch, corpus_sigs, id_col, text_col, num_hashes, bands,
+            shingle_words, threshold, broadcast_batch)
+        .select(F.col("batch_id").alias(id_col)).distinct()
+    )
+    return batch.join(flagged, id_col, "left_anti")
 
 
 def brute_force_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -2422,3 +2422,86 @@ def test_pq_topk_null_query_vectors_are_dropped(spark):
                   m=2, ksub=4, codebooks=books).collect()
     assert {r["query_id"] for r in out} == {0}
     assert all(r["adist"] is not None for r in out)
+
+
+def test_incremental_minhash_flags_exact_and_near_corpus_dups(spark):
+    from deepchecks_spark.pipeline.dedup import (
+        incremental_minhash_candidates,
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far away "
+            "into the deep dark forest to find some food for the long cold winter")
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, "completely different corpus text about spark distributed plans"),
+         (3, "planted duplicate corpus segment alpha beta gamma delta epsilon")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "planted duplicate corpus segment alpha beta gamma delta epsilon"),
+         (11, base.replace("lazy", "sleepy")),
+         (12, "a genuinely fresh document with no counterpart in the index at all")],
+        "doc_id long, text string")
+    sigs = minhash_signatures(corpus, "doc_id", "text")
+    cand = incremental_minhash_candidates(batch, sigs, "doc_id", "text",
+                                          threshold=0.5)
+    by_batch = {r["batch_id"]: r for r in cand.collect()}
+    assert by_batch[10]["corpus_id"] == 3
+    assert by_batch[10]["est_jaccard"] == 1.0   # identical text → identical signature
+    assert by_batch[11]["corpus_id"] == 1
+    assert 0.5 <= by_batch[11]["est_jaccard"] < 1.0
+    assert 12 not in by_batch
+    surv = incremental_minhash_dedup(batch, sigs, "doc_id", "text", threshold=0.5)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [12]
+
+
+def test_incremental_minhash_broadcast_path_parity_and_plan(spark):
+    """broadcast_batch=True must return the identical matches, and its
+    plan must never shuffle-join the corpus side: all three joins
+    (bucket collision, candidate probe, batch-signature attach) are
+    broadcast hash joins — the corpus signature table is only scanned."""
+    from deepchecks_spark.pipeline.dedup import (
+        incremental_minhash_candidates,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(50)
+    sigs = minhash_signatures(corpus, "doc_id", "text").persist()
+    try:
+        default = incremental_minhash_candidates(
+            batch, sigs, "doc_id", "text", threshold=0.3)
+        bcast = incremental_minhash_candidates(
+            batch, sigs, "doc_id", "text", threshold=0.3, broadcast_batch=True)
+        assert (sorted(map(tuple, default.collect()))
+                == sorted(map(tuple, bcast.collect())))
+        plan = bcast._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    finally:
+        sigs.unpersist()
+
+
+def test_incremental_minhash_rerun_after_append_is_idempotent(spark):
+    """Appending the survivors' signatures to the index then re-running
+    the same batch must flag every row (nothing survives twice)."""
+    from deepchecks_spark.pipeline.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "some indexed corpus document with enough words to shingle properly")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "a genuinely fresh document with no counterpart in the index at all"),
+         (11, "another fresh document that also has no match inside the index yet")],
+        "doc_id long, text string")
+    sigs = minhash_signatures(corpus, "doc_id", "text")
+    surv = incremental_minhash_dedup(batch, sigs, "doc_id", "text", threshold=0.7)
+    assert surv.count() == 2
+    grown = sigs.unionByName(minhash_signatures(surv, "doc_id", "text"))
+    again = incremental_minhash_dedup(batch, grown, "doc_id", "text", threshold=0.7)
+    assert again.count() == 0
