@@ -3752,6 +3752,80 @@ def o_incremental_minhash_documents():
     """
 
 
+# planted multilingual rewrite for the script-mix oracle: the synthetic
+# documents table is all-ASCII, so docs are rewritten per doc_id mod 5 —
+# pure Cyrillic, pure CJK, Latin-with-Cyrillic-homoglyphs (the spam
+# shape), and untouched Latin — making every script counter non-vacuous.
+# DuckDB recounts every class with its own RE2 regexps (utf8proc code
+# points), independently of Spark's Java-regex counts.
+_SPARK_PLANTED_SCRIPTS = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 1 THEN concat('привет мир данные поток номер ', CAST(doc_id % 3 AS STRING)) "
+    "WHEN 2 THEN concat('数据流处理引擎测试第', CAST(doc_id % 3 AS STRING), '批') "
+    "WHEN 3 THEN concat('pаypal sеcure login page ', CAST(doc_id % 3 AS STRING)) "
+    "ELSE text END"
+)
+_DUCK_PLANTED_SCRIPTS = (
+    "CASE doc_id % 5 "
+    "WHEN 1 THEN 'привет мир данные поток номер ' || CAST(doc_id % 3 AS VARCHAR) "
+    "WHEN 2 THEN '数据流处理引擎测试第' || CAST(doc_id % 3 AS VARCHAR) || '批' "
+    "WHEN 3 THEN 'pаypal sеcure login page ' || CAST(doc_id % 3 AS VARCHAR) "
+    "ELSE text END"
+)
+
+
+def q_script_profile_documents(spark, sf_dir):
+    """Unicode script-mix profile (pipeline/textstats.py::script_profile
+    — shuffle-free per-row projection, plan-pinned) over a planted
+    multilingual corpus, rolled up by dominant script: doc counts,
+    mixed-script (homoglyph-spam) counts, and per-script character
+    totals. DuckDB reproduces every count from its own regexp engine
+    and the argmax/threshold logic in plain SQL."""
+    from deepchecks_spark.pipeline.textstats import script_profile
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SPARK_PLANTED_SCRIPTS} AS text")
+    prof = script_profile(docs, "text")
+    return (
+        prof.groupBy("main_script")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.col("mixed_script").cast("long")).alias("n_mixed"),
+             F.sum("n_latin").alias("latin_chars"),
+             F.sum("n_cyrillic").alias("cyrillic_chars"),
+             F.sum("n_cjk").alias("cjk_chars"))
+        .orderBy("main_script")
+    )
+
+
+def o_script_profile_documents():
+    return f"""
+    WITH d AS (SELECT doc_id, {_DUCK_PLANTED_SCRIPTS} AS text FROM documents),
+         p AS (SELECT doc_id,
+                 length(regexp_replace(text, '[^A-Za-z\\x{{00C0}}-\\x{{024F}}]', '', 'g')) AS n_latin,
+                 length(regexp_replace(text, '[^\\x{{0400}}-\\x{{04FF}}]', '', 'g')) AS n_cyr,
+                 length(regexp_replace(text, '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS n_cjk
+               FROM d),
+         m AS (SELECT doc_id, n_latin, n_cyr, n_cjk,
+                 n_latin + n_cyr + n_cjk AS total,
+                 CASE WHEN n_latin + n_cyr + n_cjk = 0 THEN 'none'
+                      WHEN n_cjk >= n_cyr AND n_cjk >= n_latin THEN 'cjk'
+                      WHEN n_cyr >= n_latin THEN 'cyrillic'
+                      ELSE 'latin' END AS main_script,
+                 (n_latin >= greatest(1, floor(0.05 * (n_latin + n_cyr + n_cjk))::BIGINT))::INT
+                 + (n_cyr >= greatest(1, floor(0.05 * (n_latin + n_cyr + n_cjk))::BIGINT))::INT
+                 + (n_cjk >= greatest(1, floor(0.05 * (n_latin + n_cyr + n_cjk))::BIGINT))::INT
+                 AS n_scripts
+               FROM p)
+    SELECT main_script,
+           count(*)::BIGINT AS n_docs,
+           sum((n_scripts >= 2)::BIGINT)::BIGINT AS n_mixed,
+           sum(n_latin)::BIGINT AS latin_chars,
+           sum(n_cyr)::BIGINT AS cyrillic_chars,
+           sum(n_cjk)::BIGINT AS cjk_chars
+    FROM m GROUP BY main_script ORDER BY main_script
+    """
+
+
 def q_group_split_documents(spark, sf_dir):
     """Leakage-safe group-granular train/test split: every document of
     a source lands on one side (GroupShuffleSplit semantics —
@@ -5974,6 +6048,7 @@ QUERIES = {
     # siblings dedup/newcat/psi cover the family inside the window)
     "streaming_performance_events": q_streaming_performance_events,
     "incremental_minhash_documents": q_incremental_minhash_documents,
+    "script_profile_documents": q_script_profile_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
@@ -6190,6 +6265,7 @@ ORACLES = {
     "streaming_newcat_events": o_streaming_newcat_events(),
     "streaming_performance_events": o_streaming_performance_events(),
     "incremental_minhash_documents": o_incremental_minhash_documents(),
+    "script_profile_documents": o_script_profile_documents(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),
     # round-5: Gopher-style repetition signals + cross-corpus chunk dedup
     "domain_profile_documents": o_domain_profile_documents(),

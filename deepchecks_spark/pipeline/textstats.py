@@ -699,6 +699,76 @@ def char_entropy(df: DataFrame, text_col: str,
     )
 
 
+# Major Unicode script blocks, BMP-only ON PURPOSE: Spark's length()
+# counts UTF-16 code units while DuckDB's counts code points, so a
+# supplementary-plane range would diverge cross-engine; per-class
+# counts over BMP ranges agree exactly even when the surrounding text
+# contains astral characters (emoji), because the class regex removes
+# them from the counted remainder. Java regex and RE2 syntaxes differ
+# only in the escape form, handled at expression-build time.
+SCRIPT_BLOCKS = {
+    "latin": ("A-Za-z\u00C0-\u024F", "A-Za-z\\x{00C0}-\\x{024F}"),
+    "cyrillic": ("\u0400-\u04FF", "\\x{0400}-\\x{04FF}"),
+    "greek": ("\u0370-\u03FF", "\\x{0370}-\\x{03FF}"),
+    "arabic": ("\u0600-\u06FF", "\\x{0600}-\\x{06FF}"),
+    "hebrew": ("\u0590-\u05FF", "\\x{0590}-\\x{05FF}"),
+    "devanagari": ("\u0900-\u097F", "\\x{0900}-\\x{097F}"),
+    "cjk": ("\u4E00-\u9FFF", "\\x{4E00}-\\x{9FFF}"),
+    "hangul": ("\uAC00-\uD7AF", "\\x{AC00}-\\x{D7AF}"),
+    "kana": ("\u3040-\u30FF", "\\x{3040}-\\x{30FF}"),
+}
+
+
+def script_profile(df: DataFrame, text_col: str,
+                   minor_threshold: float = 0.05) -> DataFrame:
+    """Per-document Unicode script-mix profile — the homoglyph-spam /
+    wrong-language-leak detector a multilingual web corpus needs
+    (Cyrillic а/е spliced into Latin brand names, CJK boilerplate
+    inside an "en" page). Appends, per SCRIPT_BLOCKS script,
+    ``n_<script>`` (characters of that script), plus::
+
+        n_letters        total characters across all script blocks
+        main_script      argmax script ('none' when no letters;
+                         ties break lexicographically)
+        n_scripts        scripts exceeding minor_threshold of letters
+        mixed_script     n_scripts >= 2 — the spam/leak flag
+
+    Scale shape: a pure per-row projection (one codegen'd
+    regexp_replace+length per script block — no Python, no shuffle);
+    the argmax is a sort of a 9-element literal-built struct array.
+    At 100 TB the cost is the scan itself.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.length(F.regexp_replace(text, f"[^{java}]", ""))
+        for name, (java, _) in SCRIPT_BLOCKS.items()
+    }
+    out = df.select(
+        "*", *[c.cast("long").alias(f"n_{name}") for name, c in counts.items()])
+    total = sum(F.col(f"n_{name}") for name in SCRIPT_BLOCKS)
+    # argmax via ascending struct sort on (-count, name): first element
+    # is the largest count, lexicographic on ties — deterministic
+    ranked = F.sort_array(F.array(*[
+        F.struct((-F.col(f"n_{name}")).alias("neg"), F.lit(name).alias("s"))
+        for name in SCRIPT_BLOCKS
+    ]))
+    main = F.when(total == 0, F.lit("none")).otherwise(
+        F.element_at(ranked, 1)["s"])
+    n_scripts = sum(
+        F.when(F.col(f"n_{name}")
+               >= F.greatest(F.lit(1), (F.lit(minor_threshold)
+                                        * total).cast("long")), 1).otherwise(0)
+        for name in SCRIPT_BLOCKS
+    )
+    return out.select(
+        "*",
+        total.cast("long").alias("n_letters"),
+        main.alias("main_script"),
+        n_scripts.cast("int").alias("n_scripts"),
+        (n_scripts >= 2).alias("mixed_script"),
+    )
+
+
 def unigram_js_divergence(corpus_a: DataFrame, corpus_b: DataFrame,
                           text_col: str) -> DataFrame:
     """Jensen-Shannon divergence between two corpora's unigram

@@ -2505,3 +2505,53 @@ def test_incremental_minhash_rerun_after_append_is_idempotent(spark):
     grown = sigs.unionByName(minhash_signatures(surv, "doc_id", "text"))
     again = incremental_minhash_dedup(batch, grown, "doc_id", "text", threshold=0.7)
     assert again.count() == 0
+
+
+def test_script_profile_counts_and_main_script(spark):
+    from deepchecks_spark.pipeline.textstats import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "plain english text"),
+         (2, "привет мир это кириллица"),
+         (3, "数据流处理引擎测试"),
+         (4, "pаypal sеcure login"),        # 2 Cyrillic homoglyphs in latin text
+         (5, ""),
+         (6, None),
+         (7, "mixed latin と かな text ここ")],
+        "id long, text string")
+    out = {r["id"]: r for r in script_profile(df, "text").collect()}
+    assert out[1]["main_script"] == "latin" and out[1]["n_latin"] == 16
+    assert out[2]["main_script"] == "cyrillic" and out[2]["n_latin"] == 0
+    assert out[3]["main_script"] == "cjk" and out[3]["n_cjk"] == 9
+    assert out[4]["main_script"] == "latin" and out[4]["n_cyrillic"] == 2
+    assert out[4]["mixed_script"] and out[4]["n_scripts"] == 2
+    for i in (5, 6):
+        assert out[i]["main_script"] == "none" and out[i]["n_letters"] == 0
+        assert not out[i]["mixed_script"]
+    assert out[7]["mixed_script"] and out[7]["n_kana"] == 5
+    assert not out[1]["mixed_script"] and not out[2]["mixed_script"]
+
+
+def test_script_profile_minor_threshold_ignores_trace_scripts(spark):
+    """A script below minor_threshold of the letters must not count
+    toward n_scripts: 2 Cyrillic chars inside 200 Latin letters are
+    noise at the default 5%, signal at threshold 0."""
+    from deepchecks_spark.pipeline.textstats import script_profile
+
+    text = ("a" * 200) + "ве"
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    r = script_profile(df, "text").collect()[0]
+    assert r["n_latin"] == 200 and r["n_cyrillic"] == 2
+    assert r["n_scripts"] == 1 and not r["mixed_script"]
+    r0 = script_profile(df, "text", minor_threshold=0.0).collect()[0]
+    assert r0["n_scripts"] == 2 and r0["mixed_script"]
+
+
+def test_script_profile_is_shuffle_free(spark):
+    from deepchecks_spark.pipeline.textstats import script_profile
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (script_profile(df, "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Python" not in plan
