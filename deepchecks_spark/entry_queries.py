@@ -3774,6 +3774,35 @@ _DUCK_PLANTED_SCRIPTS = (
 )
 
 
+def q_bpe_pairs_documents(spark, sf_dir):
+    """BPE iteration-0 statistics (pipeline/bpe.py::char_pair_counts):
+    corpus-weighted adjacent-character pair counts over the capped
+    word-type table — the statistic the first merge of distributed BPE
+    training maximizes. Top 30 by (count desc, a, b), a total order,
+    so the LIMIT is deterministic cross-engine. The pair explode runs
+    on the type table (thousands of rows), never the corpus."""
+    from deepchecks_spark.pipeline.bpe import char_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_pair_counts(docs, "text", top_k=30)
+
+
+def o_bpe_pairs_documents():
+    return r"""
+    WITH words AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                   FROM documents),
+         wf0 AS (SELECT w, count(*)::BIGINT AS f FROM words WHERE w <> ''
+                 GROUP BY w ORDER BY f DESC, w ASC LIMIT 100000),
+         syms AS (SELECT w, f, list_append(string_split(w, ''), '</w>') AS s
+                  FROM wf0),
+         pairs AS (SELECT s[i] AS a, s[i+1] AS b, f
+                   FROM syms, unnest(generate_series(1, len(s)-1)) AS t(i))
+    SELECT a, b, sum(f)::BIGINT AS pair_count
+    FROM pairs GROUP BY a, b
+    ORDER BY pair_count DESC, a, b LIMIT 30
+    """
+
+
 def q_script_profile_documents(spark, sf_dir):
     """Unicode script-mix profile (pipeline/textstats.py::script_profile
     — shuffle-free per-row projection, plan-pinned) over a planted
@@ -6049,6 +6078,7 @@ QUERIES = {
     "streaming_performance_events": q_streaming_performance_events,
     "incremental_minhash_documents": q_incremental_minhash_documents,
     "script_profile_documents": q_script_profile_documents,
+    "bpe_pairs_documents": q_bpe_pairs_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
@@ -6266,6 +6296,7 @@ ORACLES = {
     "streaming_performance_events": o_streaming_performance_events(),
     "incremental_minhash_documents": o_incremental_minhash_documents(),
     "script_profile_documents": o_script_profile_documents(),
+    "bpe_pairs_documents": o_bpe_pairs_documents(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),
     # round-5: Gopher-style repetition signals + cross-corpus chunk dedup
     "domain_profile_documents": o_domain_profile_documents(),

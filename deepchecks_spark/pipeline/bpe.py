@@ -1,0 +1,195 @@
+"""Distributed BPE vocabulary learning + subword encoding.
+
+Re-expresses the byte-pair-encoding training protocol (Sennrich,
+Haddow & Birch 2016, "Neural Machine Translation of Rare Words with
+Subword Units") the way it actually scales on Spark: the ONLY stage
+that sees corpus volume is the word-frequency count — one map-side-
+combined groupBy whose output is the corpus's TYPE table (bounded:
+a web corpus has ~10^7 word types regardless of being 10^8 or 10^12
+tokens). The merge loop then runs driver-side over that bounded
+table with incremental pair-count maintenance (the same trick as
+subword-nmt's indexed trainer), so training cost is
+O(types × avg_word_len + merges) — independent of corpus size.
+Encoding broadcasts the learned merge ranks and applies them in an
+Arrow-batched pandas UDF (a per-word rank-greedy loop is inherently
+iterative — the documented Python path, never per-row pickled).
+
+No code is shared with or derived from /root/reference (deepchecks
+has no tokenizer surface); the algorithm is the public BPE protocol.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def _words(text_col: str):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def word_frequencies(df: DataFrame, text_col: str,
+                     max_words: int = 100_000) -> DataFrame:
+    """(word, freq) — the corpus type table, capped to the
+    ``max_words`` most frequent types with the deterministic
+    (freq desc, word asc) order every top-k in this repo uses.
+
+    Scale shape: one explode + one map-side-combined groupBy (the
+    Exchange carries (word, partial_count) — one row per type per
+    partition, not per token), then TakeOrderedAndProject for the cap.
+    This is the single corpus-volume pass of BPE training."""
+    words = df.select(F.explode(_words(text_col)).alias("word")).filter(
+        F.col("word") != "")
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    return wf.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(max_words)
+
+
+def _symbol_pairs(word_col, freq_col):
+    """Adjacent symbol pairs of chars(word) + [</w>], weighted by freq —
+    the iteration-0 (character) pair statistics."""
+    syms = F.concat(F.split(word_col, ""), F.array(F.lit(END_OF_WORD)))
+    n = F.size(syms)
+    return F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(syms, i).alias("a"),
+                           F.element_at(syms, i + 1).alias("b"),
+                           freq_col.alias("freq")),
+    )
+
+
+def char_pair_counts(df: DataFrame, text_col: str, top_k: int = 100,
+                     max_words: int = 100_000) -> DataFrame:
+    """(a, b, pair_count) — corpus-weighted adjacent-character pair
+    counts (the statistic BPE's first merge maximizes), top_k by
+    (count desc, a asc, b asc). The pair explode runs on the CAPPED
+    type table — thousands of rows — not on the corpus."""
+    wf = word_frequencies(df, text_col, max_words)
+    pairs = wf.select(F.explode(_symbol_pairs(F.col("word"), F.col("freq")))
+                      .alias("p"))
+    return (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("p.freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(top_k)
+    )
+
+
+def _train_merges(word_freqs: list[tuple[str, int]],
+                  num_merges: int) -> list[tuple[str, str]]:
+    """Driver-side BPE merge loop with incremental pair-count updates:
+    only the words containing the merged pair are re-segmented, and
+    their old/new pair contributions are applied as deltas — the
+    subword-nmt indexed-trainer shape. Ties break (count desc, pair
+    asc), deterministically."""
+    words = [tuple(w) + (END_OF_WORD,) for w, _ in word_freqs]
+    freqs = [f for _, f in word_freqs]
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, syms in enumerate(words):
+        f = freqs[idx]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            where.setdefault(p, set()).add(idx)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        for idx in list(where.get(best, ())):
+            syms = words[idx]
+            f = freqs[idx]
+            # delta per DISTINCT pair (a pair can occur k times in one
+            # word — subtract f·k once, touch the index map once)
+            old = Counter(zip(syms, syms[1:]))
+            for p, k in old.items():
+                c = pair_counts[p] - f * k
+                if c:
+                    pair_counts[p] = c
+                else:
+                    del pair_counts[p]
+                s = where[p]
+                s.discard(idx)
+                if not s:
+                    del where[p]
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = tuple(out)
+            for p, k in Counter(zip(out, out[1:])).items():
+                pair_counts[p] = pair_counts.get(p, 0) + f * k
+                where.setdefault(p, set()).add(idx)
+    return merges
+
+
+def learn_bpe(df: DataFrame, text_col: str, num_merges: int = 1000,
+              max_words: int = 100_000) -> dict:
+    """Train BPE over the corpus: distributed type-table count (the
+    only corpus-scale stage, see word_frequencies), bounded collect
+    (≤ max_words rows — an explicit cap, not a corpus-sized collect),
+    driver-side merge loop. Returns {"merges": [(a, b), ...],
+    "vocab": [...]} with the vocab in first-appearance order
+    (single chars by (freq desc, char asc), then merge outputs)."""
+    wf = [(r["word"], int(r["freq"]))
+          for r in word_frequencies(df, text_col, max_words).collect()]
+    merges = _train_merges(wf, num_merges)
+    char_freq: dict[str, int] = {}
+    for w, f in wf:
+        for c in list(w) + [END_OF_WORD]:
+            char_freq[c] = char_freq.get(c, 0) + f
+    vocab = sorted(char_freq, key=lambda c: (-char_freq[c], c))
+    vocab += [a + b for a, b in merges]
+    return {"merges": merges, "vocab": vocab}
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        ranked = [(ranks[p], i) for i, p in enumerate(zip(syms, syms[1:]))
+                  if p in ranks]
+        if not ranked:
+            break
+        rank, i = min(ranked)
+        syms[i:i + 2] = [syms[i] + syms[i + 1]]
+    return syms
+
+
+def apply_bpe(df: DataFrame, text_col: str, merges: list[tuple[str, str]],
+              out_col: str = "bpe_tokens") -> DataFrame:
+    """Append ``out_col: array<string>`` — the document's subword
+    tokens under the learned merges (rank-greedy, the standard BPE
+    encoder). Arrow-batched pandas UDF with a per-batch word cache
+    (web text repeats types heavily, so each distinct word is encoded
+    once per batch); the merge table rides the closure — broadcast
+    once per executor, never per row."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc_doc(text):
+            if text is None:
+                return []
+            toks: list[str] = []
+            for w in text.strip().split():
+                if w not in cache:
+                    cache[w] = _encode_word(w, ranks)
+                toks.extend(cache[w])
+            return toks
+
+        return texts.map(enc_doc)
+
+    return df.withColumn(out_col, encode(F.col(text_col)))

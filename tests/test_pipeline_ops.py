@@ -2555,3 +2555,58 @@ def test_script_profile_is_shuffle_free(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_bpe_merges_match_sennrich_fixture(spark):
+    """The canonical fixture from Sennrich et al. 2016: vocab
+    {low:5, lower:2, newest:6, widest:3} trains merges
+    (e,s) (es,t) (est,</w>) (l,o) (lo,w) in that order."""
+    from deepchecks_spark.pipeline.bpe import learn_bpe
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    model = learn_bpe(df, "text", num_merges=5)
+    assert model["merges"] == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                               ("l", "o"), ("lo", "w")]
+    assert model["vocab"][:2] == ["e", "</w>"]          # freq-desc chars first
+    assert model["vocab"][-5:] == ["es", "est", "est</w>", "lo", "low"]
+
+
+def test_bpe_incremental_trainer_handles_repeated_pairs(spark):
+    """A pair occurring twice in one word ('aaaa' → (a,a)×3) exercises
+    the Counter-delta bookkeeping; the trainer must not corrupt its
+    index maps and must merge greedily left-to-right."""
+    from deepchecks_spark.pipeline.bpe import _encode_word, _train_merges
+
+    merges = _train_merges([("aaaa", 3), ("ab", 1)], 3)
+    assert merges[0] == ("a", "a")
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert "".join(_encode_word("aaaa", ranks)).replace("</w>", "") == "aaaa"
+
+
+def test_apply_bpe_roundtrip_and_null_safety(spark):
+    from deepchecks_spark.pipeline.bpe import apply_bpe, learn_bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    model = learn_bpe(docs, "text", num_merges=200)
+    out = apply_bpe(docs, "text", model["merges"]).select("doc_id", "text", "bpe_tokens")
+    for r in out.collect():
+        joined = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
+        assert joined == " ".join(r["text"].strip().split())
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert apply_bpe(nulls, "text", model["merges"]).collect()[0]["bpe_tokens"] == []
+
+
+def test_word_frequencies_plan_has_mapside_partial_agg(spark):
+    """The one corpus-volume pass of BPE training must partial-aggregate
+    before its single Exchange and cap via TakeOrderedAndProject —
+    never a global sort of the type table."""
+    from deepchecks_spark.pipeline.bpe import word_frequencies
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (word_frequencies(df, "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+    before_exchange = plan.split("Exchange hashpartitioning")[1]
+    assert "partial_count" in before_exchange or "partial" in before_exchange
+    assert "TakeOrderedAndProject" in plan
