@@ -3774,6 +3774,57 @@ _DUCK_PLANTED_SCRIPTS = (
 )
 
 
+def q_streaming_neardup_documents(spark, sf_dir):
+    """Streaming near-dup monitor (streaming.py::StreamingNearDupMonitor)
+    drained over the planted-duplicate docs in two micro-batches, then
+    summed over epochs — totals are BATCH-ORDER INDEPENDENT: at
+    threshold 0.999 on the planted corpus (identical text ⇔ identical
+    signature; cross-group planted Jaccard ≈ 0.7 makes a 64/64
+    signature agreement ~0.7^64), the final index holds exactly one
+    representative per distinct text, so Σ n_fresh = #distinct texts
+    and Σ n_flagged = n_rows − #distinct texts no matter how the file
+    source slices the epochs."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from deepchecks_spark.streaming import StreamingNearDupMonitor
+
+    docs = _planted_docs(spark, sf_dir).filter("doc_id % 10 = 7")
+    stage_dir = ("/tmp/spark_graft_stream/neardup_"
+                 + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        docs.repartition(2).write.mode("overwrite").parquet(stage_dir)
+    sink = tempfile.mkdtemp(prefix="neardup_entry_sink_")
+    try:
+        mon = StreamingNearDupMonitor(state_path=sink, threshold=0.999)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(stage_dir))
+        q = mon.start(stream, "doc_id", "text")
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+    n_rows = sum(v["n_rows"] for v in mon.counts.values())
+    n_flagged = sum(v["n_flagged"] for v in mon.counts.values())
+    n_fresh = sum(v["n_fresh"] for v in mon.counts.values())
+    return spark.createDataFrame(
+        [(n_rows, n_flagged, n_fresh)],
+        "n_rows long, n_flagged long, n_fresh long")
+
+
+def o_streaming_neardup_documents():
+    return f"""
+    WITH d AS (SELECT doc_id, {_DUCK_PLANTED_DUP} AS text FROM documents
+               WHERE doc_id % 10 = 7)
+    SELECT count(*)::BIGINT AS n_rows,
+           (count(*) - count(DISTINCT text))::BIGINT AS n_flagged,
+           count(DISTINCT text)::BIGINT AS n_fresh
+    FROM d
+    """
+
+
 def q_bpe_pairs_documents(spark, sf_dir):
     """BPE iteration-0 statistics (pipeline/bpe.py::char_pair_counts):
     corpus-weighted adjacent-character pair counts over the capped
@@ -6079,6 +6130,7 @@ QUERIES = {
     "incremental_minhash_documents": q_incremental_minhash_documents,
     "script_profile_documents": q_script_profile_documents,
     "bpe_pairs_documents": q_bpe_pairs_documents,
+    "streaming_neardup_documents": q_streaming_neardup_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
@@ -6297,6 +6349,7 @@ ORACLES = {
     "incremental_minhash_documents": o_incremental_minhash_documents(),
     "script_profile_documents": o_script_profile_documents(),
     "bpe_pairs_documents": o_bpe_pairs_documents(),
+    "streaming_neardup_documents": o_streaming_neardup_documents(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),
     # round-5: Gopher-style repetition signals + cross-corpus chunk dedup
     "domain_profile_documents": o_domain_profile_documents(),

@@ -303,6 +303,17 @@ def incremental_minhash_candidates(batch: DataFrame, corpus_sigs: DataFrame,
     tuples, never signatures or text, and AQE picks the strategy.
     """
     bsig = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_words)
+    return incremental_candidates_from_signatures(
+        bsig, corpus_sigs, id_col, num_hashes, bands, threshold, broadcast_batch)
+
+
+def incremental_candidates_from_signatures(
+        bsig: DataFrame, corpus_sigs: DataFrame, id_col: str,
+        num_hashes: int = 64, bands: int = 16, threshold: float = 0.7,
+        broadcast_batch: bool = False) -> DataFrame:
+    """incremental_minhash_candidates when the batch is ALREADY signed —
+    the streaming-monitor path, where the micro-batch's signatures are
+    computed once and reused for both matching and index append."""
     b_entries = (signature_band_entries(bsig, id_col, num_hashes, bands)
                  .withColumnRenamed(id_col, "batch_id"))
     c_entries = (signature_band_entries(corpus_sigs, id_col, num_hashes, bands)

@@ -652,6 +652,154 @@ class StreamingPerformanceMonitor:
         return writer.start()
 
 
+class StreamingNearDupMonitor:
+    """Streaming NEAR-duplicate detection against an ever-growing
+    MinHash signature index — the streaming twin of
+    pipeline/dedup.py::incremental_minhash_dedup (each micro-batch is
+    the "new crawl", the parquet signature sink is the persisted
+    index).
+
+    Per micro-batch: sign the batch once (one shingle pass), match it
+    against the index with banded LSH + signature-agreement Jaccard
+    (broadcast_batch path — the index is only ever scanned, never
+    shuffle-joined), append the NON-flagged rows' signatures to the
+    index, and fold one counter row per epoch::
+
+        counts[epoch] = {"n_rows", "n_flagged", "n_fresh"}
+
+    ``n_fresh`` counts the rows that entered the index; ``n_flagged``
+    is the complement — matched against the index OR collapsed as a
+    within-batch exact-signature duplicate.
+
+    Scale shape: driver state is O(epochs); the index is executor-side
+    parquet holding (id, signature, epoch) — 8·num_hashes bytes per
+    doc, never text. Matching reads only rows with ``epoch < current``,
+    which makes checkpoint REPLAY idempotent: a replayed batch cannot
+    match the copy of itself the failed attempt appended (same-epoch
+    rows are invisible), so it recomputes the identical counters and
+    its re-append only duplicates (id, signature) rows that the
+    ``dropDuplicates(id)`` on read already collapses. Within-batch
+    exact-signature duplicates collapse to the min-id representative
+    before the append (the deterministic canonical-min convention);
+    within-batch NEAR-dup pairs with distinct signatures both enter
+    the index — the batch-vs-batch pass is deliberately left to the
+    existing composition (minhash_near_duplicates → clusters) so each
+    stage stays separately testable. Long-running deployments should
+    compact the sink periodically (one file set per micro-batch).
+
+    NULL/empty-text rows carry no shingles, so they are neither
+    matched nor indexed (excluded from ``n_rows``).
+    """
+
+    SENTINEL = "_NEARDUP_MONITOR_SINK"
+
+    def __init__(self, state_path: str | None = None, threshold: float = 0.7,
+                 num_hashes: int = 64, bands: int = 16,
+                 shingle_words: int = 3):
+        self.state_path = state_path
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_words = shingle_words
+        self.counts: dict = {}
+        self._sink_dir: str | None = state_path
+
+    def start(self, stream_df: DataFrame, id_col: str, text_col: str,
+              checkpoint_dir: str | None = None):
+        import os
+        import shutil
+        import tempfile
+
+        from deepchecks_spark.pipeline.dedup import (
+            incremental_candidates_from_signatures,
+            minhash_signatures,
+        )
+
+        _warn_unresumable_fold(checkpoint_dir, self.state_path)
+        if self._sink_dir is not None and os.path.isfile(self._sink_dir):
+            raise ValueError(
+                f"StreamingNearDupMonitor: state_path {self._sink_dir!r} is an "
+                "existing FILE — state_path names a parquet sink DIRECTORY")
+        if self._sink_dir is None:
+            self._sink_dir = tempfile.mkdtemp(prefix="neardup_monitor_sink_")
+        elif not checkpoint_dir:
+            # fresh-run semantics: epochs restart at 0, so stale
+            # lower-epoch rows from a previous run would wrongly match
+            # the replayed stream. Only clear a directory THIS monitor
+            # wrote (sentinel) or an empty one — never foreign data.
+            sentinel = os.path.join(self._sink_dir, self.SENTINEL)
+            if os.path.isdir(self._sink_dir):
+                if os.path.exists(sentinel) or not os.listdir(self._sink_dir):
+                    shutil.rmtree(self._sink_dir, ignore_errors=True)
+                else:
+                    raise ValueError(
+                        f"StreamingNearDupMonitor: state_path "
+                        f"{self._sink_dir!r} exists, is non-empty, and was "
+                        "not written by this monitor (missing sentinel) — "
+                        "refusing to delete it")
+        os.makedirs(self._sink_dir, exist_ok=True)
+        with open(os.path.join(self._sink_dir, self.SENTINEL), "w",
+                  encoding="utf-8") as fh:
+            fh.write("deepchecks_spark streaming neardup sink\n")
+        sink_dir = self._sink_dir
+
+        def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+            spark = batch_df.sparkSession
+            bsig = minhash_signatures(
+                batch_df, id_col, text_col, self.num_hashes,
+                self.shingle_words).persist()
+            try:
+                n_rows = bsig.count()
+                if n_rows == 0:
+                    self.counts[int(epoch_id)] = {
+                        "n_rows": 0, "n_flagged": 0, "n_fresh": 0}
+                    return
+                try:
+                    index = (
+                        spark.read.parquet(sink_dir)
+                        .filter(F.col("epoch") < int(epoch_id))
+                        .dropDuplicates([id_col])
+                        .select(id_col, "signature")
+                    )
+                    has_index = True
+                except Exception:  # noqa: BLE001 — empty sink, no parquet yet
+                    has_index = False
+                if has_index:
+                    cand = incremental_candidates_from_signatures(
+                        bsig, index, id_col, self.num_hashes, self.bands,
+                        self.threshold, broadcast_batch=True)
+                    flagged = (cand.filter(F.col("batch_id") != F.col("corpus_id"))
+                               .select(F.col("batch_id").alias(id_col))
+                               .distinct())
+                    fresh = bsig.join(flagged, id_col, "left_anti")
+                else:
+                    fresh = bsig
+                # collapse within-batch exact-signature dups to min id
+                fresh = (
+                    fresh.withColumn("__sh", F.xxhash64("signature"))
+                    .groupBy("__sh")
+                    .agg(F.min_by(F.struct(id_col, "signature"), id_col)
+                         .alias("r"))
+                    .select(F.col(f"r.{id_col}").alias(id_col),
+                            F.col("r.signature").alias("signature"))
+                )
+                n_fresh = fresh.count()
+                (fresh.withColumn("epoch", F.lit(int(epoch_id)))
+                 .write.mode("append").parquet(sink_dir))
+                self.counts[int(epoch_id)] = {
+                    "n_rows": int(n_rows),
+                    "n_flagged": int(n_rows - n_fresh),
+                    "n_fresh": int(n_fresh),
+                }
+            finally:
+                bsig.unpersist()
+
+        writer = stream_df.writeStream.outputMode("append").foreachBatch(_fold)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
+
+
 def stateful_column_monitor(stream_df: DataFrame, key_col: str, value_col: str):
     """Custom stateful streaming operator (applyInPandasWithState): per-key
     running integrity counters that survive across micro-batches.

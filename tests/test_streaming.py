@@ -657,3 +657,63 @@ def test_dedup_monitor_rejects_file_state_path(tmp_path):
     p.write_text("{}")
     with pytest.raises(ValueError, match="DIRECTORY"):
         StreamingDedupMonitor(state_path=str(p)).start(None, ["k"])
+
+
+def test_streaming_neardup_monitor_flags_across_batches(spark, tmp_path):
+    """Micro-batch 1 seeds the index; batch 2 contains one exact dup of
+    batch 1, one near-dup (one word changed), one within-batch
+    exact-dup pair, and one fresh doc. Per-epoch counters and the
+    index contents must reflect exactly that."""
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.streaming import StreamingNearDupMonitor
+
+    src = str(tmp_path / "in")
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest to find food for the long winter")
+    b1 = spark.createDataFrame(
+        [(1, base),
+         (2, "completely different corpus text about spark distributed plans")],
+        "doc_id long, text string")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2 = spark.createDataFrame(
+        [(10, base),                                  # exact dup of doc 1
+         (11, base.replace("lazy", "sleepy")),        # near-dup of doc 1
+         (12, "a fresh document with no counterpart in the index anywhere"),
+         (13, "a fresh document with no counterpart in the index anywhere")],
+        "doc_id long, text string")
+
+    mon = StreamingNearDupMonitor(state_path=str(tmp_path / "sink"),
+                                  threshold=0.5)
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = mon.start(stream, "doc_id", "text")
+    try:
+        q.processAllAvailable()
+        assert mon.counts[0] == {"n_rows": 2, "n_flagged": 0, "n_fresh": 2}
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        last = max(mon.counts)
+        # 10 (exact) and 11 (near) match the index; 12/13 collapse to one
+        assert mon.counts[last] == {"n_rows": 4, "n_flagged": 3, "n_fresh": 1}
+        index = spark.read.parquet(str(tmp_path / "sink"))
+        ids = sorted(r["doc_id"] for r in index.select("doc_id").collect())
+        assert ids == [1, 2, 12]   # min-id representative of the 12/13 pair
+    finally:
+        q.stop()
+
+
+def test_streaming_neardup_monitor_refuses_foreign_state_dir(spark, tmp_path):
+    from deepchecks_spark.streaming import StreamingNearDupMonitor
+
+    foreign = tmp_path / "shared"
+    foreign.mkdir()
+    (foreign / "precious.txt").write_text("not yours")
+    mon = StreamingNearDupMonitor(state_path=str(foreign))
+    empty_in = tmp_path / "empty_in"
+    empty_in.mkdir()
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(empty_in)))
+    with pytest.raises(ValueError, match="refusing to delete"):
+        mon.start(stream, "doc_id", "text")
+    assert (foreign / "precious.txt").exists()
