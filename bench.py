@@ -315,6 +315,29 @@ def bench_webgraph(spark):
     return docs.count()
 
 
+def bench_tokenizer(spark):
+    """Tokenizer/script operators (final r5 session, NEW stage so
+    pre-existing timings stay cross-round comparable): the BPE type
+    table (explode + map-side-combined groupBy — the one corpus-volume
+    pass of BPE training), iteration-0 pair counts, a 200-merge train
+    + Arrow-batched encode on a bounded slice, and the shuffle-free
+    script-mix profile."""
+    from deepchecks_spark.pipeline.bpe import (
+        apply_bpe,
+        char_pair_counts,
+        learn_bpe,
+    )
+    from deepchecks_spark.pipeline.textstats import script_profile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    char_pair_counts(docs, "text", top_k=100).collect()
+    model = learn_bpe(docs, "text", num_merges=200)
+    apply_bpe(docs.limit(2000), "text", model["merges"]) \
+        .agg({"bpe_tokens": "count"}).collect()
+    script_profile(docs, "text").groupBy("main_script").count().collect()
+    return docs.count()
+
+
 BENCHES = {
     "integrity_suite_lineitem": bench_integrity_suite,
     "feature_label_drift_orders": bench_drift,
@@ -326,6 +349,7 @@ BENCHES = {
     "relational_events": bench_relational,
     "corpusdrift_events": bench_corpus_drift,
     "webgraph_documents": bench_webgraph,
+    "tokenizer_documents": bench_tokenizer,
     "corpus_runner_webpages": bench_corpus_runner,
 }
 
