@@ -47,11 +47,18 @@ def rff_params(dim: int, n_features: int, gamma: float, seed: int = 42):
 
 def _feature_col(vec_col: str, w_row: list, b_j: float):
     # left-fold b + w0*v[1] + w1*v[2] + ... so the float summation
-    # order is identical to the oracle's left-associative SQL chain
-    expr = F.lit(b_j)
-    for k, w in enumerate(w_row):
-        expr = expr + F.lit(w) * F.element_at(F.col(vec_col), k + 1).cast("double")
-    return F.cos(expr)
+    # order is identical to the oracle's left-associative SQL chain.
+    # Built as ONE zip_with + aggregate over a FLAT literal weight
+    # array, not a dim-deep nested Add tree: the fold order (and hence
+    # every bit of the result) is unchanged, but Catalyst analysis and
+    # codegen stay linear in dim x n_features — the nested form cost
+    # ~15 s of driver/codegen time at dim 64 x 16 features (profiled
+    # in the r5 final session; same trap the PQ codebook tree avoids,
+    # pipeline/similarity.py::_pq_books_lit).
+    warr = F.array(*[F.lit(float(x)) for x in w_row])
+    prods = F.zip_with(warr, F.col(vec_col),
+                       lambda wv, xv: wv * xv.cast("double"))
+    return F.cos(F.aggregate(prods, F.lit(b_j), lambda acc, y: acc + y))
 
 
 def _corpus_means(df: DataFrame, vec_col: str, w: list, b: list,
