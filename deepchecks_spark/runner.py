@@ -598,7 +598,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
             metrics_history: str | None = None,
             anomaly_rules: dict | None = None,
             suggest: bool = False,
-            domain_profile_col: str | None = None) -> dict:
+            domain_profile_col: str | None = None,
+            script_profile_col: str | None = None) -> dict:
     """Execute the integrity suite with per-partition lineage and
     checkpointed stage outputs. Returns the manifest dict."""
     os.makedirs(output_dir, exist_ok=True)
@@ -616,7 +617,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
               "task_type": task_type,
               "constraints": constraints,
               "suggest": suggest,
-              "domain_profile_col": domain_profile_col}
+              "domain_profile_col": domain_profile_col,
+              "script_profile_col": script_profile_col}
     manifest = {"fingerprint": fingerprint, "input": input_path,
                 "params": params, "stages": {}, "run_id": f"run-{fingerprint}"}
     if resume and os.path.exists(manifest_path):
@@ -843,6 +845,26 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         out = domain_profile(ds.df, domain_profile_col, text_col)
         write_table(out, os.path.join(output_dir, "domain_profile"))
 
+    def _script_profile():
+        # Unicode script-mix roll-up over the cached input: per dominant
+        # script, doc counts, homoglyph-spam (mixed_script) counts and
+        # per-script character totals. The per-doc profile is a
+        # shuffle-free projection (pipeline/textstats.py); only the
+        # O(#scripts) roll-up rows are written, never per-doc rows.
+        from deepchecks_spark.pipeline.textstats import (
+            SCRIPT_BLOCKS,
+            script_profile,
+        )
+
+        prof = script_profile(ds.df, script_profile_col)
+        out = prof.groupBy("main_script").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("mixed_script").cast("long")).alias("n_mixed"),
+            *[F.sum(f"n_{name}").alias(f"{name}_chars")
+              for name in SCRIPT_BLOCKS],
+        )
+        write_table(out, os.path.join(output_dir, "script_profile"))
+
     stages = [
         ("global_verdicts", _global_verdicts),
         ("partition_verdicts", _partition_verdicts),
@@ -857,6 +879,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         stages.append(("suggested_constraints", _suggest))
     if domain_profile_col:
         stages.append(("domain_profile", _domain_profile))
+    if script_profile_col:
+        stages.append(("script_profile", _script_profile))
     try:
         if concurrent_stages:
             # the four stages are independent reads of the cached input;
@@ -917,6 +941,10 @@ def main(argv=None):
     parser.add_argument("--domain-profile-col", default=None,
                         help="URL column enabling the per-domain corpus "
                              "profile stage (writes a domain_profile table)")
+    parser.add_argument("--script-profile-col", default=None,
+                        help="text column enabling the Unicode script-mix "
+                             "roll-up stage (writes a script_profile table "
+                             "with per-dominant-script doc/mixed counts)")
     parser.add_argument("--suggest-constraints", action="store_true",
                         help="profile the input and write a "
                              "suggested_constraints table (pin it as the "
@@ -942,6 +970,7 @@ def main(argv=None):
                        if args.anomaly_rules else None),
         suggest=args.suggest_constraints,
         domain_profile_col=args.domain_profile_col,
+        script_profile_col=args.script_profile_col,
     )
     print(json.dumps(manifest))
 

@@ -704,6 +704,43 @@ class StreamingNearDupMonitor:
         self.counts: dict = {}
         self._sink_dir: str | None = state_path
 
+    def compact(self, spark, id_col: str = "doc_id") -> int:
+        """Rewrite the signature sink to ONE row per id, bounding the
+        one-file-set-per-micro-batch growth. Keeps each id's MINIMUM
+        epoch (signatures are deterministic per id, so replay
+        duplicates are identical rows; min keeps the row visible to
+        the widest range of future ``epoch <`` match filters). Call
+        between runs — not while a query is writing. Returns the
+        number of rows kept (0 = nothing to compact)."""
+        import os
+        import shutil
+        import tempfile
+
+        sink = self._sink_dir
+        if not (sink and os.path.isdir(sink)):
+            return 0
+        try:
+            df = spark.read.parquet(sink)
+        except Exception:  # noqa: BLE001 — no parquet yet
+            return 0
+        compacted = (
+            df.groupBy(id_col)
+            .agg(F.min_by("signature", "epoch").alias("signature"),
+                 F.min("epoch").alias("epoch"))
+        )
+        tmp = tempfile.mkdtemp(prefix="neardup_compact_")
+        out = os.path.join(tmp, "data")
+        compacted.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        for name in os.listdir(sink):          # parquet files only —
+            if not name.startswith(self.SENTINEL):  # the sentinel stays
+                p = os.path.join(sink, name)
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        for name in os.listdir(out):
+            shutil.move(os.path.join(out, name), os.path.join(sink, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        return int(n)
+
     def start(self, stream_df: DataFrame, id_col: str, text_col: str,
               checkpoint_dir: str | None = None):
         import os

@@ -662,3 +662,23 @@ def test_run_job_domain_profile_stage(spark, tmp_path, corpus_parquet):
     # it, a run WITHOUT the flag must not inherit the done marker
     manifest2 = run_job(spark, corpus_parquet, out, cat_features=["lang"])
     assert "domain_profile" not in manifest2["stages"]
+
+
+def test_run_job_script_profile_stage(spark, tmp_path, corpus_parquet):
+    """--script-profile-col adds a script_profile output table: one row
+    per dominant script with doc/mixed counts and per-script char
+    totals; sums over the table must cover the whole input."""
+    out = str(tmp_path / "out_sp")
+    manifest = run_job(spark, corpus_parquet, out, cat_features=["lang"],
+                       script_profile_col="text")
+    assert manifest["stages"].get("script_profile") == "done"
+    sp = spark.read.parquet(os.path.join(out, "script_profile"))
+    rows = sp.collect()
+    assert {"main_script", "n_docs", "n_mixed", "latin_chars",
+            "cyrillic_chars"} <= set(sp.columns)
+    src = spark.read.parquet(corpus_parquet)
+    assert sum(r["n_docs"] for r in rows) == src.count()
+    for r in rows:
+        assert 0 <= r["n_mixed"] <= r["n_docs"]
+    manifest2 = run_job(spark, corpus_parquet, out, cat_features=["lang"])
+    assert "script_profile" not in manifest2["stages"]
