@@ -2967,6 +2967,44 @@ def o_gopher_quality_documents():
     """
 
 
+def q_filter_funnel_documents(spark, sf_dir):
+    """Gopher filter survival funnel (pipeline/textstats.py::
+    filter_funnel — ONE distributive agg over the same shuffle-free
+    rule projection as gopher_quality_documents): per rule in
+    application order, docs failing it outright and docs surviving the
+    rule prefix. The oracle recomputes both sums from the gopher
+    oracle's own failed_rules string."""
+    from deepchecks_spark.pipeline.textstats import filter_funnel
+
+    df = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _GOPHER_FIXTURE_SQL + " AS text")
+    return filter_funnel(
+        df, "text", min_words=40, max_words=100_000,
+        min_avg_word_len=3.0, max_avg_word_len=10.0,
+        max_symbol_word_ratio=0.02, max_bullet_line_frac=0.15,
+        max_ellipsis_line_frac=0.15, min_alpha_word_frac=0.97,
+        min_stopword_hits=1)
+
+
+def o_filter_funnel_documents():
+    from deepchecks_spark.pipeline.textstats import GOPHER_RULE_NAMES
+
+    branches = ["SELECT 'input' AS stage, 0::BIGINT AS n_fail, "
+                "count(*)::BIGINT AS n_surviving FROM fl"]
+    for i, name in enumerate(GOPHER_RULE_NAMES):
+        prefix = " AND ".join(
+            f"NOT list_contains(fr, '{p}')"
+            for p in GOPHER_RULE_NAMES[:i + 1])
+        branches.append(
+            f"SELECT '{name}', sum(list_contains(fr, '{name}')::INT)::BIGINT, "
+            f"sum(({prefix})::INT)::BIGINT FROM fl")
+    return (
+        "WITH g AS (" + o_gopher_quality_documents() + "),\n"
+        "     fl AS (SELECT string_split(failed_rules, ',') AS fr FROM g)\n"
+        + "\nUNION ALL ".join(branches)
+    )
+
+
 def q_unigram_logprob_documents(spark, sf_dir):
     """CCNet-style self-trained unigram LM scoring: the corpus trains
     its own smoothed unigram model (vocab_size exceeds the synthetic
@@ -6131,6 +6169,7 @@ QUERIES = {
     "script_profile_documents": q_script_profile_documents,
     "bpe_pairs_documents": q_bpe_pairs_documents,
     "streaming_neardup_documents": q_streaming_neardup_documents,
+    "filter_funnel_documents": q_filter_funnel_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
     "unigram_logprob_documents": q_unigram_logprob_documents,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
@@ -6350,6 +6389,7 @@ ORACLES = {
     "script_profile_documents": o_script_profile_documents(),
     "bpe_pairs_documents": o_bpe_pairs_documents(),
     "streaming_neardup_documents": o_streaming_neardup_documents(),
+    "filter_funnel_documents": o_filter_funnel_documents(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),
     # round-5: Gopher-style repetition signals + cross-corpus chunk dedup
     "domain_profile_documents": o_domain_profile_documents(),

@@ -255,6 +255,46 @@ def gopher_quality_rules(
     )
 
 
+GOPHER_RULE_NAMES = ("word_count", "avg_word_length", "symbol_ratio",
+                     "bullet_lines", "ellipsis_lines", "alpha_words",
+                     "stopwords")
+
+
+def filter_funnel(df: DataFrame, text_col: str, **gopher_kwargs) -> DataFrame:
+    """Survival funnel through the ordered Gopher rule set — the
+    standard data-pipeline diagnostic ("which filter actually costs
+    me data?"): one row per rule, in application order, with::
+
+        stage         rule name ('input' first)
+        n_fail        docs failing THIS rule (regardless of others)
+        n_surviving   docs passing ALL rules up to and including it
+
+    The last row's n_surviving equals the quality_keep count. Built on
+    gopher_quality_rules' per-doc failed_rules column, so funnel and
+    filter can never disagree.
+
+    Scale shape: the per-doc rule evaluation is the same shuffle-free
+    projection as gopher_quality_rules; the funnel itself is ONE
+    distributive aggregation (2 x n_rules + 1 sums — a single one-row
+    Exchange) unpivoted driver-side into n_rules + 1 rows."""
+    flagged = gopher_quality_rules(df, text_col, **gopher_kwargs)
+    fails = F.split(F.col("failed_rules"), ",")
+    aggs = [F.count(F.lit(1)).alias("n_input")]
+    for i, name in enumerate(GOPHER_RULE_NAMES):
+        aggs.append(F.sum(F.array_contains(fails, name).cast("long"))
+                    .alias(f"f_{name}"))
+        prefix_ok = ~F.array_contains(fails, GOPHER_RULE_NAMES[0])
+        for prev in GOPHER_RULE_NAMES[1:i + 1]:
+            prefix_ok = prefix_ok & ~F.array_contains(fails, prev)
+        aggs.append(F.sum(prefix_ok.cast("long")).alias(f"s_{name}"))
+    row = flagged.agg(*aggs).collect()[0]
+    out = [("input", 0, int(row["n_input"]))]
+    out += [(name, int(row[f"f_{name}"]), int(row[f"s_{name}"]))
+            for name in GOPHER_RULE_NAMES]
+    return df.sparkSession.createDataFrame(
+        out, "stage string, n_fail long, n_surviving long")
+
+
 def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
                     vocab_size: int = 100_000) -> DataFrame:
     """CCNet-style corpus-model quality score (Wenzek et al. 2020 use a

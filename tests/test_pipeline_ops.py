@@ -2610,3 +2610,21 @@ def test_word_frequencies_plan_has_mapside_partial_agg(spark):
     before_exchange = plan.split("Exchange hashpartitioning")[1]
     assert "partial_count" in before_exchange or "partial" in before_exchange
     assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_funnel_monotone_and_consistent_with_keep(spark):
+    from deepchecks_spark.pipeline.textstats import (
+        filter_funnel,
+        gopher_quality_rules,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = {r["stage"]: r for r in filter_funnel(docs, "text").collect()}
+    surv = [rows["input"]["n_surviving"]] + [
+        rows[s]["n_surviving"] for s in
+        ("word_count", "avg_word_length", "symbol_ratio", "bullet_lines",
+         "ellipsis_lines", "alpha_words", "stopwords")]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))  # monotone funnel
+    keep = gopher_quality_rules(docs, "text").filter("quality_keep").count()
+    assert surv[-1] == keep
+    assert rows["input"]["n_surviving"] == docs.count()
