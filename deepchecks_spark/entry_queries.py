@@ -3892,6 +3892,38 @@ def o_bpe_pairs_documents():
     """
 
 
+def q_bpe_fertility_documents(spark, sf_dir):
+    """Per-language tokenizer fertility (pipeline/bpe.py::bpe_fertility)
+    under the char-level baseline (merges=[]) where every word costs
+    len(word)+1 symbols — the closed form DuckDB recomputes exactly,
+    proving the Arrow-batched encoder's word segmentation and the
+    grouped roll-up; the trained-merges path is locked by the encoder
+    unit tests (canonical Sennrich fixture, roundtrip, monotone
+    fertility drop)."""
+    from deepchecks_spark.pipeline.bpe import bpe_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_fertility(docs, "text", "lang", merges=[]).orderBy("lang")
+
+
+def o_bpe_fertility_documents():
+    return r"""
+    WITH t AS (SELECT lang,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS nw,
+                 CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                      ELSE list_sum(list_transform(
+                             string_split_regex(trim(text), '\s+'),
+                             w -> length(w) + 1)) END AS ns
+               FROM documents)
+    SELECT lang, count(*)::BIGINT AS n_docs, sum(nw)::BIGINT AS n_words,
+           sum(ns)::BIGINT AS n_subwords,
+           CASE WHEN sum(nw) > 0
+                THEN round(sum(ns) / sum(nw)::DOUBLE, 6) END AS fertility
+    FROM t GROUP BY lang ORDER BY lang
+    """
+
+
 def q_script_profile_documents(spark, sf_dir):
     """Unicode script-mix profile (pipeline/textstats.py::script_profile
     — shuffle-free per-row projection, plan-pinned) over a planted
@@ -6168,6 +6200,7 @@ QUERIES = {
     "incremental_minhash_documents": q_incremental_minhash_documents,
     "script_profile_documents": q_script_profile_documents,
     "bpe_pairs_documents": q_bpe_pairs_documents,
+    "bpe_fertility_documents": q_bpe_fertility_documents,
     "streaming_neardup_documents": q_streaming_neardup_documents,
     "filter_funnel_documents": q_filter_funnel_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
@@ -6388,6 +6421,7 @@ ORACLES = {
     "incremental_minhash_documents": o_incremental_minhash_documents(),
     "script_profile_documents": o_script_profile_documents(),
     "bpe_pairs_documents": o_bpe_pairs_documents(),
+    "bpe_fertility_documents": o_bpe_fertility_documents(),
     "streaming_neardup_documents": o_streaming_neardup_documents(),
     "filter_funnel_documents": o_filter_funnel_documents(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),

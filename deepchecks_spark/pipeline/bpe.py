@@ -154,6 +154,43 @@ def learn_bpe(df: DataFrame, text_col: str, num_merges: int = 1000,
     return {"merges": merges, "vocab": vocab}
 
 
+def bpe_fertility(df: DataFrame, text_col: str, group_col: str,
+                  merges: list[tuple[str, str]]) -> DataFrame:
+    """Tokenizer fertility per group (typically language) — subwords
+    per word under the learned merges, THE standard multilingual
+    tokenizer-equity metric (a language with fertility 2x English pays
+    2x the context budget for the same content). One row per group::
+
+        <group_col>, n_docs, n_words, n_subwords, fertility
+
+    ``fertility = n_subwords / n_words`` (NULL for empty groups).
+    With ``merges=[]`` every word costs len(word)+1 symbols (chars +
+    the end-of-word marker) — the closed form the oracle checks; the
+    trained-merges path is locked by the encoder unit tests.
+
+    Scale shape: the Arrow-batched encoder runs map-only; the roll-up
+    is ONE map-side-combined groupBy bounded by the group cardinality.
+    """
+    enc = apply_bpe(df, text_col, merges, out_col="__bpe")
+    words = F.when(
+        F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+        F.lit(0)).otherwise(F.size(_words(text_col)))
+    out = enc.select(F.col(group_col),
+                     words.alias("__nw"),
+                     F.size("__bpe").alias("__ns"))
+    return (
+        out.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("__nw").alias("n_words"),
+             F.sum("__ns").alias("n_subwords"))
+        .select(group_col, "n_docs", "n_words", "n_subwords",
+                F.when(F.col("n_words") > 0,
+                       F.round(F.col("n_subwords")
+                               / F.col("n_words").cast("double"), 6))
+                .alias("fertility"))
+    )
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     syms = list(word) + [END_OF_WORD]
     while len(syms) > 1:

@@ -2628,3 +2628,26 @@ def test_filter_funnel_monotone_and_consistent_with_keep(spark):
     keep = gopher_quality_rules(docs, "text").filter("quality_keep").count()
     assert surv[-1] == keep
     assert rows["input"]["n_surviving"] == docs.count()
+
+
+def test_bpe_fertility_drops_with_merges_and_matches_closed_form(spark):
+    from deepchecks_spark.pipeline.bpe import bpe_fertility, learn_bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {r["lang"]: r for r in
+            bpe_fertility(docs, "text", "lang", merges=[]).collect()}
+    # merges=[] → every word costs len(word)+1 symbols
+    import pyspark.sql.functions as SF
+    want = docs.groupBy("lang").agg(
+        SF.sum(SF.aggregate(
+            SF.split(SF.trim("text"), r"\s+"), SF.lit(0),
+            lambda a, w: a + SF.length(w) + 1)).alias("ns")).collect()
+    for r in want:
+        assert base[r["lang"]]["n_subwords"] == r["ns"]
+    model = learn_bpe(docs, "text", num_merges=300)
+    trained = {r["lang"]: r for r in
+               bpe_fertility(docs, "text", "lang", model["merges"]).collect()}
+    for lang in base:
+        assert trained[lang]["fertility"] < base[lang]["fertility"]
+        assert trained[lang]["fertility"] >= 1.0
+        assert trained[lang]["n_words"] == base[lang]["n_words"]
