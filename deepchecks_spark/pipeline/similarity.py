@@ -499,6 +499,48 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ann_recall_curve(queries: DataFrame, corpus: DataFrame, dim: int,
+                     k: int = 10, nprobes: tuple = (1, 2, 4, 8),
+                     nlist: int = 64, sample_size: int = 10_000,
+                     seed: int = 42, id_col: str = "id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """The IVF tuning curve: recall@k of ivf_topk against the
+    brute-force ground truth at each ``nprobe`` — the measurement that
+    picks the scan-cost/recall trade before an index ships. One row
+    per nprobe::
+
+        nprobe, n_truth, n_hit, recall
+
+    Centroids are trained ONCE and shared across the sweep, so the
+    curve isolates the probe width. Scale shape: ground truth is one
+    brute-force pass over the (bounded) query set; each curve point is
+    one ivf_topk plan plus a broadcast semi-join count — the corpus is
+    scanned per point, never shuffled. Run it on a sampled query set:
+    recall estimates concentrate fast (a 1k-query sample bounds the
+    ±3% band at 95% confidence by the usual binomial argument)."""
+    truth = (brute_force_topk(queries, corpus, k=k, id_col=id_col,
+                              vec_col=vec_col)
+             .select("query_id", "neighbor_id").persist())
+    cents = train_ivf_centroids(corpus, nlist, sample_size=sample_size,
+                                seed=seed, id_col=id_col, vec_col=vec_col)
+    try:
+        n_truth = truth.count()
+        rows = []
+        for nprobe in nprobes:
+            got = ivf_topk(queries, corpus, dim=dim, k=k, nlist=nlist,
+                           nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+                           centroids=cents)
+            n_hit = (got.select("query_id", "neighbor_id")
+                     .join(truth, ["query_id", "neighbor_id"], "left_semi")
+                     .count())
+            rows.append((int(nprobe), int(n_truth), int(n_hit),
+                         round(n_hit / n_truth, 6) if n_truth else None))
+    finally:
+        truth.unpersist()
+    return queries.sparkSession.createDataFrame(
+        rows, "nprobe int, n_truth long, n_hit long, recall double")
+
+
 def semantic_dedup(df: DataFrame, dim: int, threshold: float = 0.95,
                    nlist: int = 64, nprobe: int = 2,
                    sample_size: int = 10_000, seed: int = 42,

@@ -2651,3 +2651,24 @@ def test_bpe_fertility_drops_with_merges_and_matches_closed_form(spark):
         assert trained[lang]["fertility"] < base[lang]["fertility"]
         assert trained[lang]["fertility"] >= 1.0
         assert trained[lang]["n_words"] == base[lang]["n_words"]
+
+
+def test_ann_recall_curve_monotone_and_exhaustive_at_full_probe(spark):
+    """On clustered data the recall curve is monotone in nprobe and
+    reaches exactly 1.0 when every cell is probed (ivf_topk == brute
+    force at nprobe=nlist, already locked by the ivf tests)."""
+    from deepchecks_spark.pipeline.similarity import ann_recall_curve
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = df.selectExpr(
+        "vec_id",
+        "transform(sequence(0, 15), d -> CAST((CASE WHEN d = CAST(vec_id % 10 AS INT) "
+        "THEN 40 ELSE 2 END) + ((vec_id * 7 + d * 13) % 5) - 2 AS DOUBLE)) AS embedding")
+    queries = df.filter("vec_id < 20")
+    rows = {r["nprobe"]: r for r in
+            ann_recall_curve(queries, df, dim=16, k=3, nprobes=(1, 10),
+                             nlist=10, sample_size=1000,
+                             id_col="vec_id").collect()}
+    assert rows[10]["recall"] == 1.0
+    assert rows[1]["recall"] <= rows[10]["recall"]
+    assert rows[1]["n_truth"] == rows[10]["n_truth"] == 60
