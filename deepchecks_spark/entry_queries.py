@@ -3892,6 +3892,85 @@ def o_bpe_pairs_documents():
     """
 
 
+def q_language_agreement_documents(spark, sf_dir):
+    """Declared-vs-detected language confusion table
+    (pipeline/textstats.py::language_agreement — zero-shuffle
+    language_id projection + one bounded groupBy). The oracle
+    re-implements the marker-intersection argmax in plain SQL,
+    generated from the same LANG_MARKERS table with the identical
+    (score desc, lang asc) tie-break."""
+    from deepchecks_spark.pipeline.textstats import language_agreement
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_agreement(docs, "lang", "text")
+
+
+def o_language_agreement_documents():
+    from deepchecks_spark.pipeline.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+
+    def lit(words):
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    scores = ",\n             ".join(
+        f"len(list_intersect(toks, {lit(LANG_MARKERS[lg])})) AS s_{lg}"
+        for lg in langs)
+    m = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = ("CASE WHEN " + m + " = 0 THEN 'unknown' "
+            + " ".join(f"WHEN s_{lg} = {m} THEN '{lg}'" for lg in langs)
+            + " END")
+    return f"""
+    WITH toks AS (SELECT lang,
+                    list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+                  FROM documents),
+         s AS (SELECT lang,
+             {scores}
+               FROM toks)
+    SELECT lang, {case} AS lang_pred, count(*)::BIGINT AS n_docs
+    FROM s GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """
+
+
+def q_neardup_precision_documents(spark, sf_dir):
+    """Deterministic candidate-precision audit (pipeline/dedup.py::
+    neardup_precision_sample): a SQL-expressible candidate list (all
+    adjacent doc_id pairs) sampled to its 200 smallest-md5 pairs and
+    verified with the exact shingle Jaccard — DuckDB reproduces the
+    md5 sampling order, the limit, and the Jaccard arithmetic."""
+    from deepchecks_spark.pipeline.dedup import neardup_precision_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = (ids.selectExpr("doc_id AS id_a", "doc_id + 1 AS id_b")
+             .join(ids.selectExpr("doc_id AS id_b"), "id_b"))
+    return neardup_precision_sample(pairs, docs, "doc_id", "text", n=200)
+
+
+def o_neardup_precision_documents():
+    return r"""
+    WITH ids AS (SELECT doc_id FROM documents),
+         pairs AS (SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+                   FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1),
+         sampled AS (SELECT id_a, id_b FROM pairs
+                     ORDER BY md5(CAST(id_a AS VARCHAR) || ',' ||
+                                  CAST(id_b AS VARCHAR)), id_a, id_b
+                     LIMIT 200),
+         toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t
+                  FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+                  list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [array_to_string(t, ' ')] END s FROM toks)
+    SELECT p.id_a, p.id_b,
+           round(len(list_intersect(a.s, b.s))
+                 / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 6)
+             AS jaccard
+    FROM sampled p JOIN sh a ON a.doc_id = p.id_a
+                   JOIN sh b ON b.doc_id = p.id_b
+    """
+
+
 def q_bpe_fertility_documents(spark, sf_dir):
     """Per-language tokenizer fertility (pipeline/bpe.py::bpe_fertility)
     under the char-level baseline (merges=[]) where every word costs
@@ -6201,6 +6280,8 @@ QUERIES = {
     "script_profile_documents": q_script_profile_documents,
     "bpe_pairs_documents": q_bpe_pairs_documents,
     "bpe_fertility_documents": q_bpe_fertility_documents,
+    "language_agreement_documents": q_language_agreement_documents,
+    "neardup_precision_documents": q_neardup_precision_documents,
     "streaming_neardup_documents": q_streaming_neardup_documents,
     "filter_funnel_documents": q_filter_funnel_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
@@ -6422,6 +6503,8 @@ ORACLES = {
     "script_profile_documents": o_script_profile_documents(),
     "bpe_pairs_documents": o_bpe_pairs_documents(),
     "bpe_fertility_documents": o_bpe_fertility_documents(),
+    "language_agreement_documents": o_language_agreement_documents(),
+    "neardup_precision_documents": o_neardup_precision_documents(),
     "streaming_neardup_documents": o_streaming_neardup_documents(),
     "filter_funnel_documents": o_filter_funnel_documents(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),

@@ -255,6 +255,26 @@ def gopher_quality_rules(
     )
 
 
+def language_agreement(df: DataFrame, lang_col: str, text_col: str) -> DataFrame:
+    """Confusion table between the DECLARED language column and the
+    content-based language_id prediction — the standard wrong-label /
+    wrong-language-leak audit for a multilingual corpus (a cell off the
+    diagonal is either a mislabeled doc or a document whose content
+    drifted from its metadata). One row per (lang, lang_pred) pair::
+
+        lang, lang_pred, n_docs
+
+    Scale shape: language_id is a zero-shuffle codegen projection; the
+    confusion roll-up is ONE map-side-combined groupBy bounded by
+    n_langs² cells."""
+    pred = language_id(df, text_col)
+    return (
+        pred.groupBy(F.col(lang_col).alias("lang"), F.col("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
 GOPHER_RULE_NAMES = ("word_count", "avg_word_length", "symbol_ratio",
                      "bullet_lines", "ellipsis_lines", "alpha_words",
                      "stopwords")

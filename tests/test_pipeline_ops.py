@@ -2672,3 +2672,47 @@ def test_ann_recall_curve_monotone_and_exhaustive_at_full_probe(spark):
     assert rows[10]["recall"] == 1.0
     assert rows[1]["recall"] <= rows[10]["recall"]
     assert rows[1]["n_truth"] == rows[10]["n_truth"] == 60
+
+
+def test_language_agreement_diagonal_on_marker_texts(spark):
+    from deepchecks_spark.pipeline.textstats import language_agreement
+
+    df = spark.createDataFrame(
+        [("en", "the cat sat on the mat and that was that"),
+         ("en", "this is of and to in that have with"),
+         ("de", "der hund und die katze ist nicht hier"),
+         ("fr", "le chat est sur la table et pas ici"),
+         ("fr", "xyzzy qwerty plugh"),          # no markers → unknown
+         ("zh", "the spark engine")],           # mislabeled → en
+        "lang string, text string")
+    rows = {(r["lang"], r["lang_pred"]): r["n_docs"]
+            for r in language_agreement(df, "lang", "text").collect()}
+    assert rows[("en", "en")] == 2
+    assert rows[("de", "de")] == 1
+    assert rows[("fr", "fr")] == 1
+    assert rows[("fr", "unknown")] == 1
+    assert rows[("zh", "en")] == 1
+
+
+def test_neardup_precision_sample_is_deterministic_and_exact(spark):
+    from deepchecks_spark.pipeline.dedup import neardup_precision_sample
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),       # exact dup of 1
+         (3, "alpha beta gamma delta zeta"),          # 3 shared / 3+... shingles
+         (4, "completely different words entirely here")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    out1 = sorted(map(tuple, neardup_precision_sample(
+        pairs, docs, "doc_id", "text", n=2).collect()))
+    out2 = sorted(map(tuple, neardup_precision_sample(
+        pairs, docs, "doc_id", "text", n=2).collect()))
+    assert out1 == out2 and len(out1) == 2      # md5 order is stable
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in neardup_precision_sample(
+                pairs, docs, "doc_id", "text", n=10).collect()}
+    assert full[(1, 2)] == 1.0
+    assert 0.0 < full[(1, 3)] < 1.0
+    assert full[(1, 4)] == 0.0
