@@ -2100,6 +2100,58 @@ def o_streaming_dedup_events():
     """
 
 
+def q_streaming_constraints_events(spark, sf_dir):
+    """Streaming Deequ-style contract monitoring
+    (streaming.py::StreamingConstraintsMonitor): per daily event-time
+    window, violation counts for a not_null + in_range contract from
+    the windowed streaming aggregation — the window key makes the
+    drained counts equal the batch GROUP BY regardless of file-replay
+    order (the streaming_dedup convention)."""
+    import hashlib
+    import os
+
+    from deepchecks_spark.checks.constraints import in_range, not_null
+    from deepchecks_spark.streaming import StreamingConstraintsMonitor
+
+    batch = _t(spark, sf_dir, "events")
+    stage_dir = ("/tmp/spark_graft_stream/events_"
+                 + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        batch.repartition(8).write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    mon = StreamingConstraintsMonitor(
+        [not_null("props"), in_range("value", 0.0, 50.0)])
+    q = mon.start(stream, time_col="ts", window_duration="1 day",
+                  watermark="40 days")
+    q.processAllAvailable()
+    q.stop()
+    rows = [
+        (start.strftime("%Y-%m-%d"), v["n"],
+         v["violations"]["not_null(props)"],
+         v["violations"]["in_range[0.0, 50.0](value)"])
+        for start, v in sorted(mon.counts.items())
+    ]
+    return spark.createDataFrame(
+        rows, "window_start string, n_rows long, n_null_props long, "
+              "n_value_oob long")
+
+
+def o_streaming_constraints_events():
+    return """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+           count(*)::BIGINT AS n_rows,
+           sum((props IS NULL)::INT)::BIGINT AS n_null_props,
+           sum((value IS NOT NULL AND (value < 0.0 OR value > 50.0))::INT)::BIGINT
+             AS n_value_oob
+    FROM events GROUP BY 1 ORDER BY 1
+    """
+
+
 def q_dedup_clusters_documents(spark, sf_dir):
     """Connected-components dedup clustering: CHAIN pairs only —
     (id, id+1) within each 4-id group, plus a bridge to the next group
@@ -6282,6 +6334,7 @@ QUERIES = {
     "bpe_fertility_documents": q_bpe_fertility_documents,
     "language_agreement_documents": q_language_agreement_documents,
     "neardup_precision_documents": q_neardup_precision_documents,
+    "streaming_constraints_events": q_streaming_constraints_events,
     "streaming_neardup_documents": q_streaming_neardup_documents,
     "filter_funnel_documents": q_filter_funnel_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
@@ -6505,6 +6558,7 @@ ORACLES = {
     "bpe_fertility_documents": o_bpe_fertility_documents(),
     "language_agreement_documents": o_language_agreement_documents(),
     "neardup_precision_documents": o_neardup_precision_documents(),
+    "streaming_constraints_events": o_streaming_constraints_events(),
     "streaming_neardup_documents": o_streaming_neardup_documents(),
     "filter_funnel_documents": o_filter_funnel_documents(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),

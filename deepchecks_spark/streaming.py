@@ -652,6 +652,130 @@ class StreamingPerformanceMonitor:
         return writer.start()
 
 
+class StreamingConstraintsMonitor:
+    """Continuous Deequ-style contract monitoring — the streaming half
+    of checks/constraints.py: per event-time window, per ROW-LOCAL
+    constraint (not_null / in_range / in_set / not_in_set /
+    matches_regex), the violation count from the same fused
+    one-scan aggregation the batch engine runs, maintained as a
+    streaming stateful agg (mergeable partial sums, watermark-bounded
+    state).
+
+    ``counts``: {window_start: {"n": int, "violations": {label: int}}}
+    — always the latest absolute totals per window (update-mode rows
+    carry absolute sums, so the fold is an idempotent upsert and
+    checkpoint replay converges, the PSI-monitor convention).
+    ``verdict_rows(max_violation_frac)`` flattens to per-(window, rule)
+    pass/fail dicts.
+
+    Out of scope, by the same design as the batch engine: ``unique``
+    needs cross-window global state (StreamingDedupMonitor IS that
+    monitor), metadata rules (has_column/has_dtype/min_rows) are
+    static schema facts, and oversized membership sets would inline
+    giant literals into the streaming plan — all raise upfront with
+    guidance rather than degrading silently.
+
+    Resumability: ``checkpoint_dir`` persists the streaming agg state +
+    offsets; ``state_path`` JSON-persists the driver fold (same
+    _load/_save helpers as the PSI monitor).
+    """
+
+    def __init__(self, constraints: list, state_path: str | None = None):
+        from deepchecks_spark.checks.constraints import (
+            ROW_LOCAL,
+            _is_big_set,
+            _label,
+            _revalidate_specs,
+        )
+
+        if not constraints:
+            raise ValueError("no constraints given")
+        _revalidate_specs(constraints)
+        bad = [s["kind"] for s in constraints if s["kind"] not in ROW_LOCAL]
+        if bad:
+            raise ValueError(
+                f"StreamingConstraintsMonitor supports row-local constraints "
+                f"only, got: {sorted(set(bad))} — run unique through "
+                "StreamingDedupMonitor and metadata rules through the batch "
+                "engine")
+        big = [_label(s) for s in constraints if _is_big_set(s)]
+        if big:
+            raise ValueError(
+                f"membership sets too large to inline into a streaming plan: "
+                f"{big} — pre-join the reference set into the stream instead")
+        self.constraints = list(constraints)
+        # label + column disambiguates two same-kind rules on
+        # different columns (the batch engine returns column as its
+        # own output field; the fold dict needs one flat key)
+        self.labels = [f"{_label(s)}({s['column']})" for s in constraints]
+        self.state_path = state_path
+        self.counts: dict = {}
+        if state_path:
+            loaded = _load_monitor_state(state_path)
+            if loaded is not None:
+                import datetime
+
+                self.counts = {
+                    datetime.datetime.fromisoformat(k): v
+                    for k, v in loaded["counts"].items()
+                }
+
+    def start(self, stream_df: DataFrame, time_col: str = "warc_ts",
+              window_duration: str = "1 day", watermark: str = "30 minutes",
+              checkpoint_dir: str | None = None):
+        from deepchecks_spark.checks.constraints import _violation_expr
+
+        _warn_unresumable_fold(checkpoint_dir, self.state_path)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, s in enumerate(self.constraints):
+            aggs.append(F.sum(_violation_expr(s)).alias(f"__v{i}"))
+        windowed = (
+            stream_df.withWatermark(time_col, watermark)
+            .groupBy(F.window(F.col(time_col), window_duration).alias("w"))
+            .agg(*aggs)
+        )
+
+        def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+            touched = False
+            for r in batch_df.collect():  # bounded: touched windows
+                start = r["w"]["start"]
+                self.counts[start] = {
+                    "n": int(r["__n"]),
+                    "violations": {lbl: int(r[f"__v{i}"] or 0)
+                                   for i, lbl in enumerate(self.labels)},
+                }
+                touched = True
+            if self.state_path and touched:
+                _save_monitor_state(self.state_path, {
+                    "counts": {k.isoformat(): v
+                               for k, v in self.counts.items()},
+                })
+
+        writer = windowed.writeStream.outputMode("update").foreachBatch(_fold)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
+
+    def verdict_rows(self, max_violation_frac: float = 0.0) -> list:
+        """Flatten counts to per-(window, constraint) verdicts:
+        [{window_start, constraint, n_rows, n_violations,
+          violation_frac, passed}] sorted by (window, label)."""
+        out = []
+        for start in sorted(self.counts):
+            c = self.counts[start]
+            n = c["n"]
+            for lbl in self.labels:
+                v = c["violations"][lbl]
+                frac = (v / n) if n else 0.0
+                out.append({
+                    "window_start": start, "constraint": lbl,
+                    "n_rows": n, "n_violations": v,
+                    "violation_frac": round(frac, 6),
+                    "passed": frac <= max_violation_frac,
+                })
+        return out
+
+
 class StreamingNearDupMonitor:
     """Streaming NEAR-duplicate detection against an ever-growing
     MinHash signature index — the streaming twin of

@@ -775,3 +775,61 @@ def test_streaming_neardup_compact_bounds_sink_and_preserves_matching(spark, tmp
     # verify the within-batch collapse caught the 1/10 duplicate pair
     last = max(mon2.counts)
     assert mon2.counts[last]["n_flagged"] >= 1
+
+
+def test_streaming_constraints_monitor_matches_batch_counts(spark, tmp_path):
+    """Drained per-window violation counts equal the batch GROUP BY over
+    the same rows, regardless of micro-batch slicing; state JSON
+    round-trips into a fresh monitor."""
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.checks.constraints import in_range, not_null
+    from deepchecks_spark.streaming import StreamingConstraintsMonitor
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state.json")
+    # plant NULLs so not_null is non-vacuous (raw events have none)
+    events = events.withColumn(
+        "props", F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("props")))
+    specs = [not_null("props"), in_range("value", 0.0, 50.0)]
+    events.repartition(3).write.parquet(src)
+    mon = StreamingConstraintsMonitor(specs, state_path=state)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    q = mon.start(stream, time_col="ts", window_duration="1 day",
+                  watermark="60 days")
+    q.processAllAvailable()
+    q.stop()
+    want = {r["d"]: r for r in events.groupBy(
+        F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("props").isNull().cast("long")).alias("v0"),
+        F.sum((F.col("value").isNotNull()
+               & ((F.col("value") < 0.0) | (F.col("value") > 50.0)))
+              .cast("long")).alias("v1")).collect()}
+    assert len(mon.counts) == len(want)
+    for day, r in want.items():
+        got = mon.counts[day]
+        assert got["n"] == r["n"]
+        assert got["violations"]["not_null(props)"] == (r["v0"] or 0)
+        assert got["violations"]["in_range[0.0, 50.0](value)"] == (r["v1"] or 0)
+    # verdicts flatten + state restore
+    rows = mon.verdict_rows(max_violation_frac=0.0)
+    assert len(rows) == 2 * len(want)
+    mon2 = StreamingConstraintsMonitor(specs, state_path=state)
+    assert mon2.counts == mon.counts
+
+
+def test_streaming_constraints_monitor_rejects_unsupported_rules(spark):
+    from deepchecks_spark.checks.constraints import in_set, min_rows, unique
+    from deepchecks_spark.streaming import StreamingConstraintsMonitor
+
+    with pytest.raises(ValueError, match="row-local"):
+        StreamingConstraintsMonitor([unique("a"), min_rows(1)])
+    with pytest.raises(ValueError, match="too large"):
+        StreamingConstraintsMonitor(
+            [in_set("a", [str(i) for i in range(5000)])])
