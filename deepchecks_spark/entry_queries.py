@@ -5941,6 +5941,56 @@ def o_pagerank_documents():
     """
 
 
+def q_trustrank_documents(spark, sf_dir):
+    """TrustRank over the arithmetic link fixture, seeded with the two
+    lexicographically-first source hosts (pipeline/webgraph.py::
+    trustrank). The oracle unrolls the personalized power method in
+    pure SQL — teleport vector on the seed set, dangling mass
+    redistributed BY the teleport vector, float association matched to
+    the engine — so any slip in personalization, seeding, or damping
+    shifts every rank and breaks the hash."""
+    from deepchecks_spark.pipeline.webgraph import trustrank
+
+    edges = _t(spark, sf_dir, "documents").selectExpr(
+        _LINK_SRC_SQL + " AS src", _LINK_DST_SQL + " AS dst")
+    seeds = [r["src"] for r in
+             edges.select("src").distinct().orderBy("src").limit(2).collect()]
+    out = trustrank(edges, seeds, n_iterations=2)
+    return out.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
+def o_trustrank_documents():
+    def step(i, prev):
+        return f"""
+    c{i} AS (SELECT e.dst AS id, sum({prev}.r / deg.d) AS c
+             FROM e JOIN {prev} ON e.src = {prev}.id
+                    JOIN deg ON e.src = deg.src
+             GROUP BY e.dst),
+    d{i} AS (SELECT coalesce(sum(r), 0.0) AS dm FROM {prev}
+             WHERE id NOT IN (SELECT src FROM e)),
+    r{i} AS (SELECT vv.id,
+                    ((1.0 - 0.85) * vv.v
+                     + (0.85 * (SELECT dm FROM d{i})) * vv.v)
+                    + 0.85 * coalesce(c{i}.c, 0.0) AS r
+             FROM vv LEFT JOIN c{i} ON vv.id = c{i}.id)"""
+
+    return f"""
+    WITH e AS ({_LINK_EDGES_CTE}),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    seeds AS (SELECT DISTINCT src FROM e ORDER BY src LIMIT 2),
+    ns AS (SELECT count(*)::DOUBLE AS n FROM nodes
+           WHERE id IN (SELECT src FROM seeds)),
+    vv AS (SELECT id, CASE WHEN id IN (SELECT src FROM seeds)
+                           THEN 1.0 / (SELECT n FROM ns)
+                           ELSE 0.0 END AS v FROM nodes),
+    deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+    r0 AS (SELECT id, v AS r FROM vv),
+    {step(1, 'r0')},
+    {step(2, 'r1')}
+    SELECT id, round(r, 6) AS rank FROM r2 ORDER BY id
+    """
+
+
 def q_linkgraph_documents(spark, sf_dir):
     """Link-graph structural profile over the same fixture. The oracle
     recomputes every number with independent SQL strategies (NOT IN for
@@ -6335,6 +6385,7 @@ QUERIES = {
     "language_agreement_documents": q_language_agreement_documents,
     "neardup_precision_documents": q_neardup_precision_documents,
     "streaming_constraints_events": q_streaming_constraints_events,
+    "trustrank_documents": q_trustrank_documents,
     "streaming_neardup_documents": q_streaming_neardup_documents,
     "filter_funnel_documents": q_filter_funnel_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
@@ -6559,6 +6610,7 @@ ORACLES = {
     "language_agreement_documents": o_language_agreement_documents(),
     "neardup_precision_documents": o_neardup_precision_documents(),
     "streaming_constraints_events": o_streaming_constraints_events(),
+    "trustrank_documents": o_trustrank_documents(),
     "streaming_neardup_documents": o_streaming_neardup_documents(),
     "filter_funnel_documents": o_filter_funnel_documents(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),

@@ -149,3 +149,46 @@ def test_extract_links_feeds_pagerank_end_to_end(spark):
     # symmetric 2-cycle a<->b: uniform 1/2 each
     assert ranks["a.example"] == pytest.approx(0.5, abs=1e-9)
     assert ranks["b.example"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_trustrank_matches_numpy_and_isolates_unreached_spam(spark):
+    import numpy as np
+
+    # trusted: a. Chain a->b->c; spam farm d<->e unreachable from a.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("e", "d")],
+        "src string, dst string")
+    from deepchecks_spark.pipeline.webgraph import trustrank
+
+    got = {r["id"]: r["rank"]
+           for r in trustrank(edges, ["a"], n_iterations=12).collect()}
+    # numpy twin: nodes a b c d e; v = [1,0,0,0,0]
+    idx = {n: i for i, n in enumerate("abcde")}
+    out = {"a": ["b"], "b": ["c"], "d": ["e"], "e": ["d"]}
+    v = np.array([1.0, 0, 0, 0, 0])
+    r = v.copy()
+    d = 0.85
+    for _ in range(12):
+        contrib = np.zeros(5)
+        dm = 0.0
+        for s, ds in out.items():
+            for t in ds:
+                contrib[idx[t]] += r[idx[s]] / len(ds)
+        dm = sum(r[idx[n]] for n in "abcde" if n not in out)
+        r = (1 - d) * v + d * dm * v + d * contrib
+    for n in "abcde":
+        assert got[n] == pytest.approx(r[idx[n]], abs=1e-12)
+    assert got["d"] == 0.0 and got["e"] == 0.0       # spam isolation
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_trustrank_input_validation(spark):
+    from deepchecks_spark.pipeline.webgraph import trustrank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="non-empty seed"):
+        trustrank(edges, [])
+    with pytest.raises(ValueError, match="no seed appears"):
+        trustrank(edges, ["zzz"])
+    with pytest.raises(ValueError, match="plan literals"):
+        trustrank(edges, [str(i) for i in range(10_001)])
