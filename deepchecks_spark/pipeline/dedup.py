@@ -313,7 +313,14 @@ def incremental_candidates_from_signatures(
         broadcast_batch: bool = False) -> DataFrame:
     """incremental_minhash_candidates when the batch is ALREADY signed —
     the streaming-monitor path, where the micro-batch's signatures are
-    computed once and reused for both matching and index append."""
+    computed once and reused for both matching and index append.
+
+    Signatures whose length differs from ``num_hashes`` (an index built
+    with different settings) are DROPPED rather than mis-scored: the
+    agreement estimate divides by num_hashes, and zip_with would
+    silently truncate to the shorter array."""
+    bsig = bsig.filter(F.size("signature") == num_hashes)
+    corpus_sigs = corpus_sigs.filter(F.size("signature") == num_hashes)
     b_entries = (signature_band_entries(bsig, id_col, num_hashes, bands)
                  .withColumnRenamed(id_col, "batch_id"))
     c_entries = (signature_band_entries(corpus_sigs, id_col, num_hashes, bands)

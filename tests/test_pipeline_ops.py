@@ -2716,3 +2716,25 @@ def test_neardup_precision_sample_is_deterministic_and_exact(spark):
     assert full[(1, 2)] == 1.0
     assert 0.0 < full[(1, 3)] < 1.0
     assert full[(1, 4)] == 0.0
+
+
+def test_incremental_minhash_drops_mismatched_signature_lengths(spark):
+    """An index built with different num_hashes must be dropped, not
+    silently truncated into a wrong agreement estimate."""
+    from deepchecks_spark.pipeline.dedup import (
+        incremental_candidates_from_signatures,
+        minhash_signatures,
+    )
+
+    batch = spark.createDataFrame(
+        [(10, "some corpus document with enough words to shingle properly")],
+        "doc_id long, text string")
+    bsig = minhash_signatures(batch, "doc_id", "text", num_hashes=64)
+    # 32-hash "index": prefix-identical to the 64-hash signature, so a
+    # zip_with truncation would score agreement 32/64 = 0.5
+    short = minhash_signatures(
+        batch.selectExpr("1 AS doc_id", "text"), "doc_id", "text",
+        num_hashes=32)
+    out = incremental_candidates_from_signatures(
+        bsig, short, "doc_id", num_hashes=64, threshold=0.1)
+    assert out.count() == 0
