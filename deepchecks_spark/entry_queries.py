@@ -5941,6 +5941,64 @@ def o_pagerank_documents():
     """
 
 
+_FUZZY_LEFT_SQL = (
+    "concat('site', CAST(doc_id % 137 AS STRING), '.com/path',"
+    " CAST(doc_id % 7 AS STRING))"
+)
+_FUZZY_RIGHT_SQL = (
+    # every 3rd key drops its last character — a distance-1 deletion
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "substring(concat('site', CAST(doc_id % 137 AS STRING), '.com/path',"
+    " CAST(doc_id % 7 AS STRING)), 1, length(concat('site',"
+    " CAST(doc_id % 137 AS STRING), '.com/path',"
+    " CAST(doc_id % 7 AS STRING))) - 1) "
+    "ELSE concat('site', CAST(doc_id % 137 AS STRING), '.com/path',"
+    " CAST(doc_id % 7 AS STRING)) END"
+)
+_DUCK_FUZZY_LEFT = (
+    "'site' || CAST(doc_id % 137 AS VARCHAR) || '.com/path'"
+    " || CAST(doc_id % 7 AS VARCHAR)"
+)
+_DUCK_FUZZY_RIGHT = (
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "substring('site' || CAST(doc_id % 137 AS VARCHAR) || '.com/path'"
+    " || CAST(doc_id % 7 AS VARCHAR), 1, length('site'"
+    " || CAST(doc_id % 137 AS VARCHAR) || '.com/path'"
+    " || CAST(doc_id % 7 AS VARCHAR)) - 1) "
+    "ELSE 'site' || CAST(doc_id % 137 AS VARCHAR) || '.com/path'"
+    " || CAST(doc_id % 7 AS VARCHAR) END"
+)
+
+
+def q_fuzzy_keys_documents(spark, sf_dir):
+    """Typo-tolerant key join (pipeline/relational.py::
+    fuzzy_key_matches — SymSpell symmetric-delete blocking, provably
+    full recall at Levenshtein distance 1, no cartesian): crawl-A keys
+    vs crawl-B keys where every third B key dropped its last
+    character. Because recall is complete, the oracle brute-forces the
+    ground truth with DuckDB's independent levenshtein over the
+    bounded distinct key sets and demands exact equality."""
+    from deepchecks_spark.pipeline.relational import fuzzy_key_matches
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 400")
+    left = docs.selectExpr(_FUZZY_LEFT_SQL + " AS url")
+    right = docs.selectExpr(_FUZZY_RIGHT_SQL + " AS url")
+    return fuzzy_key_matches(left, right, "url")
+
+
+def o_fuzzy_keys_documents():
+    return f"""
+    WITH l AS (SELECT DISTINCT {_DUCK_FUZZY_LEFT} AS k
+               FROM documents WHERE doc_id < 400),
+         r AS (SELECT DISTINCT {_DUCK_FUZZY_RIGHT} AS k
+               FROM documents WHERE doc_id < 400)
+    SELECT l.k AS key_a, r.k AS key_b,
+           levenshtein(l.k, r.k)::INT AS dist
+    FROM l CROSS JOIN r
+    WHERE levenshtein(l.k, r.k) <= 1
+    """
+
+
 def q_trustrank_documents(spark, sf_dir):
     """TrustRank over the arithmetic link fixture, seeded with the two
     lexicographically-first source hosts (pipeline/webgraph.py::
@@ -6386,6 +6444,7 @@ QUERIES = {
     "neardup_precision_documents": q_neardup_precision_documents,
     "streaming_constraints_events": q_streaming_constraints_events,
     "trustrank_documents": q_trustrank_documents,
+    "fuzzy_keys_documents": q_fuzzy_keys_documents,
     "streaming_neardup_documents": q_streaming_neardup_documents,
     "filter_funnel_documents": q_filter_funnel_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
@@ -6611,6 +6670,7 @@ ORACLES = {
     "neardup_precision_documents": o_neardup_precision_documents(),
     "streaming_constraints_events": o_streaming_constraints_events(),
     "trustrank_documents": o_trustrank_documents(),
+    "fuzzy_keys_documents": o_fuzzy_keys_documents(),
     "streaming_neardup_documents": o_streaming_neardup_documents(),
     "filter_funnel_documents": o_filter_funnel_documents(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),

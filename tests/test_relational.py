@@ -307,3 +307,53 @@ class TestSkewProfile:
         plan = _plan(skew_profile(df, ["k"], top_k=2))
         assert "TakeOrderedAndProject" in plan
         assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 2
+
+
+def test_fuzzy_key_matches_equals_brute_force_at_distance_one(spark):
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.pipeline.relational import fuzzy_key_matches
+
+    a = spark.createDataFrame(
+        [("example.com/page1",), ("example.com/page2",), ("other.net/x",),
+         ("abc",), (None,)], "url string")
+    b = spark.createDataFrame(
+        [("example.com/page1",),     # exact
+         ("example.com/pge1",),      # deletion
+         ("example.com/pagge2",),    # insertion
+         ("example.com/pagE2",),     # substitution
+         ("totally-different",), ("ab",), ("abcd",)], "url string")
+    got = sorted(map(tuple, fuzzy_key_matches(a, b, "url").collect()))
+    # brute-force ground truth (recall is provably complete at d=1)
+    want = sorted(map(tuple, (
+        a.filter(F.col("url").isNotNull()).alias("l")
+        .crossJoin(b.alias("r"))
+        .select(F.col("l.url").alias("key_a"), F.col("r.url").alias("key_b"),
+                F.levenshtein("l.url", "r.url").alias("dist"))
+        .filter(F.col("dist") <= 1).collect())))
+    assert got == want
+    pairs = {(r[0], r[1]): r[2] for r in got}
+    assert pairs[("example.com/page1", "example.com/page1")] == 0
+    assert pairs[("example.com/page1", "example.com/pge1")] == 1
+    assert pairs[("example.com/page2", "example.com/pagge2")] == 1
+    assert pairs[("example.com/page2", "example.com/pagE2")] == 1
+    assert pairs[("abc", "ab")] == 1 and pairs[("abc", "abcd")] == 1
+    assert not any(k[1] == "totally-different" for k in pairs)
+
+
+def test_fuzzy_key_matches_rejects_wider_distance(spark):
+    from deepchecks_spark.pipeline.relational import fuzzy_key_matches
+
+    df = spark.createDataFrame([("a",)], "url string")
+    with pytest.raises(ValueError, match="max_dist=1"):
+        fuzzy_key_matches(df, df, "url", max_dist=2)
+
+
+def test_fuzzy_key_matches_plan_has_no_cartesian(spark):
+    from deepchecks_spark.pipeline.relational import fuzzy_key_matches
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .selectExpr("source AS url")
+    plan = (fuzzy_key_matches(df, df, "url")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
