@@ -5970,6 +5970,37 @@ _DUCK_FUZZY_RIGHT = (
 )
 
 
+def q_fold_accents_documents(spark, sf_dir):
+    """Accent folding (pipeline/textstats.py::fold_accents — one
+    codegen'd translate over a unicodedata-generated 1:1 map, zero
+    shuffle) on planted accented rewrites. The oracle is DuckDB's
+    INDEPENDENT utf8proc strip_accents implementation — two different
+    engines, two different algorithms, demanded byte-equal (including
+    the non-decomposable ł/ß/æ/œ/ð pass-throughs)."""
+    from deepchecks_spark.pipeline.textstats import fold_accents
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 200").selectExpr(
+        "doc_id",
+        "CASE CAST(doc_id % 4 AS INT) "
+        "WHEN 0 THEN concat('café résumé naïvety № ', CAST(doc_id AS STRING)) "
+        "WHEN 1 THEN concat('ÀÉÎÕÜ çĆčŘż Zürich ', CAST(doc_id AS STRING)) "
+        "WHEN 2 THEN concat('ł ß æ œ ð untouched ', CAST(doc_id AS STRING)) "
+        "ELSE text END AS text")
+    return fold_accents(docs, "text", "folded").select("doc_id", "folded")
+
+
+def o_fold_accents_documents():
+    return """
+    SELECT doc_id,
+           strip_accents(CASE doc_id % 4
+             WHEN 0 THEN 'café résumé naïvety № ' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'ÀÉÎÕÜ çĆčŘż Zürich ' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN 'ł ß æ œ ð untouched ' || CAST(doc_id AS VARCHAR)
+             ELSE text END) AS folded
+    FROM documents WHERE doc_id < 200
+    """
+
+
 def q_fuzzy_keys_documents(spark, sf_dir):
     """Typo-tolerant key join (pipeline/relational.py::
     fuzzy_key_matches — SymSpell symmetric-delete blocking, provably
@@ -6445,6 +6476,7 @@ QUERIES = {
     "streaming_constraints_events": q_streaming_constraints_events,
     "trustrank_documents": q_trustrank_documents,
     "fuzzy_keys_documents": q_fuzzy_keys_documents,
+    "fold_accents_documents": q_fold_accents_documents,
     "streaming_neardup_documents": q_streaming_neardup_documents,
     "filter_funnel_documents": q_filter_funnel_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
@@ -6671,6 +6703,7 @@ ORACLES = {
     "streaming_constraints_events": o_streaming_constraints_events(),
     "trustrank_documents": o_trustrank_documents(),
     "fuzzy_keys_documents": o_fuzzy_keys_documents(),
+    "fold_accents_documents": o_fold_accents_documents(),
     "streaming_neardup_documents": o_streaming_neardup_documents(),
     "filter_funnel_documents": o_filter_funnel_documents(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),

@@ -255,6 +255,42 @@ def gopher_quality_rules(
     )
 
 
+def _accent_fold_map() -> tuple[str, str]:
+    """(src, dst) char strings for Spark's 1:1 ``translate``: every
+    Latin-1 Supplement / Latin Extended-A/B character whose NFD
+    decomposition is one base character plus combining marks maps to
+    that base. This is EXACTLY utf8proc/DuckDB ``strip_accents``
+    semantics on those ranges (verified char-for-char): characters
+    with no mark decomposition (ł, ß, æ, œ, ð) pass through on both
+    engines."""
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0x00C0, 0x0250):
+        ch = chr(cp)
+        d = unicodedata.normalize("NFD", ch)
+        base = "".join(c for c in d if unicodedata.category(c) != "Mn")
+        if len(base) == 1 and base != ch:
+            src.append(ch)
+            dst.append(base)
+    return "".join(src), "".join(dst)
+
+
+def fold_accents(df: DataFrame, text_col: str,
+                 out_col: str | None = None) -> DataFrame:
+    """Accent/diacritic folding (café → cafe) — the normalization step
+    before accent-insensitive dedup keys, URL slugs, or fuzzy key
+    matching. One codegen'd ``translate`` over a generated 1:1 map —
+    zero shuffle, zero Python per row; semantics equal DuckDB's
+    utf8proc ``strip_accents`` on the covered Latin ranges (see
+    _accent_fold_map). Combining marks typed as separate codepoints
+    (NFD input) are NOT removed — run text through NFC normalization
+    first (pipeline/webclean.py) if the corpus mixes forms."""
+    s, d = _accent_fold_map()
+    return df.withColumn(out_col or text_col,
+                         F.translate(F.col(text_col), s, d))
+
+
 def language_agreement(df: DataFrame, lang_col: str, text_col: str) -> DataFrame:
     """Confusion table between the DECLARED language column and the
     content-based language_id prediction — the standard wrong-label /

@@ -2738,3 +2738,34 @@ def test_incremental_minhash_drops_mismatched_signature_lengths(spark):
     out = incremental_candidates_from_signatures(
         bsig, short, "doc_id", num_hashes=64, threshold=0.1)
     assert out.count() == 0
+
+
+def test_fold_accents_matches_python_twin_and_is_shuffle_free(spark):
+    import unicodedata
+
+    from deepchecks_spark.pipeline.textstats import fold_accents
+
+    texts = ["café résumé naïve señor Zürich",
+             "ÀÉÎÕÜ çĆčŘż", "ł ß æ œ ð untouched", "plain ascii", None]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    got = {r["id"]: r["folded"]
+           for r in fold_accents(df, "text", "folded").collect()}
+
+    def twin(t):
+        if t is None:
+            return None
+        out = []
+        for ch in t:
+            d = unicodedata.normalize("NFD", ch)
+            base = "".join(c for c in d if unicodedata.category(c) != "Mn")
+            out.append(base if len(base) == 1 else ch)
+        return "".join(out)
+
+    for i, t in enumerate(texts):
+        assert got[i] == twin(t), (t, got[i])
+    assert got[0] == "cafe resume naive senor Zurich"
+    assert got[2] == "ł ß æ œ ð untouched"
+    plan = (fold_accents(df, "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
