@@ -5970,6 +5970,57 @@ _DUCK_FUZZY_RIGHT = (
 )
 
 
+def q_robots_compliance_documents(spark, sf_dir):
+    """Robots.txt compliance audit (pipeline/webclean.py::
+    parse_robots_rules + robots_disallowed — Arrow-batched per-host
+    parse, one host equi-join, codegen longest-match argmax): planted
+    robots for the EVEN hosts (Disallow /private/ with a longer
+    /private/ok Allow carve-out), URLs spread across four path shapes.
+    The oracle computes the expected verdict arithmetically from the
+    construction — it never parses robots — so any slip in grouping,
+    precedence, longest-match, or missing-host defaults flips rows."""
+    from deepchecks_spark.pipeline.webclean import (
+        parse_robots_rules,
+        robots_disallowed,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 400")
+    urls = docs.selectExpr(
+        "doc_id",
+        "concat('http://h', CAST(doc_id % 20 AS STRING), '.com', "
+        "CASE CAST(doc_id % 4 AS INT) "
+        "WHEN 0 THEN concat('/pub/', CAST(doc_id AS STRING)) "
+        "WHEN 1 THEN concat('/private/x', CAST(doc_id AS STRING)) "
+        "WHEN 2 THEN concat('/private/okay', CAST(doc_id AS STRING)) "
+        "ELSE '/private/ok' END) AS url")
+    robots = (docs.selectExpr("CAST(doc_id % 20 AS INT) AS hid")
+              .filter("hid % 2 = 0").distinct()
+              .selectExpr(
+                  "concat('h', CAST(hid AS STRING), '.com') AS host",
+                  "'User-agent: *\\nDisallow: /private/\\nAllow: /private/ok\\n'"
+                  " AS robots"))
+    rules = parse_robots_rules(robots, "host", "robots")
+    return (robots_disallowed(urls, rules, "url")
+            .select("doc_id", "url", "robots_allowed"))
+
+
+def o_robots_compliance_documents():
+    return """
+    SELECT doc_id,
+           'http://h' || CAST(doc_id % 20 AS VARCHAR) || '.com' ||
+           CASE doc_id % 4
+             WHEN 0 THEN '/pub/' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN '/private/okay' || CAST(doc_id AS VARCHAR)
+             ELSE '/private/ok' END AS url,
+           CASE WHEN (doc_id % 20) % 2 = 1 THEN TRUE   -- no robots: allowed
+                WHEN doc_id % 4 = 1 THEN FALSE         -- /private/ disallow
+                ELSE TRUE                              -- pub / allow carve-out
+           END AS robots_allowed
+    FROM documents WHERE doc_id < 400
+    """
+
+
 def q_fold_accents_documents(spark, sf_dir):
     """Accent folding (pipeline/textstats.py::fold_accents — one
     codegen'd translate over a unicodedata-generated 1:1 map, zero
@@ -6477,6 +6528,7 @@ QUERIES = {
     "trustrank_documents": q_trustrank_documents,
     "fuzzy_keys_documents": q_fuzzy_keys_documents,
     "fold_accents_documents": q_fold_accents_documents,
+    "robots_compliance_documents": q_robots_compliance_documents,
     "streaming_neardup_documents": q_streaming_neardup_documents,
     "filter_funnel_documents": q_filter_funnel_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
@@ -6704,6 +6756,7 @@ ORACLES = {
     "trustrank_documents": o_trustrank_documents(),
     "fuzzy_keys_documents": o_fuzzy_keys_documents(),
     "fold_accents_documents": o_fold_accents_documents(),
+    "robots_compliance_documents": o_robots_compliance_documents(),
     "streaming_neardup_documents": o_streaming_neardup_documents(),
     "filter_funnel_documents": o_filter_funnel_documents(),
     "dedup_clusters_documents": o_dedup_clusters_documents(),

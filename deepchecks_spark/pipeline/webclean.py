@@ -913,3 +913,122 @@ def extract_page_metadata(df: DataFrame, html_col: str,
         canonical.alias("canonical_url"),
         F.coalesce(n_anchors, F.lit(0)).cast("int").alias("n_anchors"),
     )
+
+
+def parse_robots_rules(df: DataFrame, host_col: str, robots_col: str,
+                       user_agent: str = "*") -> DataFrame:
+    """Parse per-host robots.txt payloads into a rules table
+    ``(host, path, allow, wildcard)`` — the crawl-compliance half a
+    politeness-aware pipeline needs before fetching or before auditing
+    an existing corpus against today's robots.
+
+    REP (RFC 9309) subset, documented: groups are consecutive
+    ``User-agent`` lines followed by ``Allow``/``Disallow`` records
+    (field names case-insensitive, ``#`` comments stripped); the
+    group(s) matching ``user_agent`` exactly (case-insensitive) win,
+    falling back to the ``*`` group(s); empty-path ``Disallow:`` is the
+    spec's "allow everything" no-op and is dropped. Rules whose path
+    contains ``*`` or ``$`` are kept but flagged ``wildcard=true`` —
+    :func:`robots_disallowed` matches literal prefixes only and
+    EXCLUDES wildcard rules (the common-subset trade, stated loudly
+    rather than half-matched).
+
+    Scale shape: robots payloads are small per host, so parsing is one
+    Arrow-batched pass (a real per-host state machine — the documented
+    Python path); output is O(total rules), typically a few rows per
+    host."""
+    import pandas as pd
+
+    agent = user_agent.lower()
+    out_schema = (f"{host_col} string, path string, allow boolean, "
+                  "wildcard boolean")
+
+    def parse_one(text):
+        if text is None:
+            return []
+        groups = []          # (agents, rules)
+        agents, rules, in_group_header = [], [], False
+        for raw in str(text).splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            field, _, value = line.partition(":")
+            field = field.strip().lower()
+            value = value.strip()
+            if field == "user-agent":
+                if not in_group_header and agents:
+                    groups.append((agents, rules))
+                    agents, rules = [], []
+                agents.append(value.lower())
+                in_group_header = True
+            elif field in ("allow", "disallow"):
+                in_group_header = False
+                if agents:
+                    rules.append((value, field == "allow"))
+        if agents:
+            groups.append((agents, rules))
+        exact = [r for a, rs in groups if agent in a for r in rs]
+        star = [r for a, rs in groups if "*" in a for r in rs]
+        chosen = exact if any(agent in a for a, _ in groups) else star
+        out = []
+        for path, allow in chosen:
+            if not path and not allow:
+                continue               # empty Disallow: allow-all no-op
+            out.append((path, allow, "*" in path or "$" in path))
+        return out
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for host, text in zip(pdf[host_col], pdf[robots_col]):
+                for path, allow, wild in parse_one(text):
+                    rows.append((host, path, allow, wild))
+            yield pd.DataFrame(rows, columns=[host_col, "path", "allow",
+                                              "wildcard"])
+
+    return (df.select(host_col, robots_col)
+            .mapInPandas(gen, schema=out_schema))
+
+
+def robots_disallowed(urls: DataFrame, rules: DataFrame, url_col: str,
+                      host_col: str = "host") -> DataFrame:
+    """Audit a URL table against a parsed robots rules table: appends
+    ``robots_allowed`` using RFC 9309 precedence — the LONGEST matching
+    literal-prefix rule wins, ``allow`` wins length ties, and a URL
+    with no matching rule (or no rules for its host) is allowed.
+    Wildcard rules are excluded (see parse_robots_rules).
+
+    Scale shape: rules collapse to one array row per host (map-side-
+    combined collect_list — robots files are small, so the arrays are
+    too), ONE equi-join on host against the URL table, and the
+    longest-match argmax is a codegen'd filter + sort_array over the
+    per-host rule array — no explode of the URL side, no cartesian."""
+    per_host = (
+        rules.filter(~F.col("wildcard"))
+        .groupBy(host_col)
+        .agg(F.collect_list(F.struct("path", "allow")).alias("__rules"))
+    )
+    host_of = F.lower(F.regexp_extract(F.col(url_col),
+                                       r"^[a-z][a-z0-9+.-]*://([^/]+)", 1))
+    path_of = F.regexp_extract(F.col(url_col),
+                               r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1)
+    with_host = urls.withColumn("__h", host_of).withColumn(
+        "__p", F.coalesce(F.nullif(path_of, F.lit("")), F.lit("/")))
+    joined = with_host.join(
+        per_host.withColumnRenamed(host_col, "__h"), "__h", "left")
+    matching = F.filter(
+        F.col("__rules"), lambda r: F.col("__p").startswith(r["path"]))
+    # ascending struct sort on (-len, allow_rank): longest first, allow
+    # (rank 0) before disallow (rank 1) on equal length
+    ranked = F.sort_array(F.transform(
+        matching,
+        lambda r: F.struct((-F.length(r["path"])).alias("n"),
+                           F.when(r["allow"], 0).otherwise(1).alias("t"),
+                           r["allow"].alias("allow")),
+    ))
+    best = F.element_at(ranked, 1)
+    allowed = F.when(F.col("__rules").isNull()
+                     | (F.size(matching) == 0), F.lit(True)) \
+        .otherwise(best["allow"])
+    return joined.withColumn("robots_allowed", allowed) \
+        .drop("__rules", "__h", "__p")

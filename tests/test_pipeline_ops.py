@@ -2769,3 +2769,58 @@ def test_fold_accents_matches_python_twin_and_is_shuffle_free(spark):
     plan = (fold_accents(df, "text")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+ROBOTS_FIXTURE = """# comments ignored
+User-agent: gptbot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Disallow: /tmp
+Disallow:
+Allow: /private/okno$
+Disallow: /wild/*/cards
+"""
+
+
+def test_parse_robots_rules_groups_and_flags(spark):
+    from deepchecks_spark.pipeline.webclean import parse_robots_rules
+
+    df = spark.createDataFrame([("a.com", ROBOTS_FIXTURE), ("b.com", None)],
+                               "host string, robots string")
+    star = parse_robots_rules(df, "host", "robots").collect()
+    rows = {(r["path"], r["allow"], r["wildcard"]) for r in star}
+    assert rows == {("/private/", False, False), ("/private/ok", True, False),
+                    ("/tmp", False, False), ("/private/okno$", True, True),
+                    ("/wild/*/cards", False, True)}
+    bot = parse_robots_rules(df, "host", "robots", user_agent="GPTBot").collect()
+    assert {(r["path"], r["allow"]) for r in bot} == {("/", False)}
+
+
+def test_robots_disallowed_longest_match_precedence(spark):
+    from deepchecks_spark.pipeline.webclean import (
+        parse_robots_rules,
+        robots_disallowed,
+    )
+
+    robots = spark.createDataFrame([("a.com", ROBOTS_FIXTURE)],
+                                   "host string, robots string")
+    rules = parse_robots_rules(robots, "host", "robots")
+    urls = spark.createDataFrame(
+        [("http://a.com/public/x",),          # no matching rule -> allowed
+         ("http://a.com/private/secret",),    # /private/ disallow
+         ("http://a.com/private/ok/file",),   # longer allow wins
+         ("http://a.com/tmpfile",),           # prefix match disallows
+         ("http://a.com",),                   # bare host -> path '/'
+         ("http://other.net/anything",)],     # no rules for host
+        "url string")
+    got = {r["url"]: r["robots_allowed"]
+           for r in robots_disallowed(urls, rules, "url").collect()}
+    assert got["http://a.com/public/x"] is True
+    assert got["http://a.com/private/secret"] is False
+    assert got["http://a.com/private/ok/file"] is True
+    assert got["http://a.com/tmpfile"] is False
+    assert got["http://a.com"] is True
+    assert got["http://other.net/anything"] is True

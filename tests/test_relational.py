@@ -357,3 +357,40 @@ def test_fuzzy_key_matches_plan_has_no_cartesian(spark):
     plan = (fuzzy_key_matches(df, df, "url")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_fuzzy_key_matches_recall_property(spark):
+    """Property: for random strings and a random single edit
+    (insert/delete/substitute), the blocked join ALWAYS surfaces the
+    pair — the symmetric-delete completeness claim, exercised across
+    alphabets and lengths in one Spark job (one randomized corpus,
+    seeded)."""
+    import random
+
+    rng = random.Random(20260820)
+    alphabet = "abcxyz01._/"
+    originals, edited = [], []
+    for i in range(300):
+        n = rng.randint(1, 24)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        op = rng.choice(["ins", "del", "sub", "eq"])
+        pos = rng.randint(0, max(0, n - 1))
+        if op == "ins":
+            t = s[:pos] + rng.choice(alphabet) + s[pos:]
+        elif op == "del" and n > 1:
+            t = s[:pos] + s[pos + 1:]
+        elif op == "sub":
+            c = rng.choice(alphabet.replace(s[pos], "") or "q")
+            t = s[:pos] + c + s[pos + 1:]
+        else:
+            t = s
+        originals.append((f"L{i}:{s}",))
+        edited.append((f"L{i}:{t}",))  # shared prefix keeps pairs aligned
+    from deepchecks_spark.pipeline.relational import fuzzy_key_matches
+
+    left = spark.createDataFrame(originals, "url string")
+    right = spark.createDataFrame(edited, "url string")
+    got = {(r["key_a"], r["key_b"])
+           for r in fuzzy_key_matches(left, right, "url").collect()}
+    for (a,), (b,) in zip(originals, edited):
+        assert (a, b) in got, (a, b)
