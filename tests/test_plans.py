@@ -842,3 +842,29 @@ def test_ivfadc_mapside_index_broadcast_probe_single_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_robots_compliance_single_host_join_no_explode(spark):
+    """robots_disallowed: ONE equi-join on host, no cartesian, no
+    Generate (the URL side is never exploded — the longest-match argmax
+    runs inside the per-row rule array)."""
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.pipeline.webclean import (
+        parse_robots_rules,
+        robots_disallowed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    urls = docs.selectExpr(
+        "concat('http://h', CAST(doc_id % 20 AS STRING), '.com/p',"
+        " CAST(doc_id AS STRING)) AS url")
+    robots = spark.createDataFrame(
+        [(f"h{i}.com", "User-agent: *\nDisallow: /private/\n")
+         for i in range(0, 20, 2)], "host string, robots string")
+    out = robots_disallowed(urls, parse_robots_rules(robots, "host", "robots"),
+                            "url")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Generate" not in plan          # URL side never explodes
+    out.count()
