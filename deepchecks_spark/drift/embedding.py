@@ -32,6 +32,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deepchecks_spark.core.parallel import spread_input
+
 
 def rff_params(dim: int, n_features: int, gamma: float, seed: int = 42):
     """Seeded random-Fourier projection constants for the RBF kernel
@@ -63,7 +65,9 @@ def _feature_col(vec_col: str, w_row: list, b_j: float):
 
 def _corpus_means(df: DataFrame, vec_col: str, w: list, b: list,
                   dim: int, tag: str) -> DataFrame:
-    rows = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+    # the n_features interpreted zip_with folds per row are the heavy
+    # map work: spread an under-partitioned scan first (no-op at scale)
+    rows = spread_input(df).filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
     aggs = [F.count(F.lit(1)).alias(f"n_{tag}")]
     aggs += [F.avg(_feature_col(vec_col, w[j], b[j])).alias(f"z{j}_{tag}")
              for j in range(len(b))]
@@ -156,7 +160,7 @@ def embedding_drift_timeseries(df: DataFrame, ts_col: str, vec_col: str,
     if gamma is None:
         gamma = 1.0 / dim
     w, b = rff_params(dim, n_features, gamma, seed)
-    rows = df.filter(
+    rows = spread_input(df).filter(
         F.col(ts_col).isNotNull() & F.col(vec_col).isNotNull()
         & (F.size(vec_col) == dim)
     ).select(

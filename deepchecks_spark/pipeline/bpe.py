@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deepchecks_spark.core.parallel import spread_input
+
 END_OF_WORD = "</w>"
 
 
@@ -43,7 +45,7 @@ def word_frequencies(df: DataFrame, text_col: str,
     Exchange carries (word, partial_count) — one row per type per
     partition, not per token), then TakeOrderedAndProject for the cap.
     This is the single corpus-volume pass of BPE training."""
-    words = df.select(F.explode(_words(text_col)).alias("word")).filter(
+    words = spread_input(df).select(F.explode(_words(text_col)).alias("word")).filter(
         F.col("word") != "")
     wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     return wf.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(max_words)

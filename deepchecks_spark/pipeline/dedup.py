@@ -16,6 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deepchecks_spark.core.parallel import spread_input
+
 
 def exact_duplicate_stats(df: DataFrame, cols: list) -> dict:
     """Exact-duplicate statistics over selected columns: one
@@ -166,7 +168,10 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     i.e. a single two-stage aggregation; signature state is tiny and
     mergeable.
     """
-    shingles = shingle_sets(df, id_col, text_col, shingle_words)
+    # the shingle build + num_hashes×xxhash64 is the most expensive
+    # per-row work in this module: make sure an under-partitioned scan
+    # doesn't serialize it onto one core (no-op at corpus scale)
+    shingles = shingle_sets(spread_input(df), id_col, text_col, shingle_words)
     # Generate child must NOT be a bare attribute: Catalyst's
     # InferFiltersFromGenerate fires on attribute children, inferring a
     # size(sh) > 0 pre-filter that projection-pushdown re-expands into
@@ -255,10 +260,11 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     """
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_words)
+    spread = spread_input(df)  # parallelize the set rebuild (no-op at scale)
     if verify == "shingles":
-        sets_df = shingle_sets(df, id_col, text_col, shingle_words).withColumnRenamed("sh", "t")
+        sets_df = shingle_sets(spread, id_col, text_col, shingle_words).withColumnRenamed("sh", "t")
     elif verify == "tokens":
-        sets_df = df.select(F.col(id_col), _tokens(text_col).alias("t"))
+        sets_df = spread.select(F.col(id_col), _tokens(text_col).alias("t"))
     else:
         raise ValueError(f"verify must be 'tokens' or 'shingles', got {verify!r}")
     a = sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("t", "ta")
@@ -437,7 +443,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     """SimHash fingerprint: per token h = xxhash64(token); bit b of the
     fingerprint is the sign of Σ_tokens (±1 by bit b of h). One explode +
     one groupBy with ``bits`` sum() aggs — all JVM-side."""
-    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+    toks = spread_input(df).select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
     h = F.xxhash64("tok")
     aggs = [
         F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
@@ -519,7 +525,7 @@ def duplicate_chunk_stats(df: DataFrame, id_col: str, text_col: str,
     ).otherwise(F.array().cast("array<bigint>"))
     ids = df.select(F.col(id_col).alias("__id"))
     exploded = (
-        df.select(F.col(id_col).alias("__id"), F.explode(chunks).alias("h"))
+        spread_input(df).select(F.col(id_col).alias("__id"), F.explode(chunks).alias("h"))
     )
     per_pair = exploded.groupBy("h", "__id").agg(F.count(F.lit(1)).alias("n_in_doc"))
     per_chunk = per_pair.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -599,6 +605,7 @@ def repeated_span_stats(df: DataFrame, id_col: str, text_col: str,
     """
     w = window_words
     n, n_windows, hashes = _window_hash_cols(text_col, w)
+    df = spread_input(df)  # window hashing is the heavy map work here
     base = df.select(
         F.col(id_col).alias("__id"),
         n.cast("long").alias("n_tokens"),
@@ -664,6 +671,7 @@ def remove_repeated_spans(df: DataFrame, id_col: str, text_col: str,
     higher-order functions; no Python in the path."""
     w = window_words
     _n, _nw, hashes = _window_hash_cols(text_col, w)
+    df = spread_input(df)  # window hashing + token rebuild both benefit
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"),
                      hashes.alias("hs"))
     occ = base.select("__id", F.posexplode(F.concat("hs")).alias("pos", "h"))

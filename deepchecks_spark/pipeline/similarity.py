@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deepchecks_spark.core.parallel import spread_input
+
 
 def _as_double(col):
     c = F.col(col) if isinstance(col, str) else col
@@ -45,7 +47,9 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qe")
     ).withColumn("qn", _norm("qe"))
-    c = corpus.select(
+    # the corpus side carries the per-pair dot products — spread an
+    # under-partitioned scan so scoring parallelizes (no-op at scale)
+    c = spread_input(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce")
     ).withColumn("cn", _norm("ce"))
     scored = (
@@ -76,7 +80,7 @@ def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
     self-configuring recall. Returns (id_a, id_b, cosine)."""
     planes_by_table = [random_hyperplanes(dim, n_planes, seed + 97 * t)
                        for t in range(n_tables)]
-    base = df.select(
+    base = spread_input(df).select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     ).withColumn("n", _norm("v"))
     tb = [
@@ -123,7 +127,8 @@ def ivf_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
         cents = train_ivf_centroids(df, nlist, sample_size=sample_size,
                                     seed=seed, id_col=id_col, vec_col=vec_col)
     base = (
-        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        spread_input(df)
+        .select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
         .withColumn("n", _norm("v"))
         .withColumn("cell", F.explode(ivf_probe_cells_col("v", cents, nprobe)))
     )
@@ -425,8 +430,9 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
                                     seed=seed, id_col=id_col, vec_col=vec_col)
 
     c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"),
-                      _as_double(vec_col).alias("ce"))
+        spread_input(corpus)
+        .select(F.col(id_col).alias("neighbor_id"),
+                _as_double(vec_col).alias("ce"))
         .withColumn("cn", _norm("ce"))
         .withColumn("cell", ivf_assign_col("ce", cents))
     )
@@ -828,8 +834,9 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
                                    sample_size=sample_size, seed=seed,
                                    id_col=id_col, vec_col=vec_col)
     c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"),
-                      pq_encode_col(vec_col, books).alias("codes"))
+        spread_input(corpus)
+        .select(F.col(id_col).alias("neighbor_id"),
+                pq_encode_col(vec_col, books).alias("codes"))
         .filter(F.col("codes").isNotNull())
     )
     # null query vectors would yield NULL adist (ranked FIRST under the
@@ -934,9 +941,10 @@ def ivfadc_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
                 lambda x, y: x - y)
 
         c = (
-            corpus.select(F.col(id_col).alias("neighbor_id"),
-                          _as_double(vec_col).alias("__v"),
-                          ivf_assign_col(vec_col, cents).alias("cell"))
+            spread_input(corpus)
+            .select(F.col(id_col).alias("neighbor_id"),
+                    _as_double(vec_col).alias("__v"),
+                    ivf_assign_col(vec_col, cents).alias("cell"))
             .select("neighbor_id", "cell",
                     pq_encode_col(_residual("__v"), books).alias("codes"))
             .filter(F.col("codes").isNotNull())
@@ -952,9 +960,10 @@ def ivfadc_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
         )
     else:
         c = (
-            corpus.select(F.col(id_col).alias("neighbor_id"),
-                          ivf_assign_col(vec_col, cents).alias("cell"),
-                          pq_encode_col(vec_col, books).alias("codes"))
+            spread_input(corpus)
+            .select(F.col(id_col).alias("neighbor_id"),
+                    ivf_assign_col(vec_col, cents).alias("cell"),
+                    pq_encode_col(vec_col, books).alias("codes"))
             .filter(F.col("codes").isNotNull())
         )
         q = (

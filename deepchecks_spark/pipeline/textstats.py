@@ -10,6 +10,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deepchecks_spark.core.parallel import spread_input
+
 STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "that")
 
 # tiny per-language stopword seeds for the n-gram/stopword heuristic
@@ -53,7 +55,9 @@ def with_bpe_ish_token_count(df: DataFrame, text_col: str, out_col: str = "n_sub
 def text_quality(df: DataFrame, text_col: str) -> DataFrame:
     """Quality-scoring features: token count, mean token length,
     stopword ratio, punctuation ratio, uppercase ratio — one projection,
-    fully codegen'd."""
+    fully codegen'd. An under-partitioned scan is spread to the slot
+    count first (no-op at scale) so the regex/array work parallelizes."""
+    df = spread_input(df)
     toks = _tokens(text_col)
     n = F.size(toks)
     total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -75,7 +79,9 @@ def language_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> Dat
     """Stopword-marker language ID: score per language = number of that
     language's marker words present in the token set; argmax with
     deterministic tie-break (score desc, lang asc). Pure JVM exprs —
-    built as an array of (score, lang) structs reduced with array_max."""
+    built as an array of (score, lang) structs reduced with array_max.
+    An under-partitioned scan is spread first (no-op at scale)."""
+    df = spread_input(df)
     toks = F.array_distinct(_tokens(text_col))
     scored = F.array(
         *[
@@ -541,7 +547,7 @@ def vocabulary_stats(df: DataFrame, text_col: str) -> DataFrame:
         F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
     ).otherwise(_tokens(text_col))
     types = (
-        df.select(F.explode(toks).alias("__tok"))
+        spread_input(df).select(F.explode(toks).alias("__tok"))
         .groupBy("__tok").agg(F.count(F.lit(1)).alias("n"))
     )
     return types.agg(
@@ -563,7 +569,7 @@ def top_terms(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
         F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
     ).otherwise(_tokens(text_col))
     counts = (
-        df.select(F.explode(toks).alias("term"))
+        spread_input(df).select(F.explode(toks).alias("term"))
         .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(k)
@@ -639,7 +645,9 @@ def document_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerpri
                          ngram: int = 4) -> DataFrame:
     """Winnowing-style fingerprint: min over rolling word-ngram hashes
     (robust to small edits), plus the full-text xxhash64 as tiebreaker
-    column ``{out}_exact``."""
+    column ``{out}_exact``. The rolling-hash transform is the heavy map
+    work — an under-partitioned scan is spread first (no-op at scale)."""
+    df = spread_input(df)
     toks = _tokens(text_col)
     n = F.size(toks)
     grams = F.when(
@@ -677,7 +685,7 @@ def tfidf_terms(df: DataFrame, id_col: str, text_col: str, k: int = 5,
     ).otherwise(_tokens(text_col))
     n_docs = df.count()
     tf = (
-        df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("term"))
+        spread_input(df).select(F.col(id_col).alias("__id"), F.explode(toks).alias("term"))
         .groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -723,7 +731,7 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
         F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
     ).otherwise(_tokens(text_col))
     counts = (
-        df.select(F.explode(toks).alias("term"))
+        spread_input(df).select(F.explode(toks).alias("term"))
         .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(top_n)
@@ -893,7 +901,7 @@ def unigram_js_divergence(corpus_a: DataFrame, corpus_b: DataFrame,
             F.length(F.trim(F.col(text_col))) == 0,
             F.array().cast("array<string>"),
         ).otherwise(_tokens(text_col))
-        return (df.select(F.explode(toks).alias("__tok"))
+        return (spread_input(df).select(F.explode(toks).alias("__tok"))
                   .groupBy("__tok")
                   .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
 
