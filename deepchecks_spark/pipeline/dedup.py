@@ -442,17 +442,29 @@ def brute_force_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """SimHash fingerprint: per token h = xxhash64(token); bit b of the
     fingerprint is the sign of Σ_tokens (±1 by bit b of h). One explode +
-    one groupBy with ``bits`` sum() aggs — all JVM-side."""
+    one groupBy with ``bits`` sum() aggs — all JVM-side.
+
+    The per-bit vote Σ(±1) is computed as 2·Σbit − n (same sign test,
+    exact integer arithmetic): each aggregate is then a branch-free
+    ``sum(shiftright(h,b)&1)`` and the fingerprint packs the bit
+    decisions with one small fold instead of a ``bits``-deep
+    when/otherwise Add chain — the generated aggregation code shrinks
+    ~4× (cold codegen compile was the dominant cost of this operator
+    at bench scale; values are bit-identical)."""
     toks = spread_input(df).select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
     h = F.xxhash64("tok")
-    aggs = [
-        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"c{b}")
         for b in range(bits)
     ]
     votes = toks.groupBy(id_col).agg(*aggs)
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        fp = fp + F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
+    # bit b set ⇔ vote Σ(±1) > 0 ⇔ 2·c_b > n; pack with one linear fold
+    bit_set = F.array(*[
+        (F.col(f"c{b}") * 2 > F.col("n")).cast("long") for b in range(bits)
+    ])
+    powers = F.array(*[F.shiftleft(F.lit(1).cast("long"), b) for b in range(bits)])
+    fp = F.aggregate(F.zip_with(bit_set, powers, lambda x, p: x * p),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 

@@ -251,17 +251,27 @@ def deterministic_int_hyperplanes(n_tables: int, n_planes: int, dim: int) -> lis
 
 def lsh_bucket_expr(vec_col: str, planes: np.ndarray):
     """Sign-of-projection LSH bucket id as a JVM-side expression: bit i =
-    sign(v · plane_i); planes are baked into the plan as literals."""
-    bucket = F.lit(0).cast("long")
+    sign(v · plane_i); planes are baked into the plan as ONE nested
+    literal iterated with higher-order functions (the _pq_books_lit /
+    _cents_lit shape trick — plan analysis/codegen stay O(1) in the
+    plane count; per-plane fold order, and hence every bit of the
+    bucket id, is unchanged)."""
     v = _as_double(vec_col)
-    for i, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(float(x)) for x in plane]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-    return bucket
+    planes_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in p]) for p in planes
+    ])
+    projs = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(F.zip_with(v, p, lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, x: acc + x),
+    )
+    powers = F.array(*[
+        F.shiftleft(F.lit(1).cast("long"), i) for i in range(len(planes))
+    ])
+    bits = F.zip_with(projs, powers,
+                      lambda proj, pw: F.when(proj > 0, pw)
+                      .otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def train_ivf_centroids(df: DataFrame, nlist: int, sample_size: int = 10_000,
@@ -275,12 +285,28 @@ def train_ivf_centroids(df: DataFrame, nlist: int, sample_size: int = 10_000,
     k-means++-style init is seeded, and empty cells are re-seeded from
     the farthest points, so the result is deterministic for a given
     (corpus, seed). Returns a unit-normalized (nlist, dim) array."""
+    mat = _sample_matrix(df, sample_size, id_col, vec_col)
+    return _fit_ivf_centroids(mat, nlist, n_iters=n_iters, seed=seed)
+
+
+def _sample_matrix(df: DataFrame, sample_size: int, id_col: str,
+                   vec_col: str) -> np.ndarray:
+    """The bounded deterministic training sample (lowest ``sample_size``
+    ids) as a dense matrix — shared by every trainer so composed indexes
+    (IVFADC: coarse quantizer + codebooks) pay ONE TakeOrdered collect,
+    not one per trained component."""
     rows = (
         df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
         .filter(F.col("v").isNotNull())
         .orderBy("id").limit(sample_size).collect()
     )
-    mat = np.asarray([r["v"] for r in rows], dtype=float)
+    return np.asarray([r["v"] for r in rows], dtype=float)
+
+
+def _fit_ivf_centroids(mat: np.ndarray, nlist: int, n_iters: int = 10,
+                       seed: int = 42) -> np.ndarray:
+    """Driver-side core of train_ivf_centroids over an in-memory sample
+    matrix (split out so IVFADC can reuse one collected sample)."""
     if len(mat) < nlist:
         raise ValueError(
             f"train_ivf_centroids: sample has {len(mat)} vectors < nlist={nlist}")
@@ -328,20 +354,33 @@ def deterministic_int_centroids(nlist: int, dim: int) -> list:
 _IVF_EXPR_MAX_LITERALS = 16_384
 
 
+def _cents_lit(cents: np.ndarray):
+    """The (nlist, dim) centroids as ONE nested array literal — the
+    score expressions iterate it with higher-order functions, so the
+    Catalyst plan holds one literal tree instead of nlist separate
+    aggregate nodes (plan analysis/codegen stay O(1) in the quantizer
+    shape; only the literal payload grows — the same shape trick as
+    _pq_books_lit)."""
+    return F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
+
+
 def _ivf_cell_scores(vec_name: str, cents: np.ndarray):
-    """Per-cell dot-product structs (score, cell) as JVM expressions;
-    centroids are baked into the plan as literals."""
+    """Per-cell dot-product structs (s, cell) as ONE transform over the
+    nested centroid literal; the per-cell fold order (zip_with +
+    left-fold aggregate) is unchanged, so every double is bit-identical
+    to the previous list-of-expressions form the oracle was built
+    against."""
     v = _as_double(vec_name)
-    return [
-        F.struct(
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]),
-                           lambda x, y: x * y),
-                F.lit(0.0), lambda acc, x: acc + x).alias("s"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(cents)
-    ]
+    return F.transform(
+        _cents_lit(cents),
+        lambda c, i: F.struct(
+            F.aggregate(F.zip_with(v, c, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x).alias("s"),
+            i.alias("cell"),
+        ),
+    )
 
 
 def ivf_assign_col(vec_name: str, cents: np.ndarray):
@@ -355,10 +394,10 @@ def ivf_assign_col(vec_name: str, cents: np.ndarray):
         # max of struct(s, -cell): score desc, then lowest cell id;
         # null vectors -> null cell (struct-max over null scores would
         # otherwise tie-break to cell 0), so the probe join drops them
-        best = F.array_max(F.array(*[
-            F.struct(s["s"].alias("s"), (-s["cell"]).alias("negc"))
-            for s in _ivf_cell_scores(vec_name, cents)
-        ]))
+        best = F.array_max(F.transform(
+            _ivf_cell_scores(vec_name, cents),
+            lambda s: F.struct(s["s"].alias("s"), (-s["cell"]).alias("negc")),
+        ))
         return F.when(_as_double(vec_name).isNotNull(),
                       (-best["negc"]).cast("int"))
 
@@ -389,10 +428,10 @@ def ivf_probe_cells_col(vec_name: str, cents: np.ndarray, nprobe: int):
     """The ``nprobe`` nearest cells for a query vector, as an array
     ordered (score desc, cell asc) — sort_array over (−score, cell)
     structs, sliced, then projected to cell ids. Pure JVM expression."""
-    ordered = F.sort_array(F.array(*[
-        F.struct((-s["s"]).alias("negs"), s["cell"].alias("cell"))
-        for s in _ivf_cell_scores(vec_name, cents)
-    ]))
+    ordered = F.sort_array(F.transform(
+        _ivf_cell_scores(vec_name, cents),
+        lambda s: F.struct((-s["s"]).alias("negs"), s["cell"].alias("cell")),
+    ))
     return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cell"])
 
 
@@ -671,12 +710,7 @@ def train_pq_codebooks(df: DataFrame, dim: int, m: int, ksub: int,
     re-seed from the farthest point. Returns (m, ksub, dim//m)."""
     if dim % m:
         raise ValueError(f"train_pq_codebooks: dim={dim} not divisible by m={m}")
-    rows = (
-        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-        .filter(F.col("v").isNotNull())
-        .orderBy("id").limit(sample_size).collect()
-    )
-    mat = np.asarray([r["v"] for r in rows], dtype=float)
+    mat = _sample_matrix(df, sample_size, id_col, vec_col)
     return _fit_pq_books(mat, m, ksub, n_iters=n_iters, seed=seed)
 
 
@@ -786,6 +820,24 @@ def pq_encode_col(vec_name: str, books: np.ndarray):
     return encode(_as_double(vec_name))
 
 
+def _adc_dist_col(m: int, codes_col: str = "codes", luts_col: str = "luts"):
+    """ADC distance Σ_j LUT[j][code_j] as an explicit m-term Add chain:
+    the scored join evaluates this once per (corpus row, query) pair —
+    the hottest expression of the PQ path — and the unrolled form runs
+    fully codegen'd, where the zip_with/aggregate fold it replaces was
+    interpreted per pair. Left-to-right addition order is identical to
+    the fold, so every double matches the oracle bit-for-bit."""
+    terms = [
+        F.element_at(F.element_at(F.col(luts_col), j + 1),
+                     F.element_at(F.col(codes_col), j + 1) + F.lit(1))
+        for j in range(m)
+    ]
+    out = F.lit(0.0)
+    for t in terms:
+        out = out + t
+    return out
+
+
 def pq_lut_col(vec_name: str, books: np.ndarray):
     """Per-query ADC lookup table (array<array<double>>, shape
     m × ksub): entry [j][c] is the squared L2 distance from the query's
@@ -848,12 +900,7 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "adist",
-            F.aggregate(
-                F.zip_with(F.col("codes"), F.col("luts"),
-                           lambda code, lut: F.element_at(lut, code + F.lit(1))),
-                F.lit(0.0), lambda acc, x: acc + x))
+        .withColumn("adist", _adc_dist_col(m))
         .select("query_id", "neighbor_id", "adist")
     )
     # single rank window: Spark's WindowGroupLimit (rank-limit pushdown)
@@ -907,29 +954,24 @@ def ivfadc_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
     rank); deterministic tie-break (adist asc, neighbor_id asc)."""
     if dim % m:
         raise ValueError(f"ivfadc_topk: dim={dim} not divisible by m={m}")
+    # one sample collect shared by every component that needs training
+    # (coarse quantizer AND codebooks — previously two identical
+    # TakeOrdered jobs); the matrix, and hence both fits, are unchanged
+    mat = (_sample_matrix(corpus, sample_size, id_col, vec_col)
+           if centroids is None or codebooks is None else None)
     if centroids is not None:
         cents = np.asarray(centroids, dtype=float)
     else:
-        cents = train_ivf_centroids(corpus, nlist, sample_size=sample_size,
-                                    seed=seed, id_col=id_col, vec_col=vec_col)
+        cents = _fit_ivf_centroids(mat, nlist, seed=seed)
     if codebooks is not None:
         books = np.asarray(codebooks, dtype=float)
     elif by_residual:
         # fit the codebooks on residuals of the same bounded sample —
         # spherical assignment (max dot), matching ivf_assign_col
-        rows = (
-            corpus.select(F.col(id_col).alias("id"),
-                          _as_double(vec_col).alias("v"))
-            .filter(F.col("v").isNotNull())
-            .orderBy("id").limit(sample_size).collect()
-        )
-        mat = np.asarray([r["v"] for r in rows], dtype=float)
         assign = np.argmax(mat @ cents.T, axis=1)
         books = _fit_pq_books(mat - cents[assign], m, ksub, seed=seed)
     else:
-        books = train_pq_codebooks(corpus, dim, m, ksub,
-                                   sample_size=sample_size, seed=seed,
-                                   id_col=id_col, vec_col=vec_col)
+        books = _fit_pq_books(mat, m, ksub, seed=seed)
     if by_residual:
         cents_lit = F.array(*[
             F.array(*[F.lit(float(x)) for x in cc]) for cc in cents])
@@ -976,12 +1018,7 @@ def ivfadc_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
     scored = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "adist",
-            F.aggregate(
-                F.zip_with(F.col("codes"), F.col("luts"),
-                           lambda code, lut: F.element_at(lut, code + F.lit(1))),
-                F.lit(0.0), lambda acc, x: acc + x))
+        .withColumn("adist", _adc_dist_col(m))
         .select("query_id", "neighbor_id", "adist")
     )
     w = Window.partitionBy("query_id").orderBy(
