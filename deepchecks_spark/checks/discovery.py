@@ -357,16 +357,21 @@ def freshness(df: DataFrame, ts_col: str, group_cols: list,
 
         <group_cols...>, n, max_ts, lag_seconds, is_stale
 
-    NULL timestamps are excluded. The raw table is scanned ONCE: the
-    global newest is an unpartitioned max window over the GROUPED
-    output — O(groups) rows through one task, fine for segment-grained
-    groups (a ``grouped.agg(max)`` + broadcast-join instead would
-    re-scan the raw table on the broadcast subtree: Catalyst pushes the
-    branch filters below the partial aggregates, so the two subtrees
-    never share an exchange).
+    NULL timestamps are excluded. The global newest is a one-row
+    ``grouped.agg(max)`` broadcast back over the grouped output (the
+    same shape as segment_completeness at discovery.py:286) — NOT an
+    unpartitioned max window, which would funnel every group row
+    through a single window task (at per-URL/per-domain granularity,
+    10^7–10^9 groups, that one task is the job). The max deliberately
+    references BOTH grouped columns (``when(n >= 0, max_ts)`` — n is a
+    count, always ≥ 1, so the value is unchanged): column pruning would
+    otherwise rewrite the one-row branch's aggregation without ``n``,
+    the two subtrees would stop being canonically equal, and AQE's
+    exchange reuse could not fire — the raw table would be scanned
+    twice. With the block in place the branch reads the spine's
+    shuffle output (ReusedExchange, pin in test_discovery), so the raw
+    table is still scanned once.
     """
-    from pyspark.sql.window import Window
-
     group_cols = list(group_cols)
     if not group_cols:
         raise ValueError("freshness needs at least one group column")
@@ -375,13 +380,14 @@ def freshness(df: DataFrame, ts_col: str, group_cols: list,
         .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("n"), F.max(ts_col).alias("max_ts"))
     )
-    gmax = F.max("max_ts").over(Window.partitionBy())
+    gmax_row = grouped.agg(
+        F.max(F.when(F.col("n") >= 0, F.col("max_ts"))).alias("__gmax"))
     # exact integer microsecond difference, ONE division — bit-stable
     # (a double cast per timestamp would round twice before subtracting);
     # timestamp_diff handles TIMESTAMP and TIMESTAMP_NTZ alike
-    lag = (F.timestamp_diff("MICROSECOND", F.col("max_ts"), gmax)
+    lag = (F.timestamp_diff("MICROSECOND", F.col("max_ts"), F.col("__gmax"))
            / F.lit(1_000_000.0))
-    return grouped.select(
+    return grouped.crossJoin(F.broadcast(gmax_row)).select(
         *group_cols, "n", "max_ts",
         lag.alias("lag_seconds"),
         (lag > F.lit(float(max_lag_seconds))).alias("is_stale"),

@@ -47,29 +47,42 @@ def rff_params(dim: int, n_features: int, gamma: float, seed: int = 42):
     return [[float(x) for x in row] for row in w], [float(x) for x in b]
 
 
-def _feature_col(vec_col: str, w_row: list, b_j: float):
-    # left-fold b + w0*v[1] + w1*v[2] + ... so the float summation
-    # order is identical to the oracle's left-associative SQL chain.
-    # Built as ONE zip_with + aggregate over a FLAT literal weight
-    # array, not a dim-deep nested Add tree: the fold order (and hence
-    # every bit of the result) is unchanged, but Catalyst analysis and
-    # codegen stay linear in dim x n_features — the nested form cost
-    # ~15 s of driver/codegen time at dim 64 x 16 features (profiled
-    # in the r5 final session; same trap the PQ codebook tree avoids,
-    # pipeline/similarity.py::_pq_books_lit).
-    warr = F.array(*[F.lit(float(x)) for x in w_row])
-    prods = F.zip_with(warr, F.col(vec_col),
-                       lambda wv, xv: wv * xv.cast("double"))
-    return F.cos(F.aggregate(prods, F.lit(b_j), lambda acc, y: acc + y))
+def _features_array(vec_col: str, w: list, b: list):
+    """All n_features RFF features of a row as ONE array column: a
+    single transform over a nested {w, b} literal, instead of
+    n_features separate zip_with/aggregate expression trees — Catalyst
+    analysis and codegen stay O(1) in the feature count (the
+    _pq_books_lit shape trick; profiled at ~15 s of driver/codegen at
+    dim 64 x 16 features in the r5 final session for the nested-Add
+    form, and still seconds for the per-feature flat form this
+    replaces). Each feature's left-fold b + w0*v[1] + w1*v[2] + ... is
+    unchanged, so every bit matches the oracle's left-associative SQL
+    chain."""
+    wb = F.array(*[
+        F.struct(F.array(*[F.lit(float(x)) for x in w_row]).alias("w"),
+                 F.lit(float(b_j)).alias("b"))
+        for w_row, b_j in zip(w, b)
+    ])
+    return F.transform(
+        wb,
+        lambda e: F.cos(F.aggregate(
+            F.zip_with(e["w"], F.col(vec_col),
+                       lambda wv, xv: wv * xv.cast("double")),
+            e["b"], lambda acc, y: acc + y)),
+    )
 
 
 def _corpus_means(df: DataFrame, vec_col: str, w: list, b: list,
                   dim: int, tag: str) -> DataFrame:
     # the n_features interpreted zip_with folds per row are the heavy
     # map work: spread an under-partitioned scan first (no-op at scale)
-    rows = spread_input(df).filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+    rows = (
+        spread_input(df)
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(F.col(vec_col), _features_array(vec_col, w, b).alias("__z"))
+    )
     aggs = [F.count(F.lit(1)).alias(f"n_{tag}")]
-    aggs += [F.avg(_feature_col(vec_col, w[j], b[j])).alias(f"z{j}_{tag}")
+    aggs += [F.avg(F.element_at(F.col("__z"), j + 1)).alias(f"z{j}_{tag}")
              for j in range(len(b))]
     aggs += [F.avg(F.element_at(F.col(vec_col), k + 1).cast("double"))
              .alias(f"c{k}_{tag}") for k in range(dim)]
@@ -123,7 +136,7 @@ def embedding_drift(ref: DataFrame, cur: DataFrame, vec_col: str, dim: int,
 
 
 def rff_oracle_sql(vec_expr: str, w: list, b: list) -> list:
-    """The DuckDB twin of :func:`_feature_col` — one
+    """The DuckDB twin of :func:`_features_array` — one
     ``cos(b + w0*vec[1]::DOUBLE + ...)`` string per feature, same
     left-associative fold order as the Spark expression."""
     out = []
@@ -166,11 +179,11 @@ def embedding_drift_timeseries(df: DataFrame, ts_col: str, vec_col: str,
     ).select(
         F.date_format(F.date_trunc(granularity, F.col(ts_col)),
                       "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        F.col(vec_col),
+        _features_array(vec_col, w, b).alias("__z"),
     )
     means = rows.groupBy("window_start").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        *[F.avg(_feature_col(vec_col, w[j], b[j])).alias(f"z{j}")
+        *[F.avg(F.element_at(F.col("__z"), j + 1)).alias(f"z{j}")
           for j in range(n_features)],
     )
     first = means.crossJoin(

@@ -745,7 +745,7 @@ def remove_repeated_spans(df: DataFrame, id_col: str, text_col: str,
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                          max_iterations: int = 25,
-                         small_graph_edges: int = 2_000_000) -> DataFrame:
+                         small_graph_edges: int = 500_000) -> DataFrame:
     """Transitive duplicate clusters from a pair list: min-label
     propagation until fixpoint. Every near-dup detector in this module
     emits PAIRS; a production dedup pipeline must collapse them into
@@ -761,9 +761,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     milliseconds on one core while the distributed iteration pays ~3
     scheduler rounds PER ITERATION in fixed overhead — the same
     small-graph shortcut production graph libraries take. The collect
-    is bounded by the threshold (≈32 MB at the default); pass
-    ``small_graph_edges=0`` to force the iterative path. Both paths
-    return identical (id, component) labelings.
+    is bounded by the threshold — budget ~10-20x the raw 2x8 bytes per
+    edge for PySpark Row objects plus the union-find dicts, i.e. on
+    the order of 100-200 MB of driver Python heap at the 500k default;
+    pass ``small_graph_edges=0`` to force the iterative path. Both
+    paths return identical (id, component) labelings.
 
     Spark shape: edges are symmetrized once; each iteration is one
     equi-join + groupBy(min) over (node, label) — all shuffles on the
@@ -861,8 +863,11 @@ def _union_find_components(edges: DataFrame, rows: list) -> DataFrame:
     same (id, component=min id of cluster) frame as the distributed
     iteration. Path compression + union by attaching the larger root
     under the smaller one, so the representative IS the cluster minimum
-    with no second pass. NULL-id pairs are skipped (the iterative
-    path's equi-joins drop them identically)."""
+    with no second pass. NULL ids match the iterative path exactly: a
+    NULL never unions across (equi-joins drop NULL keys), but every
+    endpoint of a half-null pair — including the NULL itself, which the
+    iterative path's ``select(src).distinct()`` keeps as a node — still
+    gets its own singleton row."""
     parent: dict = {}
 
     def find(x):
@@ -875,12 +880,12 @@ def _union_find_components(edges: DataFrame, rows: list) -> DataFrame:
 
     for row in rows:
         a, b = row[0], row[1]
-        if a is None or b is None:
-            continue
         if a not in parent:
             parent[a] = a
         if b not in parent:
             parent[b] = b
+        if a is None or b is None:
+            continue  # registered as singletons above, never unioned
         ra, rb = find(a), find(b)
         if ra != rb:
             # keep the SMALLER id as the root: the final root is then

@@ -1003,15 +1003,19 @@ def robots_disallowed(urls: DataFrame, rules: DataFrame, url_col: str,
     too), ONE equi-join on host against the URL table, and the
     longest-match argmax is a codegen'd filter + sort_array over the
     per-host rule array — no explode of the URL side, no cartesian."""
+    # hosts compare case-insensitively on BOTH sides (r5 ADVICE: a
+    # mixed-case rules host silently matched nothing), and the scheme
+    # regex is (?i) so HTTP://HOST/x extracts its host instead of
+    # falling through to robots_allowed=true
     per_host = (
         rules.filter(~F.col("wildcard"))
-        .groupBy(host_col)
+        .groupBy(F.lower(F.col(host_col)).alias(host_col))
         .agg(F.collect_list(F.struct("path", "allow")).alias("__rules"))
     )
     host_of = F.lower(F.regexp_extract(F.col(url_col),
-                                       r"^[a-z][a-z0-9+.-]*://([^/]+)", 1))
+                                       r"(?i)^[a-z][a-z0-9+.-]*://([^/]+)", 1))
     path_of = F.regexp_extract(F.col(url_col),
-                               r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1)
+                               r"(?i)^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1)
     with_host = urls.withColumn("__h", host_of).withColumn(
         "__p", F.coalesce(F.nullif(path_of, F.lit("")), F.lit("/")))
     joined = with_host.join(

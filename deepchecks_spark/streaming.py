@@ -708,6 +708,13 @@ class StreamingConstraintsMonitor:
         # different columns (the batch engine returns column as its
         # own output field; the fold dict needs one flat key)
         self.labels = [f"{_label(s)}({s['column']})" for s in constraints]
+        dupes = sorted({l for l in self.labels if self.labels.count(l) > 1})
+        if dupes:
+            # two identical specs would silently share one fold counter
+            # and verdict_rows would emit duplicate rows (r5 ADVICE)
+            raise ValueError(
+                f"duplicate constraint specs: {dupes} — each (kind, column, "
+                "params) must appear once")
         self.state_path = state_path
         self.counts: dict = {}
         if state_path:
@@ -719,6 +726,16 @@ class StreamingConstraintsMonitor:
                     datetime.datetime.fromisoformat(k): v
                     for k, v in loaded["counts"].items()
                 }
+                stale = {lbl for c in self.counts.values()
+                         for lbl in c["violations"]} - set(self.labels)
+                if stale:
+                    # state written under a different constraint list:
+                    # refusing beats a KeyError mid-verdict (r5 ADVICE)
+                    raise ValueError(
+                        f"state at {state_path} was written with different "
+                        f"constraints (unknown labels: {sorted(stale)}); "
+                        "start from a fresh state_path or restore the "
+                        "matching constraint list")
 
     def start(self, stream_df: DataFrame, time_col: str = "warc_ts",
               window_duration: str = "1 day", watermark: str = "30 minutes",
@@ -765,7 +782,9 @@ class StreamingConstraintsMonitor:
             c = self.counts[start]
             n = c["n"]
             for lbl in self.labels:
-                v = c["violations"][lbl]
+                # .get: a window restored from state may predate a
+                # constraint added later — report 0, not KeyError
+                v = c["violations"].get(lbl, 0)
                 frac = (v / n) if n else 0.0
                 out.append({
                     "window_start": start, "constraint": lbl,

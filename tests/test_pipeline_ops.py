@@ -445,6 +445,28 @@ def test_connected_components_large_hash_ids(spark):
                    big + 11: big + 11, big + 13: big + 11}
 
 
+def test_connected_components_null_pairs_both_paths_agree(spark):
+    # regression (r5 ADVICE): the fast path dropped half-null pairs
+    # entirely while the iterative path keeps the non-null side (and the
+    # NULL node) as singletons — the two labelings diverged on
+    # degenerate input. Both paths must emit identical rows now.
+    from deepchecks_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, None), (None, 4), (None, None)],
+        "id_a bigint, id_b bigint")
+    fast = sorted(
+        [(r["id"], r["component"]) for r in connected_components(pairs).collect()],
+        key=repr)
+    iterative = sorted(
+        [(r["id"], r["component"])
+         for r in connected_components(pairs, small_graph_edges=0).collect()],
+        key=repr)
+    assert fast == iterative
+    assert (3, 3) in fast and (4, 4) in fast and (None, None) in fast
+    assert (1, 1) in fast and (2, 1) in fast
+
+
 def test_repetition_stats_hand_computed(spark):
     """Gopher-style repetition signals against a hand-computed fixture:
     'a b a b a b c' has 7 tokens / 3 distinct (dup_word 4/7), five
@@ -2824,3 +2846,25 @@ def test_robots_disallowed_longest_match_precedence(spark):
     assert got["http://a.com/tmpfile"] is False
     assert got["http://a.com"] is True
     assert got["http://other.net/anything"] is True
+
+
+def test_robots_disallowed_host_and_scheme_case_insensitive(spark):
+    # r5 ADVICE: a mixed-case rules host never matched the lowercased
+    # URL host, and an uppercase scheme extracted an empty host — both
+    # silently reported robots_allowed=true
+    from deepchecks_spark.pipeline.webclean import (
+        parse_robots_rules,
+        robots_disallowed,
+    )
+
+    robots = spark.createDataFrame([("A.Com", ROBOTS_FIXTURE)],
+                                   "host string, robots string")
+    rules = parse_robots_rules(robots, "host", "robots")
+    urls = spark.createDataFrame(
+        [("HTTP://A.COM/private/secret",),
+         ("http://a.com/private/secret",)],
+        "url string")
+    got = {r["url"]: r["robots_allowed"]
+           for r in robots_disallowed(urls, rules, "url").collect()}
+    assert got["HTTP://A.COM/private/secret"] is False
+    assert got["http://a.com/private/secret"] is False

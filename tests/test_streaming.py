@@ -824,6 +824,36 @@ def test_streaming_constraints_monitor_matches_batch_counts(spark, tmp_path):
     assert mon2.counts == mon.counts
 
 
+def test_streaming_constraints_monitor_duplicate_and_stale_labels(spark, tmp_path):
+    # r5 ADVICE: identical specs silently shared one fold counter, and
+    # state from a different constraint list raised KeyError mid-verdict
+    import datetime
+
+    from deepchecks_spark.checks.constraints import in_range, not_null
+    from deepchecks_spark.streaming import (
+        StreamingConstraintsMonitor,
+        _save_monitor_state,
+    )
+
+    with pytest.raises(ValueError, match="duplicate constraint"):
+        StreamingConstraintsMonitor([not_null("a"), not_null("a")])
+    state = str(tmp_path / "state.json")
+    t0 = datetime.datetime(2024, 1, 1)
+    _save_monitor_state(state, {"counts": {t0.isoformat(): {
+        "n": 10, "violations": {"not_null(gone_col)": 3}}}})
+    with pytest.raises(ValueError, match="different constraints"):
+        StreamingConstraintsMonitor([not_null("a")], state_path=state)
+    # a label ADDED after the state was written reports 0, not KeyError
+    _save_monitor_state(state, {"counts": {t0.isoformat(): {
+        "n": 10, "violations": {"not_null(a)": 3}}}})
+    mon = StreamingConstraintsMonitor(
+        [not_null("a"), in_range("v", 0.0, 1.0)], state_path=state)
+    rows = mon.verdict_rows()
+    by_label = {r["constraint"]: r for r in rows}
+    assert by_label["not_null(a)"]["n_violations"] == 3
+    assert by_label["in_range[0.0, 1.0](v)"]["n_violations"] == 0
+
+
 def test_streaming_constraints_monitor_rejects_unsupported_rules(spark):
     from deepchecks_spark.checks.constraints import in_set, min_rows, unique
     from deepchecks_spark.streaming import StreamingConstraintsMonitor
