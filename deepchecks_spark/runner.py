@@ -84,24 +84,36 @@ def partition_verdicts(ds: Dataset, checks: list, per_part: dict | None = None) 
 
 
 def mixed_nulls_partition_rows(df: DataFrame, string_cols: list, per_part: dict,
-                               max_allowed_null_types: int = 1) -> list:
+                               max_allowed_null_types: int = 1,
+                               flagged: DataFrame | None = None) -> list:
     """Per-partition MixedNulls verdicts: one melted, pre-filtered pass
     counts distinct string null-representations per (partition, column);
     real-null presence comes from the per-partition stats. The condition
     (distinct null types ≤ max) is then evaluated per partition —
-    matching a per-slice reference run exactly."""
+    matching a per-slice reference run exactly.
+
+    ``flagged``: the shared :func:`flagged_string_values` frame — its
+    MixedNulls rows are one row per distinct (partition, column,
+    null-representation), so the per-(pid, col) row count IS the
+    distinct-representation count and the KB-text melt+regex scan is
+    not repeated here."""
     rows = []
     repr_counts: dict = {}
     if string_cols:
-        melted = df.withColumn("__pid", F.spark_partition_id()).selectExpr(
-            "__pid",
-            f"stack({len(string_cols)}, "
-            + ", ".join(f"'{c}', `{c}`" for c in string_cols)
-            + ") as (column, value)",
-        ).filter(F.col("value").isNotNull() & is_null_string_expr(F.col("value")))
-        for r in melted.groupBy("__pid", "column").agg(
-            F.countDistinct("value").alias("n_reprs")
-        ).collect():
+        if flagged is not None:
+            grouped = (flagged.filter(F.col("check") == "MixedNulls")
+                       .groupBy("__pid", "column")
+                       .agg(F.count(F.lit(1)).alias("n_reprs")))
+        else:
+            melted = df.withColumn("__pid", F.spark_partition_id()).selectExpr(
+                "__pid",
+                f"stack({len(string_cols)}, "
+                + ", ".join(f"'{c}', `{c}`" for c in string_cols)
+                + ") as (column, value)",
+            ).filter(F.col("value").isNotNull() & is_null_string_expr(F.col("value")))
+            grouped = melted.groupBy("__pid", "column").agg(
+                F.countDistinct("value").alias("n_reprs"))
+        for r in grouped.collect():
             repr_counts[(r["__pid"], r["column"])] = r["n_reprs"]
     cond_name = f"Number of different null types is less or equal to {max_allowed_null_types}"
     for pid, stats in sorted(per_part.items()):
@@ -463,8 +475,38 @@ class _StatsOnlyContext:
 # violation rows with partition lineage
 # ---------------------------------------------------------------------------
 
+def flagged_string_values(df: DataFrame, string_cols: list) -> DataFrame:
+    """(__pid, column, value, count, check) — every flagged string
+    value (MixedNulls null-representations / SpecialCharacters-only
+    values) per input partition, selective-filter-first so the melted
+    scan emits only offenders. Split out of :func:`violation_rows` so
+    the runner can compute the KB-text melt+regex pass ONCE and share
+    it between the violations table and the per-partition MixedNulls
+    verdicts (it was scanned twice before)."""
+    melted = df.withColumn("__pid", F.spark_partition_id()).selectExpr(
+        "__pid",
+        f"stack({len(string_cols)}, "
+        + ", ".join(f"'{c}', `{c}`" for c in string_cols)
+        + ") as (column, value)",
+    ).filter(F.col("value").isNotNull())
+    is_null_repr = is_null_string_expr(F.col("value"))
+    is_special = is_special_only_expr(F.col("value"))
+    return (
+        melted.filter(is_null_repr | is_special)
+        .groupBy("__pid", "column", "value")
+        .count()
+        .withColumn(
+            "check",
+            F.when(is_null_string_expr(F.col("value")), F.lit("MixedNulls")).otherwise(
+                F.lit("SpecialCharacters")
+            ),
+        )
+    )
+
+
 def violation_rows(df: DataFrame, string_cols: list,
-                   mismatch_max_distinct: int = 10_000) -> DataFrame:
+                   mismatch_max_distinct: int = 10_000,
+                   flagged: DataFrame | None = None) -> DataFrame:
     """(check, column, offending_value, count, percent, partition_id).
 
     Scale design: the MixedNulls/SpecialCharacters predicates are applied
@@ -487,21 +529,9 @@ def violation_rows(df: DataFrame, string_cols: list,
             f"stack({len(cols)}, " + ", ".join(f"'{c}', `{c}`" for c in cols) + ") as (column, value)",
         )
 
-    melted = _melt_with_pid(string_cols).filter(F.col("value").isNotNull())
-    is_null_repr = is_null_string_expr(F.col("value"))
-    is_special = is_special_only_expr(F.col("value"))
     # selective filter FIRST, then the (cheap) per-partition aggregation
-    flagged = (
-        melted.filter(is_null_repr | is_special)
-        .groupBy("__pid", "column", "value")
-        .count()
-        .withColumn(
-            "check",
-            F.when(is_null_string_expr(F.col("value")), F.lit("MixedNulls")).otherwise(
-                F.lit("SpecialCharacters")
-            ),
-        )
-    )
+    if flagged is None:
+        flagged = flagged_string_values(df, string_cols)
     base_cols = [
         F.col("check"),
         F.col("column"),
@@ -658,8 +688,24 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
     import threading
 
     per_part_cache: dict = {}
+    flagged_cache: dict = {}
     _pp_lock = threading.Lock()
+    _fl_lock = threading.Lock()
     _manifest_lock = threading.Lock()
+
+    def _flagged():
+        # the KB-text melt + regex scan is the heaviest string pass:
+        # compute its grouped offender table once, persisted, and share
+        # it between the violations table and the per-partition
+        # MixedNulls verdicts (two full scans before)
+        if not string_cols:
+            return None
+        with _fl_lock:
+            if not flagged_cache:
+                fr = flagged_string_values(ds.df, string_cols)
+                fr.persist()
+                flagged_cache["v"] = fr
+            return flagged_cache["v"]
 
     def _per_part():
         # one grouped stats pass shared by partition_verdicts + metrics.
@@ -722,36 +768,58 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
         write_table(out, os.path.join(output_dir, "verdicts"))
 
     def _partition_verdicts():
-        rows = partition_verdicts(ds, stats_checks, _per_part())
-        rows += mixed_nulls_partition_rows(ds.df, string_cols, _per_part())
+        # the sections are independent Spark jobs over the shared cache:
+        # submit them concurrently (each leg's tail back-fills the
+        # others' ramp-up — guide §2.6) and concatenate in a FIXED
+        # order so the output table is deterministic
+        sections = [
+            lambda: (partition_verdicts(ds, stats_checks, _per_part())
+                     + mixed_nulls_partition_rows(ds.df, string_cols,
+                                                  _per_part(),
+                                                  flagged=_flagged())),
+        ]
         # key-identity duplicates per partition: web corpora key on url
         dup_cols = [c for c in ("url",) if c in ds.columns] or list(ds.columns)
-        rows += duplicates_partition_rows(ds.df, dup_cols, max_ratio=0.0)
+        sections.append(lambda: duplicates_partition_rows(
+            ds.df, dup_cols, max_ratio=0.0))
         # per-partition categorical drift vs the global distribution
         # (flags anomalous shards); cat features only — bounded output
         if ds.cat_features:
-            rows += drift_partition_rows(ds.df, list(ds.cat_features))
+            sections.append(lambda: drift_partition_rows(
+                ds.df, list(ds.cat_features)))
         if ds.label_name:
-            rows += conflicting_labels_partition_rows(
-                ds.df, [c for c in ds.features if c != ds.label_name], ds.label_name)
+            sections.append(lambda: conflicting_labels_partition_rows(
+                ds.df, [c for c in ds.features if c != ds.label_name],
+                ds.label_name))
         if prediction_column and ds.label_name:
-            rows += performance_partition_rows(
-                ds.df, ds.label_name, prediction_column, task=task_type)
+            sections.append(lambda: performance_partition_rows(
+                ds.df, ds.label_name, prediction_column, task=task_type))
         if reference_input:
             # join checks vs a reference snapshot, per partition: new
             # categories and train/test samples mix (VERDICT r3 next-8)
             ref_df = read_table(spark, reference_input, fmt)
-            if ds.cat_features:
-                rows += new_category_partition_rows(
-                    ds.df, ref_df, list(ds.cat_features))
-            rows += samples_mix_partition_rows(ds.df, ref_df, list(ds.columns))
+
+            def _ref_sections():
+                rows = []
+                if ds.cat_features:
+                    rows += new_category_partition_rows(
+                        ds.df, ref_df, list(ds.cat_features))
+                rows += samples_mix_partition_rows(ds.df, ref_df, list(ds.columns))
+                return rows
+
+            sections.append(_ref_sections)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(sections)) as pool:
+            futures = [pool.submit(fn) for fn in sections]
+            rows = [r for fut in futures for r in fut.result()]
         out = spark.createDataFrame(
             rows, "partition_id int, check string, condition string, category string, details string"
         )
         write_table(out, os.path.join(output_dir, "partition_verdicts"))
 
     def _violations():
-        out = violation_rows(ds.df, string_cols)
+        out = violation_rows(ds.df, string_cols, flagged=_flagged())
         write_table(out, os.path.join(output_dir, "violations"))
 
     def _metrics():
@@ -900,6 +968,8 @@ def run_job(spark, input_path: str, output_dir: str, fmt: str = "parquet",
                 stage(n, fn)
     finally:
         df.unpersist()
+        if flagged_cache:
+            flagged_cache["v"].unpersist()
     return manifest
 
 
