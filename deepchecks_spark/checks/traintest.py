@@ -114,13 +114,24 @@ class FeatureDrift(TrainTestCheck):
         cats, nums = self._common_columns(ctx)
         train_df = self._effective_df(ctx, "train")
         test_df = self._effective_df(ctx, "test")
-        cat_train = categorical_histograms(train_df, cats, self.ignore_na)
-        cat_test = categorical_histograms(test_df, cats, self.ignore_na)
-        sketched: set = set()
-        num_train = numeric_histograms(train_df, nums, self.numeric_hist_mode,
-                                       sketched_out=sketched)
-        num_test = numeric_histograms(test_df, nums, self.numeric_hist_mode,
-                                      sketched_out=sketched)
+        # the four histogram passes are independent collect jobs over
+        # the two persisted sides: submit them concurrently so each
+        # job's ramp-up/tail back-fills the others (guide §2.6) instead
+        # of serializing 4-6 scheduler round-trips
+        from concurrent.futures import ThreadPoolExecutor
+
+        sk_train: set = set()
+        sk_test: set = set()
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_ct = pool.submit(categorical_histograms, train_df, cats, self.ignore_na)
+            f_cs = pool.submit(categorical_histograms, test_df, cats, self.ignore_na)
+            f_nt = pool.submit(numeric_histograms, train_df, nums,
+                               self.numeric_hist_mode, sketched_out=sk_train)
+            f_ns = pool.submit(numeric_histograms, test_df, nums,
+                               self.numeric_hist_mode, sketched_out=sk_test)
+            cat_train, cat_test = f_ct.result(), f_cs.result()
+            num_train, num_test = f_nt.result(), f_ns.result()
+        sketched = sk_train | sk_test
         fi = ctx.feature_importance or {}
         value = {}
         kw = dict(
@@ -214,14 +225,25 @@ class LabelDrift(TrainTestCheck):
         )
         train_df = self._effective_df(ctx, "train")
         test_df = self._effective_df(ctx, "test")
-        if is_numeric:
-            h1 = numeric_histograms(train_df, [label], self.numeric_hist_mode)[label]
-            h2 = numeric_histograms(test_df, [label], self.numeric_hist_mode)[label]
-            score, method = calc_drift_score("numerical", h1, h2, **kw)
-        else:
-            h1 = categorical_histograms(train_df, [label], self.ignore_na)[label]
-            h2 = categorical_histograms(test_df, [label], self.ignore_na)[label]
-            score, method = calc_drift_score("categorical", h1, h2, **kw)
+        # the two sides' histogram jobs are independent: overlap them
+        # (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            if is_numeric:
+                f1 = pool.submit(numeric_histograms, train_df, [label],
+                                 self.numeric_hist_mode)
+                f2 = pool.submit(numeric_histograms, test_df, [label],
+                                 self.numeric_hist_mode)
+                score, method = calc_drift_score(
+                    "numerical", f1.result()[label], f2.result()[label], **kw)
+            else:
+                f1 = pool.submit(categorical_histograms, train_df, [label],
+                                 self.ignore_na)
+                f2 = pool.submit(categorical_histograms, test_df, [label],
+                                 self.ignore_na)
+                score, method = calc_drift_score(
+                    "categorical", f1.result()[label], f2.result()[label], **kw)
         value = {"Drift score": None if score == "not_enough_samples" else score, "Method": method}
         return value, None
 
