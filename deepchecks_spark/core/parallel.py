@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread_input(df: DataFrame, min_rows_per_task: int | None = None) -> DataFrame:
+def spread_input(df: DataFrame) -> DataFrame:
     """Round-robin repartition ``df`` up to ``defaultParallelism``
     partitions when (and only when) its current plan yields fewer —
     the under-partitioned-scan case. Results are unchanged: callers are
