@@ -10,6 +10,8 @@ actual scan sharing instead of repeated pandas traversals.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 from deepchecks_spark.dataset import Dataset
@@ -30,6 +32,11 @@ class Context:
         self._stats_cache: dict = {}
         self._n_rows_cache: dict = {}
         self._cached_dfs: list = []
+        # suite checks may run from a thread pool (Suite.run): the shared
+        # passes are single-flight per cache key so concurrent checks
+        # wait for ONE computation instead of duplicating the scan
+        self._locks_guard = threading.Lock()
+        self._locks: dict = {}
         if self.test is not None and require_same_schema:
             self._validate_compat()
 
@@ -66,23 +73,34 @@ class Context:
         raise ValueError(f"unknown dataset kind {kind!r}")
 
     # -- shared passes ---------------------------------------------------------
+    def _key_lock(self, key) -> threading.Lock:
+        with self._locks_guard:
+            return self._locks.setdefault(key, threading.Lock())
+
     def stats(self, kind: str, columns: tuple | None = None) -> ColumnStats:
         """Fused column stats, computed once per (dataset, column-set)."""
         key = (kind, columns)
-        if key not in self._stats_cache:
-            ds = self.data(kind)
-            cols = list(columns) if columns is not None else ds.columns
-            self._stats_cache[key] = compute_column_stats(ds.df, cols)
+        if key in self._stats_cache:
+            return self._stats_cache[key]
+        with self._key_lock(("stats", key)):
+            if key not in self._stats_cache:
+                ds = self.data(kind)
+                cols = list(columns) if columns is not None else ds.columns
+                self._stats_cache[key] = compute_column_stats(ds.df, cols)
         return self._stats_cache[key]
 
     def n_rows(self, kind: str) -> int:
         """Row count, reusing the fused stats pass when already computed
         (avoids per-check df.count() round-trips — VERDICT r1 §wrong-6)."""
-        for (k, _cols), st in self._stats_cache.items():
-            if k == kind:
-                return st.n_rows
+        with self._locks_guard:
+            hit = next((st for (k, _cols), st in self._stats_cache.items()
+                        if k == kind), None)
+        if hit is not None:
+            return hit.n_rows
         if kind not in self._n_rows_cache:
-            self._n_rows_cache[kind] = self.data(kind).df.count()
+            with self._key_lock(("n_rows", kind)):
+                if kind not in self._n_rows_cache:
+                    self._n_rows_cache[kind] = self.data(kind).df.count()
         return self._n_rows_cache[kind]
 
     def persist(self, kind: str) -> None:
@@ -93,8 +111,18 @@ class Context:
         downstream pass uses the full parallelism — one shuffle paid
         once, amortized over every check. At real scale the input has
         far more partitions than cores and this is a no-op.
+
+        A frame the CALLER already persisted (e.g. the runner's shared
+        input, cached across all its concurrent stages) is left alone
+        and NOT recorded for unpersist_all: unpersisting it here would
+        drop the owner's cache mid-run — the other runner stages would
+        silently fall back to re-scanning the source (observed: the
+        suite finishes first, and every later violations/metrics pass
+        repaid the scan + repartition).
         """
         ds = self.data(kind)
+        if ds.df.is_cached:
+            return
         spark = ds.df.sparkSession
         slots = spark.sparkContext.defaultParallelism
         if ds.df.rdd.getNumPartitions() < slots:

@@ -135,33 +135,53 @@ class Suite:
             suite.add(check)
         return suite
 
-    def run(self, train, test=None, feature_importance=None) -> SuiteResult:
+    def run(self, train, test=None, feature_importance=None,
+            max_concurrency: int = 8) -> SuiteResult:
+        """Checks are independent jobs over the shared persisted Context:
+        submit them from a thread pool (one leg's scheduler ramp-down
+        back-fills the others' ramp-up — guide §2.6) and concatenate
+        results in insertion order, so the observable contract (result
+        order, values, per-check failure isolation) is unchanged. The
+        shared fused-stats pass is single-flight inside Context, so N
+        concurrent stats-driven checks still cost one scan. A
+        SingleDataset check's train/test legs stay sequential within its
+        task (same instance). ``max_concurrency<=1`` restores the fully
+        serial path."""
         ctx = Context(train=train, test=test, feature_importance=feature_importance)
         ctx.persist("train")
         if ctx.test is not None:
             ctx.persist("test")
-        results: list = []
+
+        def _task(check):
+            if isinstance(check, TrainTestCheck):
+                if ctx.test is None:
+                    return [CheckFailure(check, ValueError("check requires a test dataset"),
+                                         check.header())]
+                return [self._run_one(check, ctx, None)]
+            if isinstance(check, SingleDatasetCheck):
+                kinds = ["train"] + (["test"] if ctx.test is not None else [])
+                suffix = ctx.test is not None
+                out = []
+                for kind in kinds:
+                    r = self._run_one(check, ctx, kind)
+                    if suffix and isinstance(r, CheckResult):
+                        r.header = f"{r.header} - {kind.title()} Dataset"
+                    out.append(r)
+                return out
+            return [CheckFailure(check, TypeError(f"unknown check type {type(check).__name__}"),
+                                 str(check))]
+
         try:
-            for check in self.checks:
-                if isinstance(check, TrainTestCheck):
-                    if ctx.test is None:
-                        results.append(
-                            CheckFailure(check, ValueError("check requires a test dataset"), check.header())
-                        )
-                        continue
-                    results.append(self._run_one(check, ctx, None))
-                elif isinstance(check, SingleDatasetCheck):
-                    kinds = ["train"] + (["test"] if ctx.test is not None else [])
-                    suffix = ctx.test is not None
-                    for kind in kinds:
-                        r = self._run_one(check, ctx, kind)
-                        if suffix and isinstance(r, CheckResult):
-                            r.header = f"{r.header} - {kind.title()} Dataset"
-                        results.append(r)
-                else:
-                    results.append(
-                        CheckFailure(check, TypeError(f"unknown check type {type(check).__name__}"), str(check))
-                    )
+            if max_concurrency > 1 and len(self.checks) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(len(self.checks), max_concurrency)
+                ) as pool:
+                    futures = [pool.submit(_task, c) for c in self.checks]
+                    results = [r for fut in futures for r in fut.result()]
+            else:
+                results = [r for c in self.checks for r in _task(c)]
         finally:
             ctx.unpersist_all()
         return SuiteResult(self.name, results)

@@ -33,24 +33,34 @@ class ColumnStats:
     per_column: dict  # col -> dict of statistics
 
 
-def _agg_exprs(df: DataFrame, columns: list) -> list:
+def _agg_exprs(df: DataFrame, columns: list,
+               include_approx_distinct: bool = True) -> list:
     """Non-distinct statistics only. Exact distinct counts are a separate
     aggregation (`_distinct_exprs`): mixing N countDistinct aggregates
     with regular ones makes Catalyst plan an Expand that replicates every
     input row N+1 times *and* evaluates every projection on each replica
     — measured 12× slowdown on a 600k-row scan. Two clean jobs (plain agg
     + distinct-only agg, both over the persisted input) are ~10× faster
-    and both stay inside WholeStageCodegen."""
+    and both stay inside WholeStageCodegen.
+
+    ``include_approx_distinct=False`` drops the per-column HLL sketches:
+    when the exact distinct aggregation runs anyway, the sketch is never
+    read (it exists only to SERVE as ``distinct`` in the
+    ``exact_distinct=False`` sketch mode), and it is the single most
+    expensive family of the fused pass (measured ~0.9 s warm / ~2 s cold
+    of the pass's time on 600k×11 — per-row HLL register updates for
+    every column)."""
     exprs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in columns:
         dt = df.schema[c].dataType
         col = F.col(f"`{c}`")
         exprs.append(F.count(col).alias(f"n::{c}"))
-        # HLL over a raw binary/long-string payload rehashes the full bytes
-        # per row; hashing to 8 bytes first gives the same estimate ~20×
-        # cheaper on multi-KB payload columns
-        approx_in = F.xxhash64(col) if isinstance(dt, T.BinaryType) else col
-        exprs.append(F.approx_count_distinct(approx_in).alias(f"approx_distinct::{c}"))
+        if include_approx_distinct:
+            # HLL over a raw binary/long-string payload rehashes the full
+            # bytes per row; hashing to 8 bytes first gives the same
+            # estimate ~20× cheaper on multi-KB payload columns
+            approx_in = F.xxhash64(col) if isinstance(dt, T.BinaryType) else col
+            exprs.append(F.approx_count_distinct(approx_in).alias(f"approx_distinct::{c}"))
         if is_numeric_type(dt):
             exprs += [
                 F.min(col).alias(f"min::{c}"),
@@ -131,7 +141,11 @@ def compute_column_stats(df: DataFrame, columns: list | None = None,
         if df.is_cached:
             df.count()  # materialize once so the two jobs don't race to build the cache
         with ThreadPoolExecutor(2) as pool:
-            f_main = pool.submit(lambda: df.agg(*_agg_exprs(df, columns)).first().asDict())
+            f_main = pool.submit(
+                lambda: df.agg(
+                    *_agg_exprs(df, columns, include_approx_distinct=False)
+                ).first().asDict()
+            )
             f_dist = pool.submit(lambda: df.agg(*_distinct_exprs(df, columns)).first().asDict())
             row = f_main.result()
             row.update(f_dist.result())
@@ -151,7 +165,12 @@ def compute_column_stats_by_partition(df: DataFrame, columns: list | None = None
     volume."""
     columns = columns if columns is not None else df.columns
     with_pid = df.withColumn("__pid", F.spark_partition_id())
-    rows = {r["__pid"]: r.asDict() for r in with_pid.groupBy("__pid").agg(*_agg_exprs(df, columns)).collect()}
+    rows = {
+        r["__pid"]: r.asDict()
+        for r in with_pid.groupBy("__pid")
+        .agg(*_agg_exprs(df, columns, include_approx_distinct=not exact_distinct))
+        .collect()
+    }
     if exact_distinct:
         for r in with_pid.groupBy("__pid").agg(*_distinct_exprs(df, columns)).collect():
             rows[r["__pid"]].update(r.asDict())

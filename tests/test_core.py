@@ -91,6 +91,69 @@ def test_check_failure_isolated_in_suite(spark):
     assert not result.passed(fail_if_check_not_run=True)
 
 
+def test_suite_threaded_matches_sequential(spark):
+    """Suite.run submits checks from a thread pool; the observable
+    contract — result order, values, conditions — must be identical to
+    the serial path, and the shared fused stats pass must stay
+    single-flight (one computation despite concurrent stats users)."""
+    import deepchecks_spark.core.context as ctx_mod
+    from deepchecks_spark.checks.integrity import MixedNulls
+
+    df = spark.createDataFrame(
+        [(i, "x" if i % 3 else None, float(i % 5)) for i in range(200)],
+        "id int, s string, v double",
+    )
+    ds = Dataset(df, infer_categorical=False)
+    suite = Suite(
+        "thr",
+        IsSingleValue().add_condition_not_single_value(),
+        PercentOfNulls().add_condition_percent_of_nulls_not_greater_than(0.9),
+        MixedNulls().add_condition_different_nulls_less_equal_to(2),
+    )
+
+    calls = []
+    real = ctx_mod.compute_column_stats
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    ctx_mod.compute_column_stats = counting
+    try:
+        threaded = suite.run(ds)
+    finally:
+        ctx_mod.compute_column_stats = real
+    sequential = suite.run(ds, max_concurrency=1)
+
+    assert len(calls) == 1, f"fused stats pass ran {len(calls)}x under concurrency"
+    jt, js = threaded.to_json(), sequential.to_json()
+    for a, b in zip(jt["results"], js["results"]):
+        a.pop("run_time", None)
+        b.pop("run_time", None)
+    assert jt == js
+
+
+def test_suite_does_not_unpersist_caller_owned_cache(spark):
+    """The runner persists ONE shared input and runs its stages (one of
+    which is a Suite) concurrently over it. Suite.run must not drop that
+    caller-owned cache on exit — only caches the suite itself created."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "id int, v double")
+    df.persist()
+    try:
+        df.count()
+        ds = Dataset(df, infer_categorical=False)
+        Suite("owned", PercentOfNulls()).run(ds)
+        assert ds.df.is_cached, "suite unpersisted the caller's shared cache"
+    finally:
+        df.unpersist()
+    # and a frame the suite persisted itself IS released on exit
+    ds2 = Dataset(
+        spark.createDataFrame([(1, 2.0)], "id int, v double"), infer_categorical=False
+    )
+    Suite("own-cache", PercentOfNulls()).run(ds2)
+    assert not ds2.df.is_cached
+
+
 def test_format_helpers():
     assert format_percent(0.5) == "50%"
     assert format_percent(0.123456) == "12.35%"
