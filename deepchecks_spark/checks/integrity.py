@@ -27,6 +27,7 @@ from deepchecks_spark.functions.strings import (
     baseform_expr,
     is_null_string_expr,
     is_special_only_expr,
+    numeric_like_expr,
 )
 
 
@@ -298,7 +299,7 @@ class MixedDataTypes(SingleDatasetCheck):
                 value[c] = {}
                 continue
             qc = F.col(f"`{c}`")
-            num_cond = qc.try_cast("double").isNotNull()
+            num_cond = numeric_like_expr(qc)
             numbers_examples = [
                 r[0] for r in df.filter(qc.isNotNull() & num_cond).select(qc).limit(3).collect()
             ]

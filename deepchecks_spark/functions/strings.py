@@ -89,6 +89,28 @@ def is_special_only_expr(col: Column | str) -> Column:
     return (F.length(c) > 0) & ~c.rlike(r"[\p{L}\p{N}]")
 
 
+def numeric_like_expr(col: Column | str) -> Column:
+    """``try_cast(col AS double) IS NOT NULL``, guarded by a constant-
+    time necessary condition on the RAW first character so multi-KB
+    payloads skip the cast entirely. Spark's string→double cast trims
+    control/space characters (code points ≤ 0x20) and then requires a
+    literal starting with a digit, a sign, '.', or (-)Infinity/NaN/hex
+    — so a successful cast implies the raw first character is
+    whitespace (≤ ' ') or one of ``0-9 + - . i I n N``. Verified
+    exhaustively over every first code point ≤ U+02FF plus
+    hex-float/Infinity/NaN/Unicode-digit/fullwidth forms
+    (tests/test_functions_extras.py). The guarded predicate is
+    row-for-row identical to the bare cast; it just refuses to
+    materialize KB-size strings that cannot possibly parse (the cast
+    copies the whole UTF8String into a java.lang.String before
+    parsing — measured 5.0 s → sub-second for the numeric_like stats
+    family over 1M web documents)."""
+    qc = F.col(col) if isinstance(col, str) else col
+    first = F.substring(qc, 1, 1)
+    maybe = first.isin(*"0123456789+-.iInN") | (first <= " ")
+    return maybe & qc.try_cast("double").isNotNull()
+
+
 def normalize_text_expr(col: Column | str, lowercase: bool = True,
                         remove_punct: bool = True, collapse_whitespace: bool = True) -> Column:
     """JVM-side text normalization (reference nlp/utils/text.py:97-161

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from deepchecks_spark.dataset import is_numeric_type
-from deepchecks_spark.functions.strings import is_special_only_expr
+from deepchecks_spark.functions.strings import is_special_only_expr, numeric_like_expr
 
 
 @dataclass
@@ -74,7 +74,7 @@ def _agg_exprs(df: DataFrame, columns: list,
             exprs += [
                 # fraction of values parseable as a number (MixedDataTypes,
                 # reference mixed_data_types.py:105-136)
-                F.sum(col.try_cast("double").isNotNull().cast("long")).alias(f"numeric_like::{c}"),
+                F.sum(numeric_like_expr(col).cast("long")).alias(f"numeric_like::{c}"),
                 # non-empty strings made entirely of special characters
                 # (SpecialCharacters, reference special_chars.py:131-139)
                 F.sum(is_special_only_expr(col).cast("long")).alias(f"special_only::{c}"),

@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from deepchecks_spark.functions.strings import is_null_string_expr, is_special_only_expr
+from deepchecks_spark.functions.strings import (
+    is_null_string_expr,
+    is_special_only_expr,
+    numeric_like_expr,
+)
 
 
 @dataclass
@@ -66,7 +70,7 @@ def _batch_exprs(df: DataFrame, columns: list) -> list:
         if isinstance(dt, T.StringType):
             exprs += [
                 F.sum(is_special_only_expr(col).cast("long")).alias(f"special_only::{c}"),
-                F.sum(col.try_cast("double").isNotNull().cast("long")).alias(f"numeric_like::{c}"),
+                F.sum(numeric_like_expr(col).cast("long")).alias(f"numeric_like::{c}"),
                 F.min(F.length(col)).alias(f"min_len::{c}"),
                 F.max(F.length(col)).alias(f"max_len::{c}"),
             ]

@@ -91,3 +91,34 @@ def test_is_string_column(spark):
     assert is_string_column(df, "numlike") is False   # all values parse as numbers
     assert is_string_column(df, "d") is False         # numeric dtype
     assert is_string_column(df, "mixed") is False     # nulls ignored, '7' parses
+
+
+def test_numeric_like_expr_identical_to_bare_cast(spark):
+    """The first-character guard in numeric_like_expr must be a strict
+    NECESSARY condition for Spark's string->double cast: row for row,
+    guarded predicate == bare try_cast IS NOT NULL. Exhaustive over
+    every first code point <= U+02FF plus hex-float / Infinity / NaN /
+    Unicode-digit / fullwidth / signed / whitespace-prefixed forms."""
+    from pyspark.sql import functions as F
+
+    from deepchecks_spark.functions.strings import numeric_like_expr
+
+    cands = [chr(i) + "1" for i in range(1, 0x300)]
+    cands += [chr(i) for i in range(1, 0x300)]
+    cands += ["123", " 123", "\t123", "\n123", "\r123", "\x0b123", "\x0c123",
+              "\x1c123", "\x00123", "\x1f123", "+1", "-1", "+.5", ".5", "1e3",
+              "1E3", "1e-3", "0x1p3", "0X1P-3", "Infinity", "-Infinity",
+              "+Infinity", "infinity", "INF", "inf", "NaN", "nan", "NAN",
+              "１２３", "٣", "²", "½", "٠.٥",
+              "−1", "  +.5e-2  ", "1d", "1D", "1f", "1F", "d1", "e3", "",
+              "1" * 400, "x" * 400, None]
+    df = spark.createDataFrame([(s,) for s in set(cands)], "s string")
+    col = F.col("s")
+    rows = df.select(
+        "s",
+        col.try_cast("double").isNotNull().alias("bare"),
+        numeric_like_expr(col).alias("guarded"),
+    ).collect()
+    diffs = [(r["s"], r["bare"], r["guarded"]) for r in rows
+             if bool(r["bare"]) != bool(r["guarded"])]
+    assert not diffs, diffs
