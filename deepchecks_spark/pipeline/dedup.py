@@ -183,11 +183,20 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     # already distinct so the extra pass is O(|sh|) per row.
     exploded = shingles.select(
         F.col(id_col), F.explode(F.array_distinct("sh")).alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
-    ]
+    # one parsed expression string per permutation instead of ~5 chained
+    # Column calls each — the num_hashes aggregates cost num_hashes py4j
+    # round-trips (measured 1.5 s -> ~0.1 s of driver Python at 64
+    # hashes on this host). Identical Min(XxHash64(int-lit, shingle))
+    # trees: a SQL integer literal and F.lit(int) are both IntegerType,
+    # so every seed hashes the same bytes.
+    aggs = [F.expr(f"min(xxhash64({i}, shingle)) AS h{i}")
+            for i in range(num_hashes)]
     sig = exploded.groupBy(id_col).agg(*aggs)
-    return sig.select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+    return sig.select(
+        F.col(id_col),
+        F.expr("array(" + ", ".join(f"h{i}" for i in range(num_hashes))
+               + ") AS signature"),
+    )
 
 
 def signature_band_entries(sig: DataFrame, id_col: str,
@@ -452,20 +461,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     ~4× (cold codegen compile was the dominant cost of this operator
     at bench scale; values are bit-identical)."""
     toks = spread_input(df).select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
-    h = F.xxhash64("tok")
-    aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+    # parsed expression strings: the bits+1 aggregates and the packing
+    # fold cost ~bits py4j round-trips instead of ~5x that (measured
+    # ~1.0 s -> ~0.1 s of driver Python at 64 bits). Identical
+    # Sum(BitwiseAnd(ShiftRight...)) trees — SQL `& 1` and
+    # bitwiseAND(lit(1)) coerce the same way.
+    aggs = [F.expr("count(1) AS n")] + [
+        F.expr(f"sum(shiftright(xxhash64(tok), {b}) & 1) AS c{b}")
         for b in range(bits)
     ]
     votes = toks.groupBy(id_col).agg(*aggs)
     # bit b set ⇔ vote Σ(±1) > 0 ⇔ 2·c_b > n; pack with one linear fold
-    bit_set = F.array(*[
-        (F.col(f"c{b}") * 2 > F.col("n")).cast("long") for b in range(bits)
-    ])
-    powers = F.array(*[F.shiftleft(F.lit(1).cast("long"), b) for b in range(bits)])
-    fp = F.aggregate(F.zip_with(bit_set, powers, lambda x, p: x * p),
-                     F.lit(0).cast("long"), lambda acc, x: acc + x)
-    return votes.select(F.col(id_col), fp.alias("simhash"))
+    bit_set = "array(" + ", ".join(
+        f"CAST(c{b} * 2 > n AS BIGINT)" for b in range(bits)) + ")"
+    powers = "array(" + ", ".join(
+        f"shiftleft(1L, {b})" for b in range(bits)) + ")"
+    fp = F.expr(f"aggregate(zip_with({bit_set}, {powers}, (x, p) -> x * p), "
+                "0L, (acc, x) -> acc + x) AS simhash")
+    return votes.select(F.col(id_col), fp)
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from deepchecks_spark.core.parallel import spread_input
+from deepchecks_spark.functions.arrays import double_array_lit
 
 
 def _as_double(col):
@@ -257,9 +258,10 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray):
     plane count; per-plane fold order, and hence every bit of the
     bucket id, is unchanged)."""
     v = _as_double(vec_col)
-    planes_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in p]) for p in planes
-    ])
+    # ONE Literal node (double_array_lit), not a CreateArray tree of
+    # n_planes × dim element literals: one py4j call, one parse, and
+    # the value is the identical array<array<double>>
+    planes_lit = double_array_lit([[float(x) for x in p] for p in planes])
     projs = F.transform(
         planes_lit,
         lambda p: F.aggregate(F.zip_with(v, p, lambda x, y: x * y),
@@ -360,10 +362,9 @@ def _cents_lit(cents: np.ndarray):
     Catalyst plan holds one literal tree instead of nlist separate
     aggregate nodes (plan analysis/codegen stay O(1) in the quantizer
     shape; only the literal payload grows — the same shape trick as
-    _pq_books_lit)."""
-    return F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in cents
-    ])
+    _pq_books_lit). Built as ONE Literal node (double_array_lit) rather than a CreateArray tree of nlist × dim element
+    literals, so optimizer rule passes walk one node."""
+    return double_array_lit([[float(x) for x in c] for c in cents])
 
 
 def _ivf_cell_scores(vec_name: str, cents: np.ndarray):
@@ -756,11 +757,10 @@ def _pq_books_lit(books: np.ndarray):
     encode/LUT expressions iterate it with higher-order functions, so
     the Catalyst plan holds one literal tree instead of m × ksub
     separate aggregate nodes (plan analysis/codegen stays O(1) in the
-    codebook shape; only the literal payload grows)."""
-    return F.array(*[
-        F.array(*[F.array(*[F.lit(float(x)) for x in w]) for w in book])
-        for book in books
-    ])
+    codebook shape; only the literal payload grows). ONE Literal node
+    (double_array_lit), not a CreateArray tree of m × ksub ×
+    dsub element literals."""
+    return double_array_lit([[[float(x) for x in w] for w in book] for book in books])
 
 
 def _pq_sub_sqdist(vec_name: str, j, w, dsub: int):
@@ -973,8 +973,7 @@ def ivfadc_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
     else:
         books = _fit_pq_books(mat, m, ksub, seed=seed)
     if by_residual:
-        cents_lit = F.array(*[
-            F.array(*[F.lit(float(x)) for x in cc]) for cc in cents])
+        cents_lit = double_array_lit([[float(x) for x in cc] for cc in cents])
 
         def _residual(vcol):
             return F.zip_with(

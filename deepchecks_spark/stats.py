@@ -50,26 +50,35 @@ def _agg_exprs(df: DataFrame, columns: list,
     expensive family of the fused pass (measured ~0.9 s warm / ~2 s cold
     of the pass's time on 600k×11 — per-row HLL register updates for
     every column)."""
-    exprs = [F.count(F.lit(1)).alias("__n_rows")]
+    # parsed expression strings wherever the SQL form is unambiguous:
+    # the ~8 aggregates per column then cost ~1 py4j round-trip each
+    # instead of 4-6 (measured 0.7 s -> ~0.1 s of driver Python on a
+    # 16-column table — this builder runs once per suite AND once per
+    # runner stage-set). The regex-bearing special_only family stays a
+    # Column expression (escaping a \p{L} class through the SQL string
+    # parser is fragile); parsed trees for the rest are node-identical.
+    exprs = [F.expr("count(1) AS __n_rows")]
     for c in columns:
         dt = df.schema[c].dataType
         col = F.col(f"`{c}`")
-        exprs.append(F.count(col).alias(f"n::{c}"))
+        exprs.append(F.expr(f"count(`{c}`) AS `n::{c}`"))
         if include_approx_distinct:
             # HLL over a raw binary/long-string payload rehashes the full
             # bytes per row; hashing to 8 bytes first gives the same
             # estimate ~20× cheaper on multi-KB payload columns
-            approx_in = F.xxhash64(col) if isinstance(dt, T.BinaryType) else col
-            exprs.append(F.approx_count_distinct(approx_in).alias(f"approx_distinct::{c}"))
+            approx_in = f"xxhash64(`{c}`)" if isinstance(dt, T.BinaryType) else f"`{c}`"
+            exprs.append(F.expr(
+                f"approx_count_distinct({approx_in}) AS `approx_distinct::{c}`"))
         if is_numeric_type(dt):
             exprs += [
-                F.min(col).alias(f"min::{c}"),
-                F.max(col).alias(f"max::{c}"),
-                F.avg(col).alias(f"avg::{c}"),
-                F.stddev(col).alias(f"stddev::{c}"),
+                F.expr(f"min(`{c}`) AS `min::{c}`"),
+                F.expr(f"max(`{c}`) AS `max::{c}`"),
+                F.expr(f"avg(`{c}`) AS `avg::{c}`"),
+                F.expr(f"stddev(`{c}`) AS `stddev::{c}`"),
             ]
             if isinstance(dt, (T.FloatType, T.DoubleType)):
-                exprs.append(F.sum(F.isnan(col).cast("long")).alias(f"nan_count::{c}"))
+                exprs.append(F.expr(
+                    f"sum(CAST(isnan(`{c}`) AS BIGINT)) AS `nan_count::{c}`"))
         elif isinstance(dt, T.StringType):
             exprs += [
                 # fraction of values parseable as a number (MixedDataTypes,
@@ -78,12 +87,13 @@ def _agg_exprs(df: DataFrame, columns: list,
                 # non-empty strings made entirely of special characters
                 # (SpecialCharacters, reference special_chars.py:131-139)
                 F.sum(is_special_only_expr(col).cast("long")).alias(f"special_only::{c}"),
-                F.min(F.length(col)).alias(f"min_len::{c}"),
-                F.max(F.length(col)).alias(f"max_len::{c}"),
-                F.avg(F.length(col)).alias(f"avg_len::{c}"),
+                F.expr(f"min(length(`{c}`)) AS `min_len::{c}`"),
+                F.expr(f"max(length(`{c}`)) AS `max_len::{c}`"),
+                F.expr(f"avg(length(`{c}`)) AS `avg_len::{c}`"),
             ]
         elif isinstance(dt, (T.TimestampType, T.DateType)):
-            exprs += [F.min(col).alias(f"min::{c}"), F.max(col).alias(f"max::{c}")]
+            exprs += [F.expr(f"min(`{c}`) AS `min::{c}`"),
+                      F.expr(f"max(`{c}`) AS `max::{c}`")]
     return exprs
 
 
